@@ -1,0 +1,197 @@
+"""Catalyst aggregate expressions for the stats pass (SURVEY.md S1-S9).
+
+Everything here is a JVM-side Catalyst aggregate — map-side partial +
+reduce-side final for free — so one ``groupBy(partition_cols).agg(*)``
+computes every numeric component's summary in a single shuffle whose
+reduce cardinality is the partition count, never the row count.
+
+Per-partition partials are merged to a global profile driver-side
+(``merge_numeric_partials``): counts/min/max exactly, mean/std via the
+numerically-stable pooled (Chan et al.) formula, quantile vectors via
+weighted mixture-ECDF inversion — the same merge the pandas-UDF kernel
+path uses, so the two paths agree by construction.
+"""
+
+from __future__ import annotations
+
+import bisect
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_validation_spark.plans.suite import QUANTILE_PROBS
+
+#: default percentile_approx accuracy — err ~ 1/accuracy of rank
+DEFAULT_ACCURACY = 10000
+
+
+def numeric_agg_exprs(name: str, expr: str,
+                      accuracy: int = DEFAULT_ACCURACY) -> list[Column]:
+    """Aggregate expressions for one numeric component.
+
+    ``expr`` is a SQL expression (the component's extractor).  Emits
+    columns ``{name}__n, __n_invalid, __min, __max, __mean, __std,
+    __quantiles`` — NaN and NULL both count as invalid (rdv ``pinv``).
+    """
+    c = F.expr(expr)
+    dbl = c.cast("double")
+    invalid = c.isNull() | F.isnan(dbl)
+    valid = F.when(~invalid, dbl)
+    p = f"{name}__"
+    return [
+        F.count(F.lit(1)).alias(p + "n"),
+        F.sum(invalid.cast("long")).alias(p + "n_invalid"),
+        F.min(valid).alias(p + "min"),
+        F.max(valid).alias(p + "max"),
+        F.avg(valid).alias(p + "mean"),
+        F.stddev_samp(valid).alias(p + "std"),
+        F.percentile_approx(valid, QUANTILE_PROBS, accuracy).alias(p + "quantiles"),
+    ]
+
+
+def categoric_agg_exprs(name: str, expr: str) -> list[Column]:
+    """Null/total counters for a categoric component (frequencies are a
+    separate low-cardinality groupBy — see operators/profile.py)."""
+    c = F.expr(expr)
+    p = f"{name}__"
+    return [
+        F.count(F.lit(1)).alias(p + "n"),
+        F.sum(c.isNull().cast("long")).alias(p + "n_invalid"),
+    ]
+
+
+def tokens_agg_exprs(name: str, expr: str,
+                     accuracy: int = DEFAULT_ACCURACY) -> list[Column]:
+    """Token-array profile (S5/S6): length stats + element min/max +
+    null-array count, all without exploding rows.  The only place the
+    full ``tokens`` column is read (P1: keep it out of other paths)."""
+    c = F.expr(expr)
+    length = F.when(c.isNotNull(), F.array_size(c).cast("double"))
+    p = f"{name}__"
+    return [
+        F.count(F.lit(1)).alias(p + "n"),
+        F.sum(c.isNull().cast("long")).alias(p + "n_invalid"),
+        F.min(length).alias(p + "min"),
+        F.max(length).alias(p + "max"),
+        F.avg(length).alias(p + "mean"),
+        F.stddev_samp(length).alias(p + "std"),
+        F.percentile_approx(length, QUANTILE_PROBS, accuracy).alias(p + "quantiles"),
+        F.min(F.array_min(c)).cast("long").alias(p + "elem_min"),
+        F.max(F.array_max(c)).cast("long").alias(p + "elem_max"),
+    ]
+
+
+# ---------------------------------------------------------------------------
+# driver-side merging of per-partition partials (tiny: one row/partition)
+# ---------------------------------------------------------------------------
+
+def pooled_mean_std(ns: np.ndarray, means: np.ndarray, stds: np.ndarray
+                    ) -> tuple[float | None, float | None]:
+    """Exact pooled mean/sample-std from per-group (n, mean, std) via the
+    pairwise/Chan update — numerically stable, no raw sum-of-squares."""
+    mask = ns > 0
+    ns, means = ns[mask], means[mask]
+    stds = np.where(np.isnan(stds[mask]), 0.0, stds[mask])
+    if ns.sum() == 0:
+        return None, None
+    n_tot = float(ns.sum())
+    mean = float(np.sum(ns * means) / n_tot)
+    # M2 within groups + between-group contribution
+    m2 = float(np.sum(stds ** 2 * np.maximum(ns - 1, 0))
+               + np.sum(ns * (means - mean) ** 2))
+    std = float(np.sqrt(m2 / (n_tot - 1))) if n_tot > 1 else None
+    return mean, std
+
+
+def merge_quantile_vectors(ns: list[int], vecs: list[list[float]],
+                           probs: list[float] = QUANTILE_PROBS) -> list[float] | None:
+    """Merge per-partition quantile vectors into a global one.
+
+    Each vector is the inverse ECDF of its partition sampled at
+    ``probs``; the global distribution is the n-weighted mixture of the
+    partition distributions, so we invert the mixture CDF: for target
+    rank q, binary-search the value v where sum_i n_i * F_i(v) = q * N.
+    F_i is reconstructed by linear interpolation on (vec_i, probs).
+    """
+    pairs = [(n, np.asarray(v, dtype=float)) for n, v in zip(ns, vecs)
+             if n > 0 and v is not None]
+    if not pairs:
+        return None
+    n_tot = float(sum(n for n, _ in pairs))
+    lo = min(v[0] for _, v in pairs)
+    hi = max(v[-1] for _, v in pairs)
+    probs_arr = np.asarray(probs)
+
+    def mixture_cdf(x: float) -> float:
+        acc = 0.0
+        for n, v in pairs:
+            if x <= v[0]:
+                f = 0.0 if x < v[0] else probs_arr[0]
+            elif x >= v[-1]:
+                f = 1.0
+            else:
+                f = float(np.interp(x, v, probs_arr))
+            acc += n * f
+        return acc / n_tot
+
+    out = []
+    for q in probs:
+        a, b = lo, hi
+        for _ in range(60):  # bisection to fp precision
+            m = 0.5 * (a + b)
+            if mixture_cdf(m) < q:
+                a = m
+            else:
+                b = m
+        out.append(0.5 * (a + b))
+    out[0], out[-1] = float(lo), float(hi)  # pin exact extremes
+    return out
+
+
+def merge_numeric_partials(rows: list[dict]) -> dict:
+    """Merge per-partition partial dicts (keys: n, n_invalid, min, max,
+    mean, std, quantiles) into one global dict with the same keys."""
+    ns = np.array([r["n"] - r["n_invalid"] for r in rows], dtype=float)
+    means = np.array([r["mean"] if r["mean"] is not None else np.nan for r in rows])
+    stds = np.array([r["std"] if r["std"] is not None else np.nan for r in rows])
+    mean, std = pooled_mean_std(ns, np.nan_to_num(means), stds)
+    mins = [r["min"] for r in rows if r["min"] is not None]
+    maxs = [r["max"] for r in rows if r["max"] is not None]
+    qs = merge_quantile_vectors([int(n) for n in ns],
+                                [r.get("quantiles") for r in rows])
+    return {
+        "n": int(sum(r["n"] for r in rows)),
+        "n_invalid": int(sum(r["n_invalid"] for r in rows)),
+        "min": min(mins) if mins else None,
+        "max": max(maxs) if maxs else None,
+        "mean": mean,
+        "std": std,
+        "quantiles": qs,
+    }
+
+
+def exact_quantiles(values: np.ndarray,
+                    probs: list[float] = QUANTILE_PROBS) -> list[float] | None:
+    """Exact linear-interpolation percentiles (kernel path)."""
+    v = values[~np.isnan(values)]
+    if v.size == 0:
+        return None
+    return np.percentile(v, np.asarray(probs) * 100.0,
+                         method="linear").tolist()
+
+
+def interp_ecdf(quantiles: list[float],
+                probs: list[float] = QUANTILE_PROBS):
+    """Return F(x) callable reconstructed from a quantile vector."""
+    v = np.asarray(quantiles, dtype=float)
+    p = np.asarray(probs, dtype=float)
+
+    def cdf(x):
+        return np.clip(np.interp(x, v, p, left=0.0, right=1.0), 0.0, 1.0)
+    return cdf
+
+
+def topk_by_count(freq: dict[str, int], k: int) -> list[tuple[str, int]]:
+    """Deterministic top-k (count desc, value asc) — S9."""
+    return sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:k]

@@ -1,0 +1,180 @@
+"""Constraint evaluation — rdv's validate/check rebuilt set-at-a-time.
+
+The reference validates ONE row per call (rdv Schema.validate, SURVEY.md
+O4/O5/E2); here every row-level check is a vectorized Catalyst boolean
+column evaluated in a single ``select`` over the table, violations are
+``filter(size(errors) > 0)``, and per-partition pass/fail verdicts are a
+``groupBy(partition)`` over exploded error names.  Set-level checks:
+
+* ``unique``      — explicit two-phase (salted) distinct: partial count
+                    per (keys, input-split) then final sum, so one hot
+                    doc_id can never overload a single reducer (S8).
+* ``referential`` — broadcast ``left_anti`` join against the dimension (J1).
+
+Every violation row carries the full original row (token-array-equality
+invariant, BASELINE.json:15), the partition label, and an
+``errors: array<string>`` of failed constraint names.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_spark.plans.suite import Constraint, ValidationSuite
+
+ROW_LEVEL_KINDS = ("bounds", "in_domain", "not_null", "expression")
+
+
+def partition_label_col(partition_cols: list[str]) -> Column:
+    if not partition_cols:
+        return F.lit("<global>")
+    parts = [F.concat(F.lit(f"{c}="), F.col(c).cast("string"))
+             for c in partition_cols]
+    return F.concat_ws("/", *parts)
+
+
+def _row_violation_cond(c: Constraint) -> Column:
+    p = c.params
+    if c.kind == "bounds":
+        col = F.expr(p.get("expr", p["component"]))
+        cond = F.lit(False)
+        if p.get("min") is not None:
+            cond = cond | (col < F.lit(p["min"]))
+        if p.get("max") is not None:
+            cond = cond | (col > F.lit(p["max"]))
+        return F.coalesce(cond, F.lit(False))  # NULL → not a bounds error
+    if c.kind == "in_domain":
+        col = F.expr(p.get("expr", p["component"]))
+        return col.isNotNull() & ~col.isin(list(p["values"]))
+    if c.kind == "not_null":
+        return F.expr(p.get("expr", p["component"])).isNull()
+    if c.kind == "expression":
+        # row passes iff the SQL predicate is true; NULL result = violation
+        return ~F.coalesce(F.expr(p["sql"]), F.lit(False))
+    raise ValueError(f"not a row-level constraint: {c.kind}")
+
+
+def row_level_violations(df: DataFrame, constraints: list[Constraint],
+                         partition_cols: list[str]) -> DataFrame:
+    """One vectorized pass: all row-level checks as boolean columns,
+    violations = rows with a non-empty ``errors`` array."""
+    flags = [F.when(_row_violation_cond(c), F.lit(c.name))
+             for c in constraints]
+    out = (df
+           .withColumn("errors", F.array_compact(F.array(*flags)))
+           .withColumn("partition", partition_label_col(partition_cols)))
+    return out.filter(F.array_size("errors") > 0)
+
+
+def uniqueness_violations(df: DataFrame, keys: list[str],
+                          partition_cols: list[str],
+                          constraint_name: str = "unique") -> DataFrame:
+    """S8 — explicit two-phase distinct count on the key.
+
+    Phase 1 groups by (keys, spark_partition_id): identical hot keys are
+    split across input partitions, so phase-1 reducers see bounded
+    groups.  Phase 2 sums the partial counts per key (tiny — one row per
+    distinct key per input split).  Keys with total > 1 are duplicated;
+    the violation rows are the original rows semi-joined on those keys.
+    """
+    partial = (df.select(*keys)
+               .withColumn("__split", F.spark_partition_id())
+               .groupBy(*keys, "__split").agg(F.count(F.lit(1)).alias("__c")))
+    dup_keys = (partial.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+                .filter(F.col("__n") > 1).select(*keys))
+    return (df.join(dup_keys, on=keys, how="left_semi")
+            .withColumn("errors", F.array(F.lit(constraint_name)))
+            .withColumn("partition", partition_label_col(partition_cols)))
+
+
+def referential_violations(df: DataFrame, column: str, dim: DataFrame,
+                           partition_cols: list[str],
+                           dim_column: str | None = None,
+                           constraint_name: str = "referential") -> DataFrame:
+    """J1 — rows whose ``column`` is absent from the (small, broadcast)
+    dimension.  NULL keys are violations too (they reference nothing)."""
+    dim_column = dim_column or column
+    dim_keys = dim.select(F.col(dim_column).alias(column)).distinct()
+    missing = df.join(F.broadcast(dim_keys), on=column, how="left_anti")
+    return (missing
+            .withColumn("errors", F.array(F.lit(constraint_name)))
+            .withColumn("partition", partition_label_col(partition_cols)))
+
+
+@dataclass
+class ConstraintRun:
+    """Distributed outputs of one evaluation pass."""
+    violations: DataFrame          # input cols + partition + errors
+    verdicts: DataFrame            # partition, constraint, n_violations, passed
+    constraint_names: list[str] = field(default_factory=list)
+
+
+def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
+                         dims: dict[str, DataFrame] | None = None
+                         ) -> ConstraintRun:
+    """Evaluate all row/set-level constraints of ``suite``.
+
+    ``dims`` maps dimension names (referenced by referential constraints
+    via ``params["dim"]``) to DataFrames; a referential constraint may
+    instead inline ``params["values"]``.  Drift constraints are profile-
+    level and handled by operators/contrast.py + plans/runner.py.
+    """
+    dims = dims or {}
+    pcols = suite.partition_cols
+    frames: list[DataFrame] = []
+    names: list[str] = []
+
+    row_cs = [c for c in suite.constraints if c.kind in ROW_LEVEL_KINDS]
+    if row_cs:
+        frames.append(row_level_violations(df, row_cs, pcols))
+        names += [c.name for c in row_cs]
+
+    for c in suite.constraints:
+        if c.kind == "unique":
+            frames.append(uniqueness_violations(
+                df, list(c.params["keys"]), pcols, c.name))
+            names.append(c.name)
+        elif c.kind == "referential":
+            p = c.params
+            if "values" in p:
+                spark = df.sparkSession
+                dim = spark.createDataFrame(
+                    [(v,) for v in p["values"]], f"{p['column']} string")
+            else:
+                dim = dims[p["dim"]]
+            frames.append(referential_violations(
+                df, p["column"], dim, pcols, p.get("dim_column"), c.name))
+            names.append(c.name)
+
+    spark = df.sparkSession
+    if frames:
+        violations = frames[0]
+        for f in frames[1:]:
+            violations = violations.unionByName(f, allowMissingColumns=True)
+    else:
+        violations = (df.limit(0)
+                      .withColumn("errors", F.array(F.lit("")))
+                      .withColumn("partition", partition_label_col(pcols)))
+
+    # verdict universe: every (partition × constraint), so partitions with
+    # zero violations still get an explicit passed=true row
+    parts = (df.select(partition_label_col(pcols).alias("partition"))
+             .distinct())
+    cons = spark.createDataFrame([(n,) for n in names] or [("<none>",)],
+                                 "constraint string")
+    counts = (violations
+              .select("partition", F.explode("errors").alias("constraint"))
+              .groupBy("partition", "constraint")
+              .agg(F.count(F.lit(1)).alias("n_violations")))
+    verdicts = (parts.crossJoin(F.broadcast(cons))
+                .join(counts, ["partition", "constraint"], "left")
+                .withColumn("n_violations",
+                            F.coalesce("n_violations", F.lit(0)))
+                .withColumn("passed", F.col("n_violations") == 0))
+    if not names:
+        verdicts = verdicts.filter(F.lit(False))
+    return ConstraintRun(violations=violations, verdicts=verdicts,
+                         constraint_names=names)

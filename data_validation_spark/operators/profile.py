@@ -1,0 +1,284 @@
+"""build_profile — the single vectorized stats pass (rdv Schema.build, E1).
+
+Two interchangeable implementations behind one interface (SURVEY.md §2.2
+design decision):
+
+* ``method="catalyst"`` — pure Catalyst aggregates (S1-S7): one
+  ``groupBy(partition_cols).agg(...)`` computes every numeric/tokens
+  component's partials map-side; categoric frequencies are one stacked
+  low-cardinality ``groupBy``.  This is the oracle-checkable path.
+* ``method="kernel"`` — the spec-mandated single per-partition vectorized
+  pass (BASELINE.json:6): ``applyInPandas`` over the partition groups,
+  one Arrow/numpy kernel emitting one stats row per (partition,
+  component).  No per-row Python.
+
+Both paths emit the same normalized record shape and share the same
+driver-side merge (functions/stats.py), so tests can assert agreement.
+
+Scale notes (100 TB): the shuffle key is the table's physical partition
+key ``(source, bucket)``, so reduce cardinality = #partitions, not
+#rows; Catalyst partial aggregation means the shuffle payload is one
+partial per (map task × partition).  Only the columns named by
+components are scanned (parquet column pruning) — profiles that skip
+``tokens`` never read it.  Driver memory is bounded by
+#partitions × #components records.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_validation_spark.functions.stats import (
+    DEFAULT_ACCURACY,
+    categoric_agg_exprs,
+    exact_quantiles,
+    merge_numeric_partials,
+    numeric_agg_exprs,
+    pooled_mean_std,
+    tokens_agg_exprs,
+)
+from data_validation_spark.plans.suite import (
+    CategoricStats,
+    Component,
+    NumericStats,
+    Profile,
+)
+
+_NUMERIC_KEYS = ("n", "n_invalid", "min", "max", "mean", "std", "quantiles",
+                 "elem_min", "elem_max")
+
+
+def partition_label(cols: list[str], values: Iterable) -> str:
+    return "/".join(f"{c}={v}" for c, v in zip(cols, values)) or "<global>"
+
+
+def _ccol(name: str) -> str:
+    """Projected component column name — prefixed so a component named
+    after a partition column never collides with it."""
+    return f"__c_{name}"
+
+
+def _project(df: DataFrame, components: list[Component],
+             partition_cols: list[str]) -> DataFrame:
+    """Evaluate extractor expressions once, up front (rdv Extractor ≡
+    Catalyst projection, SURVEY.md O7)."""
+    cols = [F.col(c) for c in partition_cols]
+    cols += [F.expr(c.expr).alias(_ccol(c.name)) for c in components]
+    return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# catalyst path
+# ---------------------------------------------------------------------------
+
+def _catalyst_records(df: DataFrame, components: list[Component],
+                      partition_cols: list[str], accuracy: int) -> list[dict]:
+    numericish = [c for c in components if c.ctype in ("numeric", "tokens")]
+    records: list[dict] = []
+
+    if numericish:
+        exprs = []
+        for comp in numericish:
+            make = tokens_agg_exprs if comp.ctype == "tokens" else numeric_agg_exprs
+            exprs += make(comp.name, _ccol(comp.name), accuracy)
+        grouped = (df.groupBy(*partition_cols) if partition_cols else
+                   df.groupBy())
+        for row in grouped.agg(*exprs).collect():
+            d = row.asDict()
+            part = partition_label(partition_cols,
+                                   [d[c] for c in partition_cols])
+            for comp in numericish:
+                rec = {"partition": part, "component": comp.name,
+                       "ctype": comp.ctype, "freq": None}
+                for k in _NUMERIC_KEYS:
+                    rec[k] = d.get(f"{comp.name}__{k}")
+                records.append(rec)
+
+    for comp in components:
+        if comp.ctype != "categoric":
+            continue
+        keys = [*partition_cols, _ccol(comp.name)]
+        counts = df.groupBy(*keys).count().collect()
+        n_exprs = categoric_agg_exprs(comp.name, _ccol(comp.name))
+        grouped = (df.groupBy(*partition_cols) if partition_cols else
+                   df.groupBy())
+        totals = {partition_label(partition_cols, [r[c] for c in partition_cols]):
+                  r.asDict() for r in grouped.agg(*n_exprs).collect()}
+        freq_by_part: dict[str, dict[str, int]] = {}
+        for r in counts:
+            part = partition_label(partition_cols, [r[c] for c in partition_cols])
+            val = r[_ccol(comp.name)]
+            if val is not None:
+                freq_by_part.setdefault(part, {})[str(val)] = r["count"]
+        for part, tot in totals.items():
+            records.append({
+                "partition": part, "component": comp.name,
+                "ctype": "categoric",
+                "n": tot[f"{comp.name}__n"],
+                "n_invalid": tot[f"{comp.name}__n_invalid"],
+                "freq": freq_by_part.get(part, {}),
+                **{k: None for k in _NUMERIC_KEYS[2:]},
+            })
+    return records
+
+
+# ---------------------------------------------------------------------------
+# kernel path (U2): one applyInPandas pass per physical partition
+# ---------------------------------------------------------------------------
+
+_KERNEL_SCHEMA = ("partition string, component string, ctype string, "
+                  "n long, n_invalid long, min double, max double, "
+                  "mean double, std double, quantiles array<double>, "
+                  "elem_min long, elem_max long, freq_json string")
+
+
+def _make_kernel(components: list[Component], partition_cols: list[str]):
+    comp_spec = [(c.name, c.ctype) for c in components]
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        part = partition_label(
+            partition_cols, [pdf[c].iloc[0] for c in partition_cols]) \
+            if len(pdf) else "<global>"
+        out = []
+        for name, ctype in comp_spec:
+            col = pdf[_ccol(name)]
+            n = len(col)
+            base = {"partition": part, "component": name, "ctype": ctype,
+                    "n": n, "min": None, "max": None, "mean": None,
+                    "std": None, "quantiles": None, "elem_min": None,
+                    "elem_max": None, "freq_json": None}
+            if ctype == "categoric":
+                base["n_invalid"] = int(col.isna().sum())
+                freq = col.dropna().astype(str).value_counts()
+                base["freq_json"] = json.dumps(
+                    {k: int(v) for k, v in freq.items()}, sort_keys=True)
+            else:
+                if ctype == "tokens":
+                    isnull = col.isna()
+                    base["n_invalid"] = int(isnull.sum())
+                    arrs = col[~isnull]
+                    vals = arrs.map(len).to_numpy(dtype=float) \
+                        if len(arrs) else np.array([])
+                    if len(arrs):
+                        flat_mins = arrs.map(
+                            lambda a: np.min(a) if len(a) else None).dropna()
+                        flat_maxs = arrs.map(
+                            lambda a: np.max(a) if len(a) else None).dropna()
+                        if len(flat_mins):
+                            base["elem_min"] = int(flat_mins.min())
+                            base["elem_max"] = int(flat_maxs.max())
+                else:
+                    vals = pd.to_numeric(col, errors="coerce").to_numpy(
+                        dtype=float)
+                    base["n_invalid"] = int(np.isnan(vals).sum())
+                    vals = vals[~np.isnan(vals)]
+                if vals.size:
+                    base["min"] = float(np.min(vals))
+                    base["max"] = float(np.max(vals))
+                    base["mean"] = float(np.mean(vals))
+                    base["std"] = (float(np.std(vals, ddof=1))
+                                   if vals.size > 1 else None)
+                    base["quantiles"] = exact_quantiles(vals)
+            out.append(base)
+        return pd.DataFrame(out)
+
+    return kernel
+
+
+def _kernel_records(df: DataFrame, components: list[Component],
+                    partition_cols: list[str]) -> list[dict]:
+    kernel = _make_kernel(components, partition_cols)
+    grouped = (df.groupBy(*partition_cols) if partition_cols
+               else df.groupBy(F.lit(1).alias("__g")))
+    rows = grouped.applyInPandas(kernel, schema=_KERNEL_SCHEMA).collect()
+    records = []
+    for r in rows:
+        d = r.asDict()
+        d["freq"] = json.loads(d.pop("freq_json")) if d["freq_json"] else None
+        if d["freq"] is None:
+            d.pop("freq_json", None)
+        records.append(d)
+    return records
+
+
+# ---------------------------------------------------------------------------
+# shared assembly + merge
+# ---------------------------------------------------------------------------
+
+def _stats_from_record(rec: dict):
+    n, n_inv = rec["n"], rec["n_invalid"]
+    pinv = (n_inv / n) if n else None
+    if rec["ctype"] == "categoric":
+        counts = rec["freq"] or {}
+        tot = sum(counts.values())
+        freqs = {k: v / tot for k, v in counts.items()} if tot else {}
+        return CategoricStats(frequencies=freqs, counts=counts, pinv=pinv, n=n)
+    qs = rec.get("quantiles")
+    return NumericStats(
+        min=rec["min"], max=rec["max"], mean=rec["mean"], std=rec["std"],
+        pinv=pinv, quantiles=list(qs) if qs is not None else None, n=n,
+        elem_min=rec.get("elem_min"), elem_max=rec.get("elem_max"))
+
+
+def _merge_records(recs: list[dict]) -> dict:
+    """Merge per-partition records for one component into a global record."""
+    first = recs[0]
+    if first["ctype"] == "categoric":
+        counts: dict[str, int] = {}
+        for r in recs:
+            for k, v in (r["freq"] or {}).items():
+                counts[k] = counts.get(k, 0) + v
+        return {**first,
+                "n": sum(r["n"] for r in recs),
+                "n_invalid": sum(r["n_invalid"] for r in recs),
+                "freq": counts}
+    merged = merge_numeric_partials(recs)
+    elem_mins = [r.get("elem_min") for r in recs if r.get("elem_min") is not None]
+    elem_maxs = [r.get("elem_max") for r in recs if r.get("elem_max") is not None]
+    return {**first, **merged,
+            "elem_min": min(elem_mins) if elem_mins else None,
+            "elem_max": max(elem_maxs) if elem_maxs else None}
+
+
+def build_profile(df: DataFrame, components: list[Component],
+                  partition_cols: list[str] | None = None,
+                  accuracy: int = DEFAULT_ACCURACY,
+                  method: str = "catalyst",
+                  name: str = "profile") -> Profile:
+    """Compute a built Profile (global + per-partition) in one stats pass."""
+    partition_cols = partition_cols or []
+    projected = _project(df, components, partition_cols)
+    if method == "catalyst":
+        records = _catalyst_records(projected, components, partition_cols,
+                                    accuracy)
+    elif method == "kernel":
+        records = _kernel_records(projected, components, partition_cols)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    profile = Profile(name=name)
+    by_comp: dict[str, list[dict]] = {}
+    for rec in records:
+        by_comp.setdefault(rec["component"], []).append(rec)
+        if partition_cols:
+            comp = Component(name=rec["component"],
+                             ctype="numeric" if rec["ctype"] == "tokens"
+                             else rec["ctype"],
+                             stats=_stats_from_record(rec))
+            profile.partitions.setdefault(rec["partition"], {})[comp.name] = comp
+
+    for comp_def in components:
+        recs = by_comp.get(comp_def.name, [])
+        if not recs:
+            continue
+        merged = recs[0] if len(recs) == 1 else _merge_records(recs)
+        profile.components[comp_def.name] = Component(
+            name=comp_def.name, ctype=comp_def.ctype,
+            extractor=comp_def.extractor, stats=_stats_from_record(merged))
+    return profile

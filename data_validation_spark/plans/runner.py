@@ -1,0 +1,183 @@
+"""Run lifecycle (SURVEY.md §3.2): plan → resume-filter → one stats +
+constraints pass → drift → verdicts → sinks.
+
+Entry point ``run_validation`` is the engine's E2 analogue: instead of
+rdv's one-row-at-a-time ``Schema.validate`` loop, the whole table is
+validated in one Spark job set, emitting per-partition pass/fail
+verdicts, violation rows (with exact original token arrays —
+BASELINE.json:15 invariant), metrics rows with lineage, and manifest
+checkpoint rows for resume.
+"""
+
+from __future__ import annotations
+
+import json
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark import StorageLevel
+
+from data_validation_spark.operators.constraints import (
+    ConstraintRun,
+    evaluate_constraints,
+    partition_label_col,
+)
+from data_validation_spark.operators.contrast import DriftReport, contrast
+from data_validation_spark.operators.profile import build_profile
+from data_validation_spark.plans.manifest import (
+    completed_partitions,
+    write_manifest,
+)
+from data_validation_spark.plans.suite import Profile, ValidationSuite
+from data_validation_spark.sources.table_provider import TableProvider
+
+METRICS_TABLE = "metrics"
+VIOLATIONS_TABLE = "violations"
+
+_SCALAR_STATS = ("min", "max", "mean", "std", "pinv")
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    profile: Profile
+    drift: DriftReport | None
+    verdicts: list[dict] = field(default_factory=list)
+    n_rows: int = 0
+    n_violations: int = 0
+    partitions: list[str] = field(default_factory=list)
+    skipped_partitions: list[str] = field(default_factory=list)
+
+    @property
+    def passed(self) -> bool:
+        return (all(v["passed"] for v in self.verdicts)
+                and not (self.drift and self.drift.drifted))
+
+
+def _metrics_rows(run_id: str, profile: Profile, verdicts: list[dict],
+                  drift: DriftReport | None, lineage: dict) -> list[tuple]:
+    """Flatten profile stats + constraint verdicts + drift results into
+    the FIXTURES.md §4 metrics shape (run_id, partition, component,
+    metric, value, passed, lineage)."""
+    lineage_s = json.dumps(lineage, sort_keys=True)
+    rows: list[tuple] = []
+
+    def profile_rows(part: str, comps: dict) -> None:
+        for name, comp in comps.items():
+            st = comp.stats
+            if st is None:
+                continue
+            for m in _SCALAR_STATS:
+                v = getattr(st, m, None)
+                if v is not None:
+                    rows.append((run_id, part, name, m, float(v), True,
+                                 lineage_s))
+            if getattr(st, "n", None) is not None:
+                rows.append((run_id, part, name, "n", float(st.n), True,
+                             lineage_s))
+
+    profile_rows("<global>", profile.components)
+    for part, comps in profile.partitions.items():
+        profile_rows(part, comps)
+
+    for v in verdicts:
+        rows.append((run_id, v["partition"], "", f"violations[{v['constraint']}]",
+                     float(v["n_violations"]), bool(v["passed"]), lineage_s))
+
+    if drift is not None:
+        for name, cd in drift.components.items():
+            for r in cd.results:
+                rows.append((run_id, "<global>", name, f"drift[{r.test}]",
+                             float(r.statistic), not r.drifted, lineage_s))
+    return rows
+
+
+def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
+                   sink: TableProvider | None = None,
+                   dims: dict[str, DataFrame] | None = None,
+                   run_id: str | None = None,
+                   resume: bool = True,
+                   method: str = "catalyst",
+                   lineage: dict | None = None) -> RunResult:
+    """Validate ``df`` against ``suite``; optionally write metrics /
+    violations / manifest through ``sink`` (IO5-IO7)."""
+    run_id = run_id or uuid.uuid4().hex[:12]
+    pcols = suite.partition_cols
+    lineage = dict(lineage or {})
+
+    # -- plan: partition worklist, minus completed (resume, J3) ----------
+    skipped: list[str] = []
+    if pcols:
+        all_parts = [partition_lbl(r, pcols) for r in
+                     df.select(*pcols).distinct().collect()]
+        done = (completed_partitions(sink, suite.name)
+                if (sink is not None and resume) else set())
+        skipped = sorted(set(all_parts) & done)
+        if skipped:
+            # partition-label anti-filter; with directory-partitioned
+            # input this folds into a partition-pruning predicate. For
+            # partition counts too large to inline, swap for a left_anti
+            # join against the manifest (same result, one extra shuffle).
+            df = df.filter(~partition_label_col(pcols).isin(skipped))
+        todo = sorted(set(all_parts) - done)
+    else:
+        todo = ["<global>"]
+    if not todo:
+        return RunResult(run_id=run_id, profile=Profile(name=suite.name),
+                         drift=None, skipped_partitions=skipped)
+
+    # -- one stats pass (S1-S7) ------------------------------------------
+    profile = build_profile(df, suite.components, pcols, method=method,
+                            name=suite.name)
+
+    # -- constraints pass (row-level + S8 + J1) ---------------------------
+    crun: ConstraintRun = evaluate_constraints(df, suite, dims)
+    crun.violations.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        verdicts = [r.asDict() for r in crun.verdicts.collect()]
+
+        # -- drift (D1-D3) vs the frozen reference profile ----------------
+        drift = None
+        drift_cs = [c for c in suite.constraints if c.kind == "drift"]
+        if drift_cs and suite.reference is not None:
+            thresholds = {}
+            for c in drift_cs:
+                thresholds.update(c.params.get("thresholds", {}))
+            drift = contrast(profile, suite.reference, thresholds)
+
+        n_rows = next((c.stats.n for c in profile.components.values()
+                       if c.stats and c.stats.n is not None), 0)
+        n_viol = crun.violations.count()
+
+        # -- sinks ---------------------------------------------------------
+        metrics = _metrics_rows(run_id, profile, verdicts, drift, lineage)
+        if sink is not None:
+            mdf = spark.createDataFrame(
+                metrics, "run_id string, partition string, component string, "
+                         "metric string, value double, passed boolean, "
+                         "lineage string"
+            ).withColumn("ts", F.current_timestamp())
+            sink.append(mdf, METRICS_TABLE)
+            sink.append(
+                crun.violations
+                    .withColumn("run_id", F.lit(run_id))
+                    .withColumn("errors", F.to_json("errors")),
+                VIOLATIONS_TABLE)
+            per_part_metrics: dict[str, int] = {}
+            for m in metrics:
+                per_part_metrics[m[1]] = per_part_metrics.get(m[1], 0) + 1
+            write_manifest(sink, spark, suite.name, run_id,
+                           [(p, per_part_metrics.get(p, 0)) for p in todo])
+    finally:
+        crun.violations.unpersist()
+
+    return RunResult(run_id=run_id, profile=profile, drift=drift,
+                     verdicts=verdicts, n_rows=n_rows or 0,
+                     n_violations=n_viol, partitions=todo,
+                     skipped_partitions=skipped)
+
+
+def partition_lbl(row, pcols: list[str]) -> str:
+    return "/".join(f"{c}={row[c]}" for c in pcols)

@@ -1,0 +1,273 @@
+"""Profile / Component / Stats / Suite data model.
+
+Rebuilds the reference's Schema/Component/Stats abstractions (rdv —
+SURVEY.md §1.1, reference checkout empty at survey time, spec per
+BASELINE.json:6) as plain dataclasses with a JSON round-trip mirroring
+rdv's ``to_jcr`` / ``from_jcr`` (SURVEY.md O9/E4).
+
+The *built* state lives in ``NumericStats`` / ``CategoricStats``; the
+declarative state (what to monitor, which constraints to enforce) lives
+in ``Component`` / ``Constraint`` / ``ValidationSuite``.  Stats are
+computed distributed (operators/profile.py) — these classes never touch
+a row of data themselves.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+#: number of points in the quantile vector: p0, p1, ..., p100
+N_QUANTILES = 101
+QUANTILE_PROBS = [i / 100.0 for i in range(N_QUANTILES)]
+
+
+class NotBuiltError(RuntimeError):
+    """Raised when validating/contrasting with an unbuilt profile
+    (mirrors rdv's unbuilt-schema error, SURVEY.md §1.1)."""
+
+
+@dataclass
+class NumericStats:
+    """Distribution summary of one numeric component.
+
+    Mirrors rdv NumericStats: min/max/mean/std, ``pinv`` (fraction of
+    invalid = NULL/NaN values) and a 101-point percentile vector
+    (p0..p100) which doubles as the inverse ECDF for KS drift.
+    """
+
+    min: float | None = None
+    max: float | None = None
+    mean: float | None = None
+    std: float | None = None
+    pinv: float | None = None
+    quantiles: list[float] | None = None  # length N_QUANTILES
+    n: int | None = None  # total rows seen (incl. invalid)
+    # tokens-array components only: element-value range (vocab bounds)
+    elem_min: int | None = None
+    elem_max: int | None = None
+
+    _FIELDS = ("min", "max", "mean", "std", "pinv", "quantiles", "n",
+               "elem_min", "elem_max")
+
+    def is_built(self) -> bool:
+        return self.n is not None
+
+    def to_jcr(self) -> dict[str, Any]:
+        return {"type": "numeric",
+                **{k: getattr(self, k) for k in self._FIELDS}}
+
+    @classmethod
+    def from_jcr(cls, d: dict[str, Any]) -> NumericStats:
+        return cls(**{k: d.get(k) for k in cls._FIELDS})
+
+
+@dataclass
+class CategoricStats:
+    """Distribution summary of one categoric component.
+
+    Mirrors rdv CategoricStats: value → relative frequency map plus
+    ``pinv``.  ``counts`` keeps the raw counts so chi-squared drift can
+    use observed counts, not just frequencies.
+    """
+
+    frequencies: dict[str, float] | None = None
+    counts: dict[str, int] | None = None
+    pinv: float | None = None
+    n: int | None = None
+
+    def is_built(self) -> bool:
+        return self.n is not None
+
+    @property
+    def domain(self) -> list[str]:
+        return sorted(self.frequencies or {})
+
+    def to_jcr(self) -> dict[str, Any]:
+        return {"type": "categoric", "frequencies": self.frequencies,
+                "counts": self.counts, "pinv": self.pinv, "n": self.n}
+
+    @classmethod
+    def from_jcr(cls, d: dict[str, Any]) -> CategoricStats:
+        return cls(frequencies=d.get("frequencies"), counts=d.get("counts"),
+                   pinv=d.get("pinv"), n=d.get("n"))
+
+
+def _stats_from_jcr(d: dict[str, Any] | None):
+    if d is None:
+        return None
+    return (NumericStats if d.get("type") == "numeric" else CategoricStats).from_jcr(d)
+
+
+@dataclass
+class Component:
+    """One monitored feature: name + extractor expression + domain type.
+
+    The reference's Extractor ABC collapses to a Spark SQL expression
+    (``extractor``): rdv's ``ElementExtractor(element=c)`` ≡ ``c``; any
+    derived feature (e.g. token count) is a SQL expression string like
+    ``"size(tokens)"``.  This keeps extraction on the JVM/Catalyst path
+    instead of per-row Python (BASELINE.json:15: no per-row Python).
+    """
+
+    name: str
+    ctype: str  # "numeric" | "categoric"
+    extractor: str | None = None  # SQL expression; defaults to the name
+    stats: NumericStats | CategoricStats | None = None
+
+    @property
+    def expr(self) -> str:
+        return self.extractor or self.name
+
+    def is_built(self) -> bool:
+        return self.stats is not None and self.stats.is_built()
+
+    def to_jcr(self) -> dict[str, Any]:
+        return {"name": self.name, "ctype": self.ctype,
+                "extractor": self.extractor,
+                "stats": self.stats.to_jcr() if self.stats else None}
+
+    @classmethod
+    def from_jcr(cls, d: dict[str, Any]) -> Component:
+        return cls(name=d["name"], ctype=d["ctype"],
+                   extractor=d.get("extractor"),
+                   stats=_stats_from_jcr(d.get("stats")))
+
+
+@dataclass
+class Constraint:
+    """One declarative check.  ``kind`` selects the evaluation strategy
+    in operators/constraints.py; ``params`` are kind-specific.
+
+    Kinds (SURVEY.md §2.2):
+      bounds        {component, min?, max?}          — rdv out-of-bounds tag
+      in_domain     {component, values? }            — rdv not-in-domain tag
+                    (values defaults to the reference profile's domain)
+      not_null      {component}                      — rdv invalid tag
+      expression    {sql}  row passes iff sql is true — generic predicate
+      unique        {keys: [col,...]}                — salted distinct (S8)
+      referential   {column, dimension: [values] | table} — J1 anti-join
+      drift         {component, tests: [chi2|ks|psi], threshold(s)} — D1-D3
+    """
+
+    name: str
+    kind: str
+    params: dict[str, Any] = field(default_factory=dict)
+
+    def to_jcr(self) -> dict[str, Any]:
+        return {"name": self.name, "kind": self.kind, "params": self.params}
+
+    @classmethod
+    def from_jcr(cls, d: dict[str, Any]) -> Constraint:
+        return cls(name=d["name"], kind=d["kind"], params=d.get("params", {}))
+
+
+@dataclass
+class Profile:
+    """A built set of component stats — rdv's built Schema.
+
+    ``partitions`` optionally holds per-partition profiles keyed by the
+    partition string (e.g. ``"source=web/bucket=3"``) so per-partition
+    verdicts and drill-down drift are first-class.
+    """
+
+    name: str = "profile"
+    version: str = "0.1.0"
+    components: dict[str, Component] = field(default_factory=dict)
+    partitions: dict[str, dict[str, Component]] = field(default_factory=dict)
+
+    def is_built(self) -> bool:
+        return bool(self.components) and all(
+            c.is_built() for c in self.components.values())
+
+    def require_built(self) -> None:
+        if not self.is_built():
+            raise NotBuiltError(
+                f"profile '{self.name}' is not built; call build_profile first")
+
+    # -- JSON round-trip (rdv to_jcr/from_jcr, save/load: SURVEY.md E4) --
+    def to_jcr(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "version": self.version,
+            "components": {k: c.to_jcr() for k, c in self.components.items()},
+            "partitions": {p: {k: c.to_jcr() for k, c in comps.items()}
+                           for p, comps in self.partitions.items()},
+        }
+
+    @classmethod
+    def from_jcr(cls, d: dict[str, Any]) -> Profile:
+        return cls(
+            name=d.get("name", "profile"),
+            version=d.get("version", "0.1.0"),
+            components={k: Component.from_jcr(c)
+                        for k, c in d.get("components", {}).items()},
+            partitions={p: {k: Component.from_jcr(c) for k, c in comps.items()}
+                        for p, comps in d.get("partitions", {}).items()},
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_jcr(), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> Profile:
+        return cls.from_jcr(json.loads(s))
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> Profile:
+        with open(path) as f:
+            return cls.from_json(f.read())
+
+
+@dataclass
+class ValidationSuite:
+    """Components + constraints + (optional) frozen reference profile.
+
+    The declarative input to a validation run (SURVEY.md §3.2).
+    """
+
+    name: str = "suite"
+    components: list[Component] = field(default_factory=list)
+    constraints: list[Constraint] = field(default_factory=list)
+    reference: Profile | None = None
+    partition_cols: list[str] = field(default_factory=list)
+
+    def to_jcr(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "components": [c.to_jcr() for c in self.components],
+            "constraints": [c.to_jcr() for c in self.constraints],
+            "reference": self.reference.to_jcr() if self.reference else None,
+            "partition_cols": self.partition_cols,
+        }
+
+    @classmethod
+    def from_jcr(cls, d: dict[str, Any]) -> ValidationSuite:
+        return cls(
+            name=d.get("name", "suite"),
+            components=[Component.from_jcr(c) for c in d.get("components", [])],
+            constraints=[Constraint.from_jcr(c) for c in d.get("constraints", [])],
+            reference=Profile.from_jcr(d["reference"]) if d.get("reference") else None,
+            partition_cols=d.get("partition_cols", []),
+        )
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_jcr(), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> ValidationSuite:
+        return cls.from_jcr(json.loads(s))
+
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            f.write(self.to_json())
+
+    @classmethod
+    def load(cls, path: str) -> ValidationSuite:
+        with open(path) as f:
+            return cls.from_json(f.read())

@@ -1,0 +1,64 @@
+"""SparkSession construction with the engine's scale-oriented defaults.
+
+Single place that owns the configs the 100 TB plan depends on: AQE (for
+skew-join splitting and runtime coalescing), Arrow (for the vectorized
+pandas-UDF kernels), and sane shuffle-partition sizing for the local
+sandbox.  On a real cluster these come from spark-submit conf; this
+builder only fills in what is unset.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ENGINE_DEFAULTS = {
+    # runtime re-planning: coalesce small shuffle partitions, split skewed
+    # ones — backs up the explicit salting we do for hot sources
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow exchange for every pandas UDF / applyInPandas kernel
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    # keep scans splittable at ~128 MB — the cluster sweet spot
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # quiet progress bars in test output
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(app_name: str = "data-validation-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None,
+              extra_conf: dict[str, str] | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    in the sandbox; on a cluster, leave it unset and let spark-submit
+    decide.
+    """
+    # make the package importable in Python workers regardless of the
+    # driver's cwd (local mode inherits the env; on a cluster, ship the
+    # package with spark-submit --py-files instead)
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (pkg_parent + os.pathsep + pp) if pp else pkg_parent
+
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    builder = builder.master(master)
+    conf = dict(ENGINE_DEFAULTS)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,86 @@
+"""TableProvider — thin seam between the engine and table formats (IO1-IO7).
+
+The production target is Iceberg (``spark.table`` / ``writeTo``); the
+sandbox has no Iceberg jars, so the default backend is parquet with
+physical partition directories emulating Iceberg's
+``(source, bucket(N, doc_id))`` partition transform.  Every engine
+operator takes a DataFrame, so swapping backends never touches operator
+code.
+
+Partition pruning: with the parquet backend, ``source``/``bucket`` are
+directory partition columns, so a ``.where(F.col("source") == ...)`` is
+partition-pruned by Catalyst exactly as Iceberg metadata pruning would —
+``.explain`` shows ``PartitionFilters``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class TableProvider:
+    """Read/write tables by name against a root location.
+
+    backend="parquet": name → ``{root}/{name}`` partitioned-dir parquet.
+    backend="iceberg": name → catalog table ``{root}.{name}`` (requires
+    Iceberg jars + catalog conf; not available in the sandbox, kept as
+    the production path).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, backend: str = "parquet"):
+        if backend not in ("parquet", "iceberg"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.backend = backend
+
+    def _ident(self, name: str) -> str:
+        return (f"{self.root}/{name}" if self.backend == "parquet"
+                else f"{self.root}.{name}")
+
+    # -- IO1: sequence-table scan (column pruning via explicit select) --
+    def read(self, name: str, columns: list[str] | None = None) -> DataFrame:
+        if self.backend == "parquet":
+            df = self.spark.read.parquet(self._ident(name))
+        else:
+            df = self.spark.table(self._ident(name))
+        return df.select(*columns) if columns else df
+
+    # -- IO5/IO6/IO7: append-only sinks --
+    def append(self, df: DataFrame, name: str,
+               partition_by: list[str] | None = None) -> None:
+        if self.backend == "parquet":
+            w = df.write.mode("append")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._ident(name))
+        else:
+            df.writeTo(self._ident(name)).append()
+
+    def overwrite(self, df: DataFrame, name: str,
+                  partition_by: list[str] | None = None) -> None:
+        if self.backend == "parquet":
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._ident(name))
+        else:
+            df.writeTo(self._ident(name)).createOrReplace()
+
+    def exists(self, name: str) -> bool:
+        if self.backend == "parquet":
+            # cheap existence probe via the Hadoop FS API (no listing scan)
+            jvm = self.spark.sparkContext._jvm
+            jsc = self.spark.sparkContext._jsc
+            path = jvm.org.apache.hadoop.fs.Path(self._ident(name))
+            fs = path.getFileSystem(jsc.hadoopConfiguration())
+            return bool(fs.exists(path))
+        return self.spark.catalog.tableExists(self._ident(name))
+
+    # -- IO2: partition listing (Iceberg .partitions metadata analogue) --
+    def partitions(self, name: str, partition_cols: list[str]) -> DataFrame:
+        """Distinct partition tuples. With directory-partitioned parquet
+        this reads only partition-dir metadata, no row data (Catalyst
+        resolves distinct-on-partition-columns from the file index)."""
+        return self.read(name, columns=partition_cols).distinct()
