@@ -1,0 +1,112 @@
+"""Constraint evaluation: exact violation sets and per-partition
+verdicts against the generator's known-by-construction targets."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators.constraints import evaluate_constraints
+from data_validation_spark.plans.suite import Component, Constraint, ValidationSuite
+from data_validation_spark.sources.sequences import (
+    VOCAB_SIZE,
+    allowed_sources_df,
+)
+from tests.conftest import doc
+
+
+@pytest.fixture(scope="module")
+def suite(components):
+    return ValidationSuite(
+        name="seq_suite",
+        components=components,
+        partition_cols=["source", "bucket"],
+        constraints=[
+            Constraint("n_tok_bounds", "bounds",
+                       {"component": "n_tok", "min": 1, "max": 8192}),
+            Constraint("tokens_not_null", "not_null", {"component": "tokens"}),
+            Constraint("length_consistency", "expression",
+                       {"sql": "tokens is null or size(tokens) = n_tok"}),
+            Constraint("vocab_bounds", "expression",
+                       {"sql": f"tokens is null or (array_max(tokens) < {VOCAB_SIZE}"
+                               " and array_min(tokens) >= 0)"}),
+            Constraint("doc_id_unique", "unique", {"keys": ["doc_id"]}),
+            Constraint("source_referential", "referential",
+                       {"column": "source", "dim": "allowed_sources"}),
+        ])
+
+
+@pytest.fixture(scope="module")
+def crun(sequences, suite, spark):
+    run = evaluate_constraints(sequences, suite,
+                               dims={"allowed_sources": allowed_sources_df(spark)})
+    run.violations.cache().count()
+    return run
+
+
+def _ids_for(crun, constraint):
+    rows = (crun.violations
+            .filter(F.array_contains("errors", constraint))
+            .select("doc_id").collect())
+    return sorted(r["doc_id"] for r in rows)
+
+
+def test_null_tokens_violations(crun, expected_ids):
+    assert _ids_for(crun, "tokens_not_null") == \
+        sorted(doc(i) for i in expected_ids["null_tokens"])
+
+
+def test_length_consistency_violations(crun, expected_ids):
+    assert _ids_for(crun, "length_consistency") == \
+        sorted(doc(i) for i in expected_ids["len_mismatch"])
+
+
+def test_vocab_bounds_violations(crun, expected_ids):
+    assert _ids_for(crun, "vocab_bounds") == \
+        sorted(doc(i) for i in expected_ids["oov"])
+
+
+def test_uniqueness_violations(crun, expected_ids):
+    # both rows of each duplicated key are violations; key doc(i-1) shared
+    expect = sorted(doc(a) for a, _ in expected_ids["dup_pairs"]) * 2
+    assert _ids_for(crun, "doc_id_unique") == sorted(expect)
+
+
+def test_referential_violations(crun, sequences):
+    badsrc = sequences.filter(F.col("source") == "BADSRC").count()
+    ids = _ids_for(crun, "source_referential")
+    assert len(ids) == badsrc > 0
+
+
+def test_bounds_pass(crun):
+    assert _ids_for(crun, "n_tok_bounds") == []
+
+
+def test_token_array_equality_invariant(crun, sequences, expected_ids):
+    """Every violation row carries the exact original tokens array
+    (BASELINE.json:15 per-row invariant)."""
+    i = min(expected_ids["oov"])
+    orig = sequences.filter(F.col("doc_id") == doc(i)).select("tokens").first()
+    viol = (crun.violations.filter(
+        (F.col("doc_id") == doc(i))
+        & F.array_contains("errors", "vocab_bounds")).select("tokens").first())
+    assert viol["tokens"] == orig["tokens"]
+
+
+def test_verdicts_cover_all_partitions_and_constraints(crun, sequences, suite):
+    nparts = sequences.select("source", "bucket").distinct().count()
+    verd = crun.verdicts.collect()
+    assert len(verd) == nparts * len(suite.constraints)
+    # verdict counts reconcile with violation rows
+    total = sum(v["n_violations"] for v in verd)
+    exploded = crun.violations.select(F.explode("errors")).count()
+    assert total == exploded
+    # bounds passes everywhere
+    assert all(v["passed"] for v in verd if v["constraint"] == "n_tok_bounds")
+    # BADSRC partitions fail referential; others pass it
+    for v in verd:
+        if v["constraint"] == "source_referential":
+            assert v["passed"] == (not v["partition"].startswith("source=BADSRC"))
+
+
+def test_violations_carry_partition_label(crun):
+    row = crun.violations.first()
+    assert row["partition"].startswith("source=") and "/bucket=" in row["partition"]

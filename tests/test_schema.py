@@ -1,0 +1,156 @@
+"""Profile build / validate / contrast / serialize — mirrors the
+reference's test_schema.py scope (SURVEY.md §5, BASELINE.json:6)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from data_validation_spark.operators.contrast import contrast
+from data_validation_spark.operators.profile import build_profile
+from data_validation_spark.plans.suite import (
+    CategoricStats,
+    NotBuiltError,
+    NumericStats,
+    Profile,
+    ValidationSuite,
+    Component,
+    Constraint,
+)
+from data_validation_spark.sources.sequences import (
+    VOCAB_SIZE,
+    synth_sequences,
+)
+
+PCOLS = ["source", "bucket"]
+
+
+@pytest.fixture(scope="module")
+def profile(sequences, components):
+    return build_profile(sequences, components, PCOLS)
+
+
+def _expected_numeric(sequences):
+    rows = sequences.select("n_tok").collect()
+    return np.array([r["n_tok"] for r in rows], dtype=float)
+
+
+def test_numeric_stats_exact(profile, sequences):
+    vals = _expected_numeric(sequences)
+    st = profile.components["n_tok"].stats
+    assert isinstance(st, NumericStats)
+    assert st.n == len(vals)
+    assert st.min == vals.min()
+    assert st.max == vals.max()
+    assert st.mean == pytest.approx(vals.mean(), rel=1e-9)
+    assert st.std == pytest.approx(vals.std(ddof=1), rel=1e-9)
+    assert st.pinv == 0.0
+    # merged mixture-ECDF quantiles track exact percentiles closely —
+    # assert in rank space (the sketch's accuracy contract): the true
+    # ECDF evaluated at the reported quantile must be within 2% of p
+    got = np.array(st.quantiles)
+    assert got[0] == vals.min() and got[-1] == vals.max()
+    ranks = np.searchsorted(np.sort(vals), got, side="right") / len(vals)
+    assert np.abs(ranks - np.arange(101) / 100).max() <= 0.02
+    assert (np.diff(got) >= 0).all()  # monotone
+
+
+def test_categoric_stats(profile, sequences):
+    st = profile.components["source"].stats
+    assert isinstance(st, CategoricStats)
+    truth = {r["source"]: r["count"]
+             for r in sequences.groupBy("source").count().collect()}
+    assert st.counts == truth
+    assert sum(st.frequencies.values()) == pytest.approx(1.0)
+    assert st.pinv == 0.0
+    # skew is real: web is the hot source
+    assert max(st.frequencies, key=st.frequencies.get) == "web"
+
+
+def test_tokens_profile(profile, expected_ids):
+    st = profile.components["tokens"].stats
+    assert st.pinv == pytest.approx(len(expected_ids["null_tokens"]) / st.n)
+    assert st.elem_min == 0
+    # injected out-of-vocab tokens are visible in the element range
+    assert st.elem_max >= VOCAB_SIZE
+
+
+def test_per_partition_profiles(profile, sequences):
+    assert len(profile.partitions) == sequences.select(*PCOLS).distinct().count()
+    # per-partition n sums to global n
+    total = sum(comps["n_tok"].stats.n
+                for comps in profile.partitions.values())
+    assert total == profile.components["n_tok"].stats.n
+    # every label has the source=... / bucket=... shape
+    assert all("/bucket=" in p and p.startswith("source=")
+               for p in profile.partitions)
+
+
+def test_dual_path_agreement(sequences, components):
+    """Catalyst-expression path vs pandas-UDF kernel path (SURVEY.md §2.2
+    design decision): moments exact, quantiles within sketch tolerance."""
+    a = build_profile(sequences, components, PCOLS, method="catalyst")
+    b = build_profile(sequences, components, PCOLS, method="kernel")
+    for name in ("n_tok", "tokens"):
+        sa, sb = a.components[name].stats, b.components[name].stats
+        assert (sa.n, sa.min, sa.max) == (sb.n, sb.min, sb.max)
+        assert sa.mean == pytest.approx(sb.mean, rel=1e-9)
+        assert sa.std == pytest.approx(sb.std, rel=1e-9)
+        assert sa.pinv == sb.pinv
+        # quantile vectors agree as distributions: KS between the two
+        # reconstructed ECDFs within sketch tolerance
+        from data_validation_spark.functions.drift import ks_drift
+        assert ks_drift(sa.quantiles, sb.quantiles).statistic <= 0.02
+    assert a.components["source"].stats.counts == b.components["source"].stats.counts
+    assert a.components["tokens"].stats.elem_max == b.components["tokens"].stats.elem_max
+
+
+def test_profile_json_roundtrip(profile):
+    j = profile.to_json()
+    back = Profile.from_json(j)
+    assert back.to_json() == j
+    assert back.components["source"].stats.counts == \
+        profile.components["source"].stats.counts
+
+
+def test_suite_json_roundtrip(components, profile):
+    suite = ValidationSuite(
+        name="s", components=components, partition_cols=PCOLS,
+        constraints=[Constraint("b", "bounds",
+                                {"component": "n_tok", "min": 1, "max": 10})],
+        reference=profile)
+    back = ValidationSuite.from_json(suite.to_json())
+    assert back.to_json() == suite.to_json()
+
+
+def test_contrast_same_data_no_drift(profile):
+    rep = contrast(profile, profile)
+    assert not rep.drifted
+    for cd in rep.components.values():
+        for r in cd.results:
+            assert r.statistic == pytest.approx(0.0, abs=1e-9)
+
+
+def test_contrast_shifted_drifts(spark, components, profile):
+    shifted = build_profile(synth_sequences(spark, 2000, shift=True),
+                            components, method="catalyst")
+    rep = contrast(shifted, profile)
+    assert rep.drifted
+    by = rep.components
+    assert any(r.test == "ks" and r.drifted for r in by["n_tok"].results)
+    assert any(r.test == "psi" and r.drifted for r in by["n_tok"].results)
+    assert any(r.test == "chi2" and r.drifted for r in by["source"].results)
+
+
+def test_contrast_unbuilt_raises(profile):
+    with pytest.raises(NotBuiltError):
+        contrast(Profile(name="x"), profile)
+
+
+def test_extractor_expression_component(sequences):
+    """Derived components via SQL extractors (rdv derived Extractor)."""
+    comp = Component("log_len", "numeric", extractor="log(n_tok)")
+    p = build_profile(sequences, [comp])
+    vals = np.log([r["n_tok"] for r in sequences.select("n_tok").collect()])
+    assert p.components["log_len"].stats.mean == pytest.approx(vals.mean(), rel=1e-9)
+    assert p.components["log_len"].stats.max == pytest.approx(vals.max(), rel=1e-9)

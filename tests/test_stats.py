@@ -1,0 +1,113 @@
+"""Unit tests for the driver-side stat/drift math (no Spark needed)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from data_validation_spark.functions.drift import (
+    chi2_drift,
+    chi2_sf,
+    gammainc_upper,
+    ks_drift,
+    psi_drift,
+)
+from data_validation_spark.functions.stats import (
+    merge_numeric_partials,
+    merge_quantile_vectors,
+    pooled_mean_std,
+    topk_by_count,
+)
+from data_validation_spark.plans.suite import QUANTILE_PROBS
+
+
+def test_pooled_mean_std_matches_numpy():
+    rng = np.random.default_rng(0)
+    groups = [rng.normal(i, 1 + i, size=50 + 10 * i) for i in range(5)]
+    ns = np.array([len(g) for g in groups], dtype=float)
+    means = np.array([g.mean() for g in groups])
+    stds = np.array([g.std(ddof=1) for g in groups])
+    mean, std = pooled_mean_std(ns, means, stds)
+    allv = np.concatenate(groups)
+    assert mean == pytest.approx(allv.mean(), rel=1e-12)
+    assert std == pytest.approx(allv.std(ddof=1), rel=1e-12)
+
+
+def test_merge_quantile_vectors_mixture():
+    rng = np.random.default_rng(1)
+    a = np.sort(rng.normal(0, 1, 4000))
+    b = np.sort(rng.normal(5, 2, 8000))
+    qa = np.percentile(a, range(101)).tolist()
+    qb = np.percentile(b, range(101)).tolist()
+    merged = merge_quantile_vectors([len(a), len(b)], [qa, qb])
+    exact = np.percentile(np.concatenate([a, b]), range(101))
+    err = np.abs(np.array(merged) - exact)
+    assert merged[0] == min(a.min(), b.min())
+    assert merged[-1] == max(a.max(), b.max())
+    assert err[1:-1].max() < (exact.max() - exact.min()) * 0.01
+
+
+def test_merge_numeric_partials_with_empty_partition():
+    rows = [
+        {"n": 10, "n_invalid": 2, "min": 1.0, "max": 5.0, "mean": 3.0,
+         "std": 1.0, "quantiles": np.linspace(1, 5, 101).tolist()},
+        {"n": 3, "n_invalid": 3, "min": None, "max": None, "mean": None,
+         "std": None, "quantiles": None},
+    ]
+    m = merge_numeric_partials(rows)
+    assert m["n"] == 13 and m["n_invalid"] == 5
+    assert m["min"] == 1.0 and m["max"] == 5.0
+    assert m["mean"] == pytest.approx(3.0)
+
+
+# --- incomplete gamma / chi-squared, checked against published values ---
+
+@pytest.mark.parametrize("x,dof,expected", [
+    (3.841, 1, 0.05), (5.991, 2, 0.05), (7.815, 3, 0.05),
+    (9.488, 4, 0.05), (6.635, 1, 0.01), (13.277, 4, 0.01),
+    (2.706, 1, 0.10), (18.307, 10, 0.05),
+])
+def test_chi2_sf_table_values(x, dof, expected):
+    assert chi2_sf(x, dof) == pytest.approx(expected, abs=5e-4)
+
+
+def test_gammainc_upper_bounds():
+    assert gammainc_upper(2.5, 0.0) == 1.0
+    assert gammainc_upper(2.5, 1e6) == pytest.approx(0.0, abs=1e-12)
+
+
+def test_chi2_drift_detects_reweighted_histogram():
+    ref = {"web": 0.7, "books": 0.15, "code": 0.1, "wiki": 0.05}
+    same = {k: int(v * 10000) for k, v in ref.items()}
+    moved = {"web": 5500, "books": 1500, "code": 2500, "wiki": 500}
+    assert not chi2_drift(same, ref).drifted
+    assert chi2_drift(moved, ref).drifted
+    # a category absent from the reference is a strong signal
+    assert chi2_drift({**same, "BADSRC": 100}, ref).drifted
+
+
+def test_ks_drift_from_quantile_vectors():
+    a = np.percentile(np.random.default_rng(2).normal(0, 1, 20000),
+                      range(101)).tolist()
+    b = np.percentile(np.random.default_rng(3).normal(0.5, 1, 20000),
+                      range(101)).tolist()
+    r_same = ks_drift(a, a)
+    assert r_same.statistic == 0.0 and not r_same.drifted
+    r = ks_drift(a, b)
+    # true KS distance for N(0,1) vs N(0.5,1) is ~0.197
+    assert r.statistic == pytest.approx(0.197, abs=0.03)
+    assert r.drifted
+
+
+def test_psi_drift():
+    a = np.percentile(np.random.default_rng(4).normal(0, 1, 20000),
+                      range(101)).tolist()
+    b = np.percentile(np.random.default_rng(5).normal(1.0, 1, 20000),
+                      range(101)).tolist()
+    assert not psi_drift(a, a).drifted
+    assert psi_drift(b, a).drifted
+
+
+def test_topk_deterministic_on_ties():
+    freq = {"b": 5, "a": 5, "c": 9, "d": 1}
+    assert topk_by_count(freq, 3) == [("c", 9), ("a", 5), ("b", 5)]
