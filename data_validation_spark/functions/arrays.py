@@ -1,0 +1,82 @@
+"""Array/vector expressions: shingles, cosine similarity, dot products.
+
+Catalyst higher-order functions (``transform``/``zip_with``/
+``aggregate``) keep all of this JVM-side; the pandas-UDF variants for
+bulk similarity live in operators/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from data_validation_spark.functions.text import words_col
+
+
+def word_shingles_col(text: str | Column = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles of a document (dedup unit for
+    MinHash/Jaccard).  Documents shorter than k words yield their full
+    text as the single shingle."""
+    w = words_col(text)
+    n = F.array_size(w)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    return F.array_distinct(grams)
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.array_size(F.array_intersect(a, b)).cast("double")
+    union = F.array_size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_signature_col(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature as an array<long>: for permutation j, the min of
+    xxhash64(shingle ⊕ j) over the shingle set.  Seed-varied by
+    concatenating the permutation index — one JVM expression per
+    permutation, no UDF."""
+    def perm(j: int):
+        # NB: must be a ONE-argument lambda — a two-arg lambda makes
+        # F.transform pass (element, index) and the second param would
+        # capture the index Column instead of the permutation number
+        tag = F.lit(f"#{j}")
+        return lambda s: F.xxhash64(F.concat(s, tag))
+
+    sigs = [F.array_min(F.transform(shingles, perm(j)))
+            for j in range(n_hashes)]
+    return F.array(*sigs)
+
+
+def band_hashes_col(signature: Column, bands: int, rows: int) -> Column:
+    """LSH banding: split the signature into ``bands`` groups of
+    ``rows`` and hash each band → array<long> of band keys."""
+    return F.array(*[
+        F.xxhash64(F.concat_ws(",", *[
+            F.element_at(signature, b * rows + r + 1).cast("string")
+            for r in range(rows)]))
+        for b in range(bands)])
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    """Dot product of two numeric arrays via zip_with + aggregate."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_col(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0),
+                              lambda acc, x: acc + x * x))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns (casts to double)."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    denom = norm_col(ad) * norm_col(bd)
+    return F.when(denom > 0, dot_col(ad, bd) / denom).otherwise(F.lit(0.0))
+
+
+def lit_vector(values) -> Column:
+    """A literal array<double> column from a Python/numpy vector."""
+    return F.array(*[F.lit(float(v)) for v in values])

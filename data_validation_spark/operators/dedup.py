@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), MinHash+LSH (shingle → minhash → band → bucket
+join → exact-Jaccard verify), SimHash (vectorized Arrow kernel + banded
+Hamming join), and n-gram Jaccard verification.  Designed for the
+100 TB regime:
+
+* candidate generation never collects rows to the driver — it's a
+  bucket self-join on band hashes with an explicit hot-bucket cap
+  (a band shared by millions of near-identical docs would otherwise go
+  quadratic; capped buckets are the documented trade-off, and AQE's
+  skew-join split handles the rest),
+* verification recomputes shingles from the joined texts instead of
+  shuffling shingle arrays around,
+* everything except the SimHash bit-kernel is Catalyst expressions;
+  the kernel is an Arrow-batched pandas UDF built on
+  ``pandas.util.hash_array`` (vectorized SipHash) — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from data_validation_spark.functions.arrays import (
+    band_hashes_col,
+    jaccard_col,
+    minhash_signature_col,
+    word_shingles_col,
+)
+from data_validation_spark.functions.text import fingerprint_col
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicate_groups(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Duplicate groups by content fingerprint: one row per fingerprint
+    with >1 member — (fingerprint, n_docs, min_id).  Hash-groupBy: one
+    shuffle keyed by the 128-bit fingerprint, partial agg map-side."""
+    return (df
+            .select(fingerprint_col(text_col).alias("fingerprint"),
+                    F.col(id_col))
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("keep_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Keep exactly one row (min id) per distinct content fingerprint.
+    Implemented as a min-id-per-fingerprint semi-join rather than a
+    window over the full table: the agg side carries only
+    (fingerprint, id)."""
+    keep = (df.select(fingerprint_col(text_col).alias("fingerprint"),
+                      F.col(id_col))
+            .groupBy("fingerprint").agg(F.min(id_col).alias(id_col)))
+    return df.join(keep.select(id_col), on=id_col, how="left_semi")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k_shingle: int = 3,
+                       n_hashes: int = 16) -> DataFrame:
+    """(id, signature array<long>) — signature computed entirely with
+    Catalyst higher-order expressions (no UDF)."""
+    shingles = word_shingles_col(text_col, k_shingle)
+    return df.select(F.col(id_col),
+                     minhash_signature_col(shingles, n_hashes)
+                     .alias("signature"))
+
+
+def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k_shingle: int = 3,
+                        n_hashes: int = 16, bands: int = 4,
+                        max_bucket: int = 1000) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
+
+    Hot-bucket guard: buckets larger than ``max_bucket`` are dropped
+    (they are almost always boilerplate/templated content and would go
+    quadratic); count what was dropped before relying on recall.
+    """
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    rows = n_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    banded = (sig.select(
+        F.col(id_col),
+        F.posexplode(band_hashes_col(F.col("signature"), bands, rows))
+        .alias("band", "band_hash")))
+    sizes = (banded.groupBy("band", "band_hash")
+             .agg(F.count(F.lit(1)).alias("bucket_n"))
+             .filter((F.col("bucket_n") > 1)
+                     & (F.col("bucket_n") <= max_bucket)))
+    in_bucket = banded.join(sizes.select("band", "band_hash"),
+                            ["band", "band_hash"])
+    a = in_bucket.select("band", "band_hash", F.col(id_col).alias("id_a"))
+    b = in_bucket.select("band", "band_hash", F.col(id_col).alias("id_b"))
+    return (a.join(b, ["band", "band_hash"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+def verify_pairs_jaccard(df: DataFrame, pairs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k_shingle: int = 3) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs — shingles are
+    recomputed from the two joined texts (cheap, JVM-side) instead of
+    shuffling shingle arrays through the LSH stage."""
+    sh = df.select(F.col(id_col),
+                   word_shingles_col(text_col, k_shingle).alias("sh"))
+    return (pairs
+            .join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+            .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+            .select("id_a", "id_b",
+                    jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard")))
+
+
+def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k_shingle: int = 3,
+                            n_hashes: int = 16, bands: int = 4,
+                            threshold: float = 0.7,
+                            max_bucket: int = 1000) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle,
+                                n_hashes, bands, max_bucket)
+    return (verify_pairs_jaccard(df, pairs, text_col, id_col, k_shingle)
+            .filter(F.col("jaccard") >= threshold))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def _simhash_kernel(texts: pd.Series) -> pd.Series:
+    """Vectorized 64-bit SimHash: per-word SipHash via
+    pandas.util.hash_array (C-level, deterministic fixed key), bit
+    contributions accumulated with np.add.at — no per-row Python loop."""
+    s = texts.fillna("").str.strip().str.lower()
+    words = s.str.split()
+    exploded = words.explode()
+    mask = exploded.notna()
+    if not mask.any():
+        return pd.Series(np.zeros(len(s), dtype=np.int64), index=texts.index)
+    flat = exploded[mask]
+    row_pos = pd.Series(np.arange(len(s)), index=s.index)
+    rows = row_pos.reindex(flat.index).to_numpy()
+    h = pd.util.hash_array(flat.to_numpy(dtype=object), categorize=False)
+    bits = (((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
+            .astype(np.int32) * 2 - 1)
+    acc = np.zeros((len(s), 64), dtype=np.int64)
+    np.add.at(acc, rows, bits)
+    out = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+    return pd.Series(out.sum(axis=1).astype(np.int64, copy=False).view(np.int64),
+                     index=texts.index)
+
+
+simhash_udf = F.pandas_udf(_simhash_kernel, LongType())
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    return df.select(F.col(id_col),
+                     simhash_udf(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", max_hamming: int = 3,
+                            max_bucket: int = 10000) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Candidate generation: split the 64-bit hash into max_hamming+1
+    16-bit bands — any pair within the Hamming radius must agree on at
+    least one band (pigeonhole), so a band-bucket equi-join finds all of
+    them; verification is JVM-side bit_count(a XOR b).
+    """
+    n_bands = 4
+    sig = simhash_signatures(df, text_col, id_col)
+    banded = sig.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)) for b in range(n_bands)]))
+        .alias("band", "band_key"))
+    sizes = (banded.groupBy("band", "band_key")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .filter((F.col("n") > 1) & (F.col("n") <= max_bucket)))
+    in_bucket = banded.join(sizes.select("band", "band_key"),
+                            ["band", "band_key"])
+    a = in_bucket.select("band", "band_key", F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sim_a"))
+    b = in_bucket.select("band", "band_key", F.col(id_col).alias("id_b"),
+                         F.col("simhash").alias("sim_b"))
+    pairs = (a.join(b, ["band", "band_key"])
+             .filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    return (pairs
+            .withColumn("hamming", F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))

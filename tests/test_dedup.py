@@ -1,0 +1,100 @@
+"""Dedup operators on a constructed corpus with known duplicate structure."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators import dedup
+
+BASE = ("alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango")
+NEAR = BASE.replace("oscar", "OSCAR-EDIT")          # one word changed
+UNRELATED = ("zulu yankee xray whiskey victor uniform thirteen twelve "
+             "eleven ten nine eight seven six five four three two one zero")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),                    # exact dup of 1
+        (3, "  " + BASE.upper() + " "),  # fingerprint-dup of 1 (case/ws)
+        (4, NEAR),                    # near dup of 1
+        (5, UNRELATED),
+        (6, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_duplicate_groups(corpus):
+    groups = dedup.exact_duplicate_groups(corpus).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 3 and groups[0]["keep_id"] == 1
+
+
+def test_dedup_exact_keeps_min_id(corpus):
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(corpus).collect())
+    assert kept == [1, 4, 5, 6]
+
+
+def test_minhash_signatures_shape_and_determinism(corpus):
+    s1 = {r["doc_id"]: r["signature"] for r in
+          dedup.minhash_signatures(corpus, n_hashes=16).collect()}
+    s2 = {r["doc_id"]: r["signature"] for r in
+          dedup.minhash_signatures(corpus, n_hashes=16).collect()}
+    assert s1 == s2
+    assert all(len(v) == 16 for v in s1.values())
+    assert s1[1] == s1[2]  # identical text → identical signature
+
+
+def test_minhash_near_duplicates(corpus):
+    nd = dedup.minhash_near_duplicates(corpus, threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in nd.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and 0.5 <= pairs[(1, 4)] < 1.0
+    assert not any(5 in p for p in pairs)  # unrelated never pairs
+
+
+def test_verify_pairs_jaccard_exact_value(spark, corpus):
+    pairs = spark.createDataFrame([(1, 4)], "id_a long, id_b long")
+    j = dedup.verify_pairs_jaccard(corpus, pairs).first()["jaccard"]
+    # 18 shared 3-gram shingles of 18+... changed word breaks 3 shingles
+    # around position of 'oscar': |A|=|B|=18, |A∩B|=15, |A∪B|=21
+    assert j == pytest.approx(15 / 21)
+
+
+def test_simhash_identical_and_near(corpus):
+    sh = {r["doc_id"]: r["simhash"] for r in
+          dedup.simhash_signatures(corpus).collect()}
+    assert sh[1] == sh[2] == sh[3]  # normalization: case/ws-insensitive
+    mask = (1 << 64) - 1  # int64 → uint64 bit pattern before popcount
+    ham_near = bin((sh[1] ^ sh[4]) & mask).count("1")
+    ham_far = bin((sh[1] ^ sh[5]) & mask).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 16
+
+
+def test_simhash_near_duplicates_pairs(corpus):
+    nd = dedup.simhash_near_duplicates(corpus, max_hamming=16)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs and (2, 3) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """A degenerate corpus where every doc is identical must respect the
+    max_bucket guard instead of going quadratic."""
+    df = spark.createDataFrame([(i, BASE) for i in range(50)],
+                               "doc_id long, text string")
+    capped = dedup.lsh_candidate_pairs(df, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = dedup.lsh_candidate_pairs(df, max_bucket=1000)
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_minhash_on_planted_testdata_dups(spark):
+    """The driver's documents table plants exact/near duplicates —
+    MinHash must surface them (doc 435/486 verified identical)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    nd = dedup.minhash_near_duplicates(docs, threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (435, 486) in pairs

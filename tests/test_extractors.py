@@ -1,0 +1,125 @@
+"""Feature-extractor functions (text + multimodal) — mirrors the
+reference's test_extractors.py scope: each extractor pulls a scalar
+feature from a raw datum, here vectorized over columns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.functions import text as T
+from data_validation_spark.operators import multimodal
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog sat on the mat"),
+        (2, "el perro y la casa de la playa y el sol"),
+        (3, "Hello, World!  How are you?"),
+        (4, ""),
+        (5, "   "),
+        (6, "don't stop!!"),
+        (7, "UPPER CASE SHOUTING TEXT"),
+        (8, None),
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string").cache()
+
+
+def _one(df, col, doc_id):
+    return df.filter(F.col("doc_id") == doc_id).select(col.alias("v")).first()["v"]
+
+
+def test_token_count(docs):
+    assert _one(docs, T.token_count_col("text"), 1) == 9
+    assert _one(docs, T.token_count_col("text"), 4) == 0
+    assert _one(docs, T.token_count_col("text"), 5) == 0
+    assert _one(docs, T.token_count_col("text"), 3) == 5
+
+
+def test_bpe_ish_token_count(docs):
+    # don / ' / t / stop / !! → 5 word-piece matches
+    assert _one(docs, T.bpe_ish_token_count_col("text"), 6) == 5
+    assert _one(docs, T.bpe_ish_token_count_col("text"), 4) == 0
+
+
+def test_punct_ratio(docs):
+    assert _one(docs, T.punct_ratio_col("text"), 1) == 0.0
+    v = _one(docs, T.punct_ratio_col("text"), 3)
+    assert v == pytest.approx(3 / 27)  # , ! ? over 27 chars
+
+
+def test_uppercase_ratio(docs):
+    assert _one(docs, T.uppercase_ratio_col("text"), 7) == pytest.approx(21 / 24)
+    assert _one(docs, T.uppercase_ratio_col("text"), 1) == 0.0
+
+
+def test_avg_word_len(docs):
+    # "the cat and the dog sat on the mat": 26 letters / 9 words ("on"=2)
+    assert _one(docs, T.avg_word_len_col("text"), 1) == pytest.approx(26 / 9)
+    assert _one(docs, T.avg_word_len_col("text"), 4) == 0.0
+
+
+def test_lang_id(docs):
+    assert _one(docs, T.lang_id_col("text"), 1) == "en"
+    assert _one(docs, T.lang_id_col("text"), 2) == "es"
+    assert _one(docs, T.lang_id_col("text"), 6) == "und"
+
+
+def test_quality_score_bounds(docs):
+    vals = (docs.filter(F.col("text").isNotNull())
+            .select(T.quality_score_col("text").alias("q")).collect())
+    assert all(0.0 <= r["q"] <= 1.0 for r in vals)
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "hello worlds")],
+        "id int, text string")
+    fps = {r["id"]: r["fp"] for r in
+           df.select("id", T.fingerprint_col("text").alias("fp")).collect()}
+    assert fps[1] == fps[2]          # case/whitespace-insensitive
+    assert fps[1] != fps[3]
+
+
+def test_rolling_hash_containment(spark):
+    base = "a b c d e f g h i j k l m n o p q r s t"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " u v"), (3, "z y x w v u t s r q")],
+        "id int, text string")
+    rh = {r["id"]: set(r["v"]) for r in
+          df.select("id", T.rolling_hash_col("text").alias("v")).collect()}
+    # doc 2 contains doc 1: sketches overlap heavily; doc 3 doesn't
+    assert len(rh[1] & rh[2]) >= 4
+    assert not (rh[1] & rh[3])
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (decode stubbed per driver brief)
+# ---------------------------------------------------------------------------
+
+def test_multimodal_feature_plumbing(spark, docs):
+    media = multimodal.synth_media_df(
+        spark, docs.filter(F.col("text").isNotNull()))
+    feats = multimodal.decode_image_features(media, fake=True)
+    rows = {r["doc_id"]: r for r in feats.collect()}
+    assert rows["1"]["n_bytes"] == 34
+    assert rows["4"]["n_bytes"] == 0 and rows["4"]["byte_entropy"] == 0.0
+    # determinism: re-running yields identical checksums
+    again = {r["doc_id"]: r["checksum"]
+             for r in multimodal.decode_image_features(media, fake=True).collect()}
+    assert again == {k: v["checksum"] for k, v in rows.items()}
+
+
+def test_multimodal_decode_stub_raises(spark, docs):
+    media = multimodal.synth_media_df(spark, docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_features(media)
+
+
+def test_frame_sampling_and_resize(spark, docs):
+    media = (multimodal.synth_media_df(
+        spark, docs.filter(F.col("text").isNotNull()))
+        .withColumn("n_frames", F.lit(10)))
+    frames = multimodal.sample_frames(media, every_n=3)
+    assert frames.groupBy("doc_id").count().first()["count"] == 4  # 0,3,6,9
+    rs = multimodal.resize_metadata(media, max_side=100).collect()
+    assert all(max(r["target_width"], r["target_height"]) <= 100 for r in rs)

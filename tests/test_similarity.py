@@ -1,0 +1,94 @@
+"""Similarity search: exact top-k vs numpy ground truth; LSH determinism
+and recall of planted duplicates."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators import similarity
+
+DIM = 16
+N = 300
+
+
+@pytest.fixture(scope="module")
+def vectors():
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((N, DIM)).astype(np.float32)
+    mat[10] = mat[3] * 2.0          # same direction as 3 (cosine 1)
+    mat[11] = mat[3] + rng.standard_normal(DIM).astype(np.float32) * 0.05
+    return mat
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def _numpy_topk(vectors, q, k):
+    qq = q / np.linalg.norm(q)
+    unit = vectors / np.linalg.norm(vectors, axis=1, keepdims=True)
+    cos = unit @ qq
+    order = np.lexsort((np.arange(len(cos)), -cos))
+    return [int(i) for i in order[:k]], cos
+
+
+def test_brute_force_topk_matches_numpy(emb, vectors):
+    q = vectors[3].astype(np.float64)
+    expect_ids, cos = _numpy_topk(vectors.astype(np.float64), q, 8)
+    got = similarity.brute_force_topk(emb, q, 8).collect()
+    assert [r["vec_id"] for r in got] == expect_ids
+    for r in got:
+        assert r["cosine"] == pytest.approx(cos[r["vec_id"]], abs=1e-6)
+    # the planted colinear/near vectors rank on top
+    assert set(expect_ids[:3]) == {3, 10, 11}
+
+
+def test_pandas_kernel_path_agrees(emb, vectors):
+    q = vectors[3].astype(np.float64)
+    a = similarity.brute_force_topk(emb, q, 10).collect()
+    b = similarity.brute_force_topk_pandas(emb, q, 10).collect()
+    assert [r["vec_id"] for r in a] == [r["vec_id"] for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["cosine"] == pytest.approx(rb["cosine"], abs=1e-9)
+
+
+def test_lsh_bucket_determinism(emb):
+    i1 = {r["vec_id"]: r["bucket"] for r in
+          similarity.lsh_bucket_index(emb, DIM).collect()}
+    i2 = {r["vec_id"]: r["bucket"] for r in
+          similarity.lsh_bucket_index(emb, DIM).collect()}
+    assert i1 == i2
+    assert all(0 <= b < 256 for b in i1.values())
+
+
+def test_lsh_colinear_vectors_share_bucket(emb):
+    idx = {r["vec_id"]: r["bucket"] for r in
+           similarity.lsh_bucket_index(emb, DIM).collect()}
+    assert idx[3] == idx[10]  # same direction → same sign pattern
+
+
+def test_lsh_topk_finds_planted_neighbors(emb, vectors):
+    q = vectors[3].astype(np.float64)
+    idx = similarity.lsh_bucket_index(emb, DIM)
+    got = similarity.lsh_bucketed_topk(idx, q, 3, dim=DIM, n_probe=4)
+    ids = [r["vec_id"] for r in got.collect()]
+    assert ids[0] in (3, 10)           # cosine-1 pair tops the list
+    assert {3, 10} <= set(ids)
+
+
+def test_embedding_near_duplicates(emb):
+    nd = similarity.embedding_near_duplicates(emb, DIM, threshold=0.95)
+    pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
+    assert (3, 10) in pairs
+    assert (3, 11) in pairs
+    # random 16-dim vectors almost never hit cosine ≥ .95: only planted
+    # pairs (3,10,11 triangle) qualify
+    assert pairs <= {(3, 10), (3, 11), (10, 11)}
+
+
+def test_query_buckets_probe_count():
+    q = np.ones(DIM)
+    probes = similarity.query_buckets(q, DIM, n_planes=8, n_probe=4)
+    assert len(probes) == 5 and len(set(probes)) == 5
