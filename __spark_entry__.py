@@ -3,36 +3,576 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Every query here is one operator from SURVEY.md §2.2 (or a
+training-data op from the driver brief) re-expressed through the
+engine package ``data_validation_spark``.  Columns are aliased
+identically in the Spark code and the oracle SQL; every float column
+is rounded to 6 decimals on both sides so IEEE summation-order noise
+cannot flip the value hash.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_validation_spark.functions.arrays import jaccard_col, word_shingles_col
+from data_validation_spark.functions.stats import numeric_agg_exprs
+from data_validation_spark.functions.text import (
+    bpe_ish_token_count_col,
+    fingerprint_col,
+    lang_id_col,
+    quality_score_col,
+    token_count_col,
+)
+from data_validation_spark.operators.constraints import (
+    evaluate_constraints,
+    referential_violations,
+    row_level_violations,
+    uniqueness_violations,
+)
+from data_validation_spark.operators.contrast import contrast
+from data_validation_spark.operators.dedup import (
+    exact_duplicate_groups,
+    minhash_near_duplicates,
+    simhash_near_duplicates,
+)
+from data_validation_spark.operators.profile import build_profile
+from data_validation_spark.operators.similarity import (
+    brute_force_topk,
+    brute_force_topk_pandas,
+    embedding_near_duplicates,
+)
+from data_validation_spark.plans.suite import Component, Constraint, ValidationSuite
+from data_validation_spark.sources.sequences import (
+    allowed_sources_df,
+    synth_sequences,
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+#: deterministic 64-dim ANN query vector, inlined in the oracle SQL too
+ANN_QUERY = [round(((i * 2654435761) % 1000) / 1000.0 - 0.5, 3)
+             for i in range(64)]
+
+#: constraints used by the documents validation suite (and its oracle)
+N_CHARS_MIN, N_CHARS_MAX = 50, 500
+LANG_DOMAIN = ["en", "es", "fr", "de"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _r6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c).cast("double"), 6))
+    return df
+
+
+def _documents_suite() -> ValidationSuite:
+    return ValidationSuite(
+        name="documents",
+        components=[
+            Component("n_chars", "numeric"),
+            Component("lang", "categoric"),
+            Component("source", "categoric"),
+        ],
+        constraints=[
+            Constraint("bounds_n_chars", "bounds",
+                       {"component": "n_chars", "min": N_CHARS_MIN,
+                        "max": N_CHARS_MAX}),
+            Constraint("domain_lang", "in_domain",
+                       {"component": "lang", "values": LANG_DOMAIN}),
+        ],
+        partition_cols=["source"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries — each is one SURVEY.md §2.2 operator (or driver-brief op)
+# ---------------------------------------------------------------------------
+
+def q_profile_numeric(spark, sf_dir):
+    """S1/S2 — global numeric profile of documents.n_chars via the
+    engine's Catalyst aggregate expressions (single hash-agg pass)."""
+    df = _t(spark, sf_dir, "documents")
+    agg = df.agg(*numeric_agg_exprs("n_chars", "n_chars"))
+    out = agg.select(
+        F.col("n_chars__n").alias("n"),
+        F.col("n_chars__n_invalid").alias("n_invalid"),
+        F.col("n_chars__min").cast("long").alias("min_v"),
+        F.col("n_chars__max").cast("long").alias("max_v"),
+        F.col("n_chars__mean").alias("mean_v"),
+        F.col("n_chars__std").alias("std_v"))
+    return _r6(out, "mean_v", "std_v")
+
+
+def q_profile_per_source(spark, sf_dir):
+    """S7 — the same stats grouped by the partition column (per-partition
+    profile; Catalyst partial+final agg, reduce cardinality = #sources)."""
+    df = _t(spark, sf_dir, "documents")
+    agg = df.groupBy("source").agg(*numeric_agg_exprs("n_chars", "n_chars"))
+    out = agg.select(
+        "source",
+        F.col("n_chars__n").alias("n"),
+        F.col("n_chars__min").cast("long").alias("min_v"),
+        F.col("n_chars__max").cast("long").alias("max_v"),
+        F.col("n_chars__mean").alias("mean_v"),
+        F.col("n_chars__std").alias("std_v"))
+    return _r6(out, "mean_v", "std_v")
+
+
+def q_profile_quantiles(spark, sf_dir):
+    """S3 — exact interpolated percentiles of n_chars (the 101-point
+    vector's oracle-checkable slice; the engine's sketch path is
+    percentile_approx, tested for agreement in tests/)."""
+    df = _t(spark, sf_dir, "documents")
+    out = df.agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("p25"),
+        F.percentile("n_chars", F.lit(0.50)).alias("p50"),
+        F.percentile("n_chars", F.lit(0.75)).alias("p75"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"))
+    return _r6(out, "p25", "p50", "p75", "p99")
+
+
+def q_freq_source(spark, sf_dir):
+    """S4 — categorical frequency profile (counts + relative freq)."""
+    df = _t(spark, sf_dir, "documents")
+    total = df.count()
+    out = (df.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+           .withColumn("rel_freq", F.col("cnt") / F.lit(float(total))))
+    return _r6(out, "rel_freq")
+
+
+def q_topk_lang(spark, sf_dir):
+    """S9 — deterministic top-3 most frequent lang values."""
+    from pyspark.sql import Window
+    df = _t(spark, sf_dir, "documents")
+    counts = df.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("lang"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3).select("lang", "cnt", "rank"))
+
+
+def q_violations_rowlevel(spark, sf_dir):
+    """O4/O5 — single vectorized pass over all row-level constraints;
+    violations exploded to (doc_id, error) rows."""
+    df = _t(spark, sf_dir, "documents")
+    suite = _documents_suite()
+    v = row_level_violations(df, suite.constraints, [])
+    return v.select("doc_id", F.explode("errors").alias("error"))
+
+
+def q_verdicts_per_source(spark, sf_dir):
+    """North-rule core — per-partition pass/fail verdict per constraint
+    (partition = source), incl. explicit passed=true rows."""
+    df = _t(spark, sf_dir, "documents")
+    run = evaluate_constraints(df, _documents_suite())
+    return (run.verdicts
+            .select("partition", "constraint", "n_violations", "passed"))
+
+
+def q_unique_violation_keys(spark, sf_dir):
+    """S8 — salted two-phase uniqueness on lineitem.l_orderkey: keys
+    occurring more than once, with their multiplicity."""
+    df = _t(spark, sf_dir, "lineitem")
+    v = uniqueness_violations(df, ["l_orderkey"], [])
+    return v.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+def q_referential_orders(spark, sf_dir):
+    """J1 — referential integrity of orders.o_custkey against the
+    customer dimension (broadcast left_anti)."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    v = referential_violations(orders, "o_custkey", customer, [],
+                               dim_column="c_custkey")
+    return v.select("o_orderkey", "o_custkey")
+
+
+def q_dedup_exact_groups(spark, sf_dir):
+    """Exact dedup — duplicate groups by content fingerprint over a
+    doubled documents table (documents ∪ documents), so every doc is a
+    known-by-construction duplicate."""
+    df = _t(spark, sf_dir, "documents")
+    doubled = df.unionAll(df)
+    return exact_duplicate_groups(doubled).select(
+        "fingerprint", "n_docs", "keep_id")
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup — exact 3-word-shingle Jaccard ≥ 0.5 over
+    all pairs of the first 120 documents (brute-force verification tier;
+    the LSH tier is q_minhash_near_dups, rows-only)."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    doubled = base.unionAll(base.withColumn("doc_id",
+                                            F.col("doc_id") + 100000))
+    df = doubled.select("doc_id", word_shingles_col("text", 3).alias("sh"))
+    a = df.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = df.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+             .filter(F.col("jaccard") >= 0.5))
+    return _r6(pairs, "jaccard")
+
+
+def q_ann_topk(spark, sf_dir):
+    """Similarity search — exact cosine top-10 against a fixed literal
+    query vector, pure Catalyst (zip_with/aggregate + TakeOrdered)."""
+    df = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(df, ANN_QUERY, k=10)
+    return _r6(out, "cosine")
+
+
+def q_ann_topk_pandas(spark, sf_dir):
+    """Same semantics through the Arrow-batched numpy kernel
+    (mapInPandas matrix-vector scoring) — the bulk-scoring fast path."""
+    df = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk_pandas(df, ANN_QUERY, k=10)
+    return _r6(out, "cosine")
+
+
+def q_text_stats(spark, sf_dir):
+    """Text analysis — token counting (whitespace + BPE-ish regex) and
+    document fingerprinting, all JVM-side expressions."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select(
+        "doc_id",
+        token_count_col("text").alias("n_words"),
+        bpe_ish_token_count_col("text").alias("n_pieces"),
+        fingerprint_col("text").alias("fingerprint"))
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (stopword argmax) per document."""
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+def q_events_by_type(spark, sf_dir):
+    """Generic per-key profile over the events stream table."""
+    df = _t(spark, sf_dir, "events")
+    out = (df.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg("value").alias("mean_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value")))
+    return _r6(out, "mean_value", "min_value", "max_value")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped agg — shows the stats pass generalizes to plain
+    warehouse aggregation (partial+final hash agg, no extra shuffle)."""
+    df = _t(spark, sf_dir, "lineitem")
+    out = (df.groupBy("l_returnflag", "l_linestatus")
+           .agg(F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("sum_disc_price"),
+                F.avg("l_quantity").alias("avg_qty"),
+                F.count(F.lit(1)).alias("count_order")))
+    return _r6(out, "sum_qty", "sum_base_price", "sum_disc_price", "avg_qty")
+
+
+# -- rows-only queries (no exact SQL oracle; deterministic by seed) ---------
+
+def q_quality_scores(spark, sf_dir):
+    """Quality scoring heuristic per document (deterministic scalar)."""
+    df = _t(spark, sf_dir, "documents")
+    return _r6(df.select("doc_id",
+                         quality_score_col("text").alias("quality")),
+               "quality")
+
+
+def q_minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dedup over a doubled documents table (every doc
+    has an exact twin → Jaccard 1.0 pairs are guaranteed candidates)."""
+    df = _t(spark, sf_dir, "documents")
+    doubled = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 100000))
+    return minhash_near_duplicates(doubled, threshold=0.7)
+
+
+def q_simhash_near_dups(spark, sf_dir):
+    """SimHash near-dedup (banded Hamming ≤ 3) over the doubled table."""
+    df = _t(spark, sf_dir, "documents")
+    doubled = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 100000))
+    return simhash_near_duplicates(doubled, max_hamming=3)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (LSH sign buckets + exact verify)
+    over a doubled embeddings table."""
+    df = _t(spark, sf_dir, "embeddings")
+    doubled = df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 100000))
+    out = embedding_near_duplicates(doubled, dim=64, threshold=0.999)
+    return _r6(out, "cosine")
+
+
+def q_drift_report(spark, sf_dir):
+    """D1-D3 — chi2/KS/PSI drift of the en-only slice vs the full
+    documents profile (driver-side contrast on collected aggregates)."""
+    df = _t(spark, sf_dir, "documents")
+    comps = [Component("n_chars", "numeric"), Component("lang", "categoric")]
+    cur = build_profile(df.filter(F.col("lang") == "en"), comps)
+    ref = build_profile(df, comps)
+    report = contrast(cur, ref)
+    rows = [(name, r.test, round(float(r.statistic), 6), bool(r.drifted))
+            for name, cd in report.components.items() for r in cd.results]
+    return spark.createDataFrame(
+        rows, "component string, test string, statistic double, drifted boolean")
+
+
+def q_sequences_validation(spark, sf_dir):
+    """Flagship north-rule run — full validation of the input_hint-shaped
+    synthetic sequences table (doc_id, tokens:array<int>, n_tok, source):
+    stats + uniqueness + referential + vocab/length/null constraints,
+    per-(source, bucket) verdicts.  Rows-only: the sequences table is
+    synthesized (deterministically) in Spark, not a pre-registered view."""
+    n_rows = 20_000 if "0.01" in sf_dir else 5_000
+    df = synth_sequences(spark, n_rows).persist()
+    suite = ValidationSuite(
+        name="sequences",
+        components=[Component("n_tok", "numeric"),
+                    Component("tokens_len", "numeric", extractor="size(tokens)"),
+                    Component("source", "categoric")],
+        constraints=[
+            Constraint("len_consistency", "expression",
+                       {"sql": "tokens is null or size(tokens) = n_tok"}),
+            Constraint("vocab_bounds", "expression",
+                       {"sql": "tokens is null or (array_min(tokens) >= 0 "
+                               "and array_max(tokens) < 50257)"}),
+            Constraint("tokens_not_null", "not_null", {"component": "tokens"}),
+            Constraint("unique_doc_id", "unique", {"keys": ["doc_id"]}),
+            Constraint("source_allowed", "referential",
+                       {"column": "source", "dim": "allowed_sources"}),
+        ],
+        partition_cols=["source", "bucket"],
+    )
+    run = evaluate_constraints(df, suite,
+                               dims={"allowed_sources": allowed_sources_df(spark)})
+    out = (run.verdicts
+           .select("partition", "constraint", "n_violations", "passed")
+           .orderBy("partition", "constraint"))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-partition constraint verdicts for the documents
+    validation suite at sf0.001 (driver checks rows>0, stable schema)."""
+    return q_verdicts_per_source(spark, DEFAULT_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "profile_numeric": q_profile_numeric,
+        "profile_per_source": q_profile_per_source,
+        "profile_quantiles": q_profile_quantiles,
+        "freq_source": q_freq_source,
+        "topk_lang": q_topk_lang,
+        "violations_rowlevel": q_violations_rowlevel,
+        "verdicts_per_source": q_verdicts_per_source,
+        "unique_violation_keys": q_unique_violation_keys,
+        "referential_orders": q_referential_orders,
+        "dedup_exact_groups": q_dedup_exact_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_topk_pandas": q_ann_topk_pandas,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "events_by_type": q_events_by_type,
+        "pricing_summary": q_pricing_summary,
+        "quality_scores": q_quality_scores,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "drift_report": q_drift_report,
+        "sequences_validation": q_sequences_validation,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ann_lit = "[" + ", ".join(f"{v!r}" for v in ANN_QUERY) + "]::DOUBLE[]"
+    lang_in = ", ".join(f"'{v}'" for v in LANG_DOMAIN)
+    bounds_pred = f"(n_chars < {N_CHARS_MIN} OR n_chars > {N_CHARS_MAX})"
+    domain_pred = f"lang NOT IN ({lang_in})"
+    return {
+        "profile_numeric": f"""
+            SELECT count(*) AS n,
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_invalid,
+                   min(n_chars) AS min_v, max(n_chars) AS max_v,
+                   round(avg(n_chars), 6) AS mean_v,
+                   round(stddev_samp(n_chars), 6) AS std_v
+            FROM documents
+        """,
+        "profile_per_source": """
+            SELECT source, count(*) AS n,
+                   min(n_chars) AS min_v, max(n_chars) AS max_v,
+                   round(avg(n_chars), 6) AS mean_v,
+                   round(stddev_samp(n_chars), 6) AS std_v
+            FROM documents GROUP BY source
+        """,
+        "profile_quantiles": """
+            SELECT round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.50), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   round(quantile_cont(n_chars, 0.99), 6) AS p99
+            FROM documents
+        """,
+        "freq_source": """
+            SELECT source, count(*) AS cnt,
+                   round(count(*) / (SELECT count(*)::DOUBLE FROM documents), 6)
+                       AS rel_freq
+            FROM documents GROUP BY source
+        """,
+        "topk_lang": """
+            SELECT lang, cnt, rank FROM (
+              SELECT lang, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, lang ASC) AS rank
+              FROM documents GROUP BY lang) WHERE rank <= 3
+        """,
+        "violations_rowlevel": f"""
+            SELECT doc_id, 'bounds_n_chars' AS error FROM documents
+            WHERE {bounds_pred}
+            UNION ALL
+            SELECT doc_id, 'domain_lang' AS error FROM documents
+            WHERE lang IS NOT NULL AND {domain_pred}
+        """,
+        "verdicts_per_source": f"""
+            WITH v AS (
+              SELECT source, 'bounds_n_chars' AS c,
+                     sum(CASE WHEN {bounds_pred} THEN 1 ELSE 0 END) AS n
+              FROM documents GROUP BY source
+              UNION ALL
+              SELECT source, 'domain_lang' AS c,
+                     sum(CASE WHEN lang IS NOT NULL AND {domain_pred}
+                         THEN 1 ELSE 0 END) AS n
+              FROM documents GROUP BY source)
+            SELECT 'source=' || source AS partition, c AS "constraint",
+                   n AS n_violations, (n = 0) AS passed FROM v
+        """,
+        "unique_violation_keys": """
+            SELECT l_orderkey, count(*) AS n_rows FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "referential_orders": """
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IS NULL
+               OR o_custkey NOT IN (SELECT c_custkey FROM customer
+                                    WHERE c_custkey IS NOT NULL)
+        """,
+        "dedup_exact_groups": r"""
+            WITH doubled AS (SELECT * FROM documents
+                             UNION ALL SELECT * FROM documents)
+            SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fingerprint,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM doubled GROUP BY 1 HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": r"""
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents WHERE doc_id < 120
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id < 120),
+            w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+              FROM doubled),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                         AS sh
+              FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "ann_topk": f"""
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                {ann_lit}), 6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {ann_lit})
+                     DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "ann_topk_pandas": f"""
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                {ann_lit}), 6) AS cosine
+            FROM embeddings
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[], {ann_lit})
+                     DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                   END AS n_words,
+                   len(regexp_extract_all(text,
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_pieces,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fingerprint
+            FROM documents
+        """,
+        "lang_id": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     [lower(x) for x in
+                      regexp_split_to_array(trim(text), '\s+')] AS words
+              FROM documents),
+            hits AS (
+              SELECT doc_id, lang, len(list_filter(words,
+                         x -> list_contains(sw, x))) AS n
+              FROM w, (VALUES
+                ('en', ['the','and','of','to','in','is','that','it','was','for']),
+                ('es', ['el','la','de','que','y','en','los','del','se','las']),
+                ('fr', ['le','la','de','et','les','des','est','un','une','du']),
+                ('de', ['der','die','und','das','von','zu','mit','den','ist','des'])
+              ) AS s(lang, sw)),
+            best AS (
+              SELECT doc_id, lang, n,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, lang DESC) AS r
+              FROM hits)
+            SELECT doc_id,
+                   CASE WHEN n > 0 THEN lang ELSE 'und' END AS lang_pred
+            FROM best WHERE r = 1
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 6) AS mean_value,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events GROUP BY event_type
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 6) AS sum_qty,
+                   round(sum(l_extendedprice), 6) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+    }

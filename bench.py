@@ -1,0 +1,131 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+The headline set covers the engine's north-star path (full validation
+run over an input_hint-shaped sequences table: stats pass + uniqueness
++ referential + row-level constraints + per-partition verdicts) plus
+the training-data operators (dedup, ANN, text analysis) and the
+warehouse-agg shape.  The sequences input is synthesized once into a
+cached parquet dir so the timed section measures validation, not data
+generation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: sequences rows per sf of lineitem (~600k lineitem rows at sf0.1)
+SEQ_ROWS = {"sf0.001": 5_000, "sf0.01": 40_000, "sf0.1": 400_000}
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def seq_parquet_path(spark, n_rows: int) -> str:
+    """Materialize the deterministic sequences table once (cached)."""
+    path = f"/tmp/dvs_bench_sequences_{n_rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from data_validation_spark.sources.sequences import synth_sequences
+        log(f"generating sequences parquet n={n_rows} → {path}")
+        synth_sequences(spark, n_rows, num_partitions=CPUS * 2) \
+            .write.mode("overwrite").parquet(path)
+    return path
+
+
+def bench_validation(spark, n_rows: int) -> tuple[float, dict]:
+    """North-star job: full validation run over the sequences table."""
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    from data_validation_spark.sources.sequences import allowed_sources_df
+
+    path = seq_parquet_path(spark, n_rows)
+    df = spark.read.parquet(path)
+    suite = ValidationSuite(
+        name="bench",
+        components=[Component("n_tok", "numeric"),
+                    Component("tokens_len", "numeric",
+                              extractor="size(tokens)"),
+                    Component("source", "categoric")],
+        constraints=[
+            Constraint("len_consistency", "expression",
+                       {"sql": "tokens is null or size(tokens) = n_tok"}),
+            Constraint("vocab_bounds", "expression",
+                       {"sql": "tokens is null or (array_min(tokens) >= 0 "
+                               "and array_max(tokens) < 50257)"}),
+            Constraint("tokens_not_null", "not_null", {"component": "tokens"}),
+            Constraint("unique_doc_id", "unique", {"keys": ["doc_id"]}),
+            Constraint("source_allowed", "referential",
+                       {"column": "source", "dim": "allowed_sources"}),
+        ],
+        partition_cols=["source", "bucket"],
+    )
+    t0 = time.time()
+    res = run_validation(spark, df, suite,
+                         dims={"allowed_sources": allowed_sources_df(spark)},
+                         resume=False)
+    wall = time.time() - t0
+    return wall, {"rows": res.n_rows, "violations": res.n_violations,
+                  "throughput_seq_per_s": round(res.n_rows / wall, 1)}
+
+
+def main() -> None:
+    from data_validation_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    sf_name = os.path.basename(SF_DIR.rstrip("/"))
+    sf = float(sf_name.replace("sf", "") or 0.1) if sf_name.startswith("sf") else 0.1
+    n_rows = SEQ_ROWS.get(sf_name, 400_000)
+
+    spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    # q0: the north-star validation job
+    wall, info = bench_validation(spark, n_rows)
+    timings["validate_sequences"] = round(wall, 3)
+    extras["validation"] = info
+    log(f"validate_sequences: {wall:.1f}s {info}")
+
+    # headline operator queries from the driver contract, timed at SF_DIR
+    qs = entry_mod.queries()
+    for name in ["profile_per_source", "verdicts_per_source",
+                 "unique_violation_keys", "dedup_exact_groups",
+                 "minhash_near_dups", "simhash_near_dups",
+                 "ann_topk_pandas", "embedding_near_dups",
+                 "text_stats", "pricing_summary"]:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+        log(f"{name}: {timings[name]}s ({n} rows)")
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline query wall time (validation + training-data ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": CPUS,
+        "validation_throughput_seq_per_s":
+            extras["validation"]["throughput_seq_per_s"],
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
