@@ -332,6 +332,20 @@ def q_drift_report(spark, sf_dir):
         rows, "component string, test string, statistic double, drifted boolean")
 
 
+def q_content_parity(spark, sf_dir):
+    """Per-partition content-parity fingerprint of the sequences table:
+    polynomial token checksums (Catalyst higher-order aggregate, no
+    UDF) verify the token-array-equality invariant across engines /
+    snapshots without shipping token arrays.  Rows-only (synthesized
+    input; the checksum fold is not expressible in DuckDB SQL)."""
+    from data_validation_spark.functions.hashing import partition_checksum_exprs
+    n_rows = 20_000 if "0.01" in sf_dir else 5_000
+    df = synth_sequences(spark, n_rows)
+    return (df.groupBy("source", "bucket")
+            .agg(*partition_checksum_exprs("tokens"))
+            .orderBy("source", "bucket"))
+
+
 def q_sequences_validation(spark, sf_dir):
     """Flagship north-rule run — full validation of the input_hint-shaped
     synthetic sequences table (doc_id, tokens:array<int>, n_tok, source):
@@ -400,6 +414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "drift_report": q_drift_report,
+        "content_parity": q_content_parity,
         "sequences_validation": q_sequences_validation,
     }
 

@@ -1,0 +1,123 @@
+"""spark-submit entry point (north_rule: "run via spark-submit
+--py-files on a multi-executor cluster").
+
+Usage (cluster):
+    spark-submit --py-files dist/data_validation_spark.zip \
+        -- cli.py validate --input s3://.../sequences \
+        --suite suite.json --sink s3://.../results --dim source=...:path
+
+Usage (sandbox smoke):
+    python -m data_validation_spark.cli validate --input /tmp/seq \
+        --suite suite.json --sink /tmp/results
+
+The driver JSON-prints the RunResult summary so orchestrators can gate
+on ``passed`` without parsing logs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build_suite(path: str | None):
+    from data_validation_spark.plans.suite import ValidationSuite
+    if path:
+        return ValidationSuite.load(path)
+    # default suite for the input_hint sequences shape
+    from data_validation_spark.plans.suite import Component, Constraint
+    return ValidationSuite(
+        name="sequences",
+        components=[Component("n_tok", "numeric"),
+                    Component("tokens_len", "numeric",
+                              extractor="size(tokens)"),
+                    Component("source", "categoric")],
+        constraints=[
+            Constraint("len_consistency", "expression",
+                       {"sql": "tokens is null or size(tokens) = n_tok"}),
+            Constraint("vocab_bounds", "expression",
+                       {"sql": "tokens is null or (array_min(tokens) >= 0 "
+                               "and array_max(tokens) < 50257)"}),
+            Constraint("tokens_not_null", "not_null",
+                       {"component": "tokens"}),
+            Constraint("unique_doc_id", "unique", {"keys": ["doc_id"]}),
+        ],
+        partition_cols=["source", "bucket"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data-validation-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    v = sub.add_parser("validate", help="run a validation suite")
+    v.add_argument("--input", required=True,
+                   help="parquet path or (with --backend iceberg) table name")
+    v.add_argument("--suite", help="suite JSON path (default: sequences suite)")
+    v.add_argument("--sink", help="results root (metrics/violations/manifest)")
+    v.add_argument("--backend", default="parquet",
+                   choices=["parquet", "iceberg"])
+    v.add_argument("--dim", action="append", default=[],
+                   metavar="NAME=PATH",
+                   help="referential dimension: name=parquet_path")
+    v.add_argument("--no-resume", action="store_true")
+    v.add_argument("--method", default="catalyst",
+                   choices=["catalyst", "kernel"])
+    v.add_argument("--reference-profile",
+                   help="frozen profile JSON for drift constraints")
+
+    b = sub.add_parser("build-profile", help="build + save a profile")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True, help="profile JSON output path")
+    b.add_argument("--suite", help="suite JSON (components definition)")
+    b.add_argument("--method", default="catalyst",
+                   choices=["catalyst", "kernel"])
+
+    args = ap.parse_args(argv)
+
+    from data_validation_spark.session import get_spark
+    spark = get_spark(app_name=f"dvs-{args.cmd}")
+
+    suite = _build_suite(args.suite)
+
+    if args.cmd == "build-profile":
+        from data_validation_spark.operators.profile import build_profile
+        df = spark.read.parquet(args.input)
+        prof = build_profile(df, suite.components, suite.partition_cols,
+                             method=args.method, name=suite.name)
+        prof.save(args.out)
+        print(json.dumps({"saved": args.out,
+                          "components": sorted(prof.components)}))
+        return 0
+
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import Profile
+    from data_validation_spark.sources.table_provider import TableProvider
+
+    if args.backend == "iceberg":
+        df = spark.table(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+    if args.reference_profile:
+        suite.reference = Profile.load(args.reference_profile)
+    dims = {}
+    for spec in args.dim:
+        name, _, path = spec.partition("=")
+        dims[name] = spark.read.parquet(path)
+    sink = (TableProvider(spark, args.sink, backend=args.backend)
+            if args.sink else None)
+
+    res = run_validation(spark, df, suite, sink=sink, dims=dims or None,
+                         resume=not args.no_resume, method=args.method)
+    print(json.dumps({
+        "run_id": res.run_id, "passed": res.passed, "n_rows": res.n_rows,
+        "n_violations": res.n_violations,
+        "partitions": len(res.partitions),
+        "skipped_partitions": len(res.skipped_partitions),
+        "drifted": bool(res.drift.drifted) if res.drift else None,
+    }))
+    return 0 if res.passed else 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,32 +22,43 @@ from pyspark.sql import functions as F
 
 from data_validation_spark.plans.suite import QUANTILE_PROBS
 
-#: default percentile_approx accuracy — err ~ 1/accuracy of rank
-DEFAULT_ACCURACY = 10000
+#: default percentile_approx accuracy — rank error ~ 1/accuracy.
+#: 2000 (5e-4 rank error) is ample for the 101-point drift vectors and
+#: roughly halves the sketch's CPU share of the stats pass (measured);
+#: exact-histogram quantiles replace the sketch entirely for bounded
+#: integral components (operators/profile.py _hist_specs).
+DEFAULT_ACCURACY = 2000
 
 
 def numeric_agg_exprs(name: str, expr: str,
-                      accuracy: int = DEFAULT_ACCURACY) -> list[Column]:
+                      accuracy: int = DEFAULT_ACCURACY,
+                      include_quantiles: bool = True) -> list[Column]:
     """Aggregate expressions for one numeric component.
 
     ``expr`` is a SQL expression (the component's extractor).  Emits
     columns ``{name}__n, __n_invalid, __min, __max, __mean, __std,
     __quantiles`` — NaN and NULL both count as invalid (rdv ``pinv``).
+    ``include_quantiles=False`` drops the GK-sketch column — used when
+    the caller computes exact quantiles from a value histogram instead
+    (integral bounded domains; see exact_quantiles_from_counts).
     """
     c = F.expr(expr)
     dbl = c.cast("double")
     invalid = c.isNull() | F.isnan(dbl)
     valid = F.when(~invalid, dbl)
     p = f"{name}__"
-    return [
+    exprs = [
         F.count(F.lit(1)).alias(p + "n"),
         F.sum(invalid.cast("long")).alias(p + "n_invalid"),
         F.min(valid).alias(p + "min"),
         F.max(valid).alias(p + "max"),
         F.avg(valid).alias(p + "mean"),
         F.stddev_samp(valid).alias(p + "std"),
-        F.percentile_approx(valid, QUANTILE_PROBS, accuracy).alias(p + "quantiles"),
     ]
+    if include_quantiles:
+        exprs.append(F.percentile_approx(valid, QUANTILE_PROBS, accuracy)
+                     .alias(p + "quantiles"))
+    return exprs
 
 
 def categoric_agg_exprs(name: str, expr: str) -> list[Column]:
@@ -62,24 +73,32 @@ def categoric_agg_exprs(name: str, expr: str) -> list[Column]:
 
 
 def tokens_agg_exprs(name: str, expr: str,
-                     accuracy: int = DEFAULT_ACCURACY) -> list[Column]:
+                     accuracy: int = DEFAULT_ACCURACY,
+                     include_quantiles: bool = True) -> list[Column]:
     """Token-array profile (S5/S6): length stats + element min/max +
     null-array count, all without exploding rows.  The only place the
-    full ``tokens`` column is read (P1: keep it out of other paths)."""
+    full ``tokens`` column is read (P1: keep it out of other paths).
+    Length quantiles default to the histogram path (lengths are bounded
+    integers), so ``include_quantiles`` is False in practice."""
     c = F.expr(expr)
     length = F.when(c.isNotNull(), F.array_size(c).cast("double"))
     p = f"{name}__"
-    return [
+    exprs = [
         F.count(F.lit(1)).alias(p + "n"),
         F.sum(c.isNull().cast("long")).alias(p + "n_invalid"),
         F.min(length).alias(p + "min"),
         F.max(length).alias(p + "max"),
         F.avg(length).alias(p + "mean"),
         F.stddev_samp(length).alias(p + "std"),
-        F.percentile_approx(length, QUANTILE_PROBS, accuracy).alias(p + "quantiles"),
+    ]
+    if include_quantiles:
+        exprs.append(F.percentile_approx(length, QUANTILE_PROBS, accuracy)
+                     .alias(p + "quantiles"))
+    exprs += [
         F.min(F.array_min(c)).cast("long").alias(p + "elem_min"),
         F.max(F.array_max(c)).cast("long").alias(p + "elem_max"),
     ]
+    return exprs
 
 
 # ---------------------------------------------------------------------------
@@ -119,34 +138,23 @@ def merge_quantile_vectors(ns: list[int], vecs: list[list[float]],
     if not pairs:
         return None
     n_tot = float(sum(n for n, _ in pairs))
-    lo = min(v[0] for _, v in pairs)
-    hi = max(v[-1] for _, v in pairs)
     probs_arr = np.asarray(probs)
 
-    def mixture_cdf(x: float) -> float:
-        acc = 0.0
-        for n, v in pairs:
-            if x <= v[0]:
-                f = 0.0 if x < v[0] else probs_arr[0]
-            elif x >= v[-1]:
-                f = 1.0
-            else:
-                f = float(np.interp(x, v, probs_arr))
-            acc += n * f
-        return acc / n_tot
-
-    out = []
-    for q in probs:
-        a, b = lo, hi
-        for _ in range(60):  # bisection to fp precision
-            m = 0.5 * (a + b)
-            if mixture_cdf(m) < q:
-                a = m
-            else:
-                b = m
-        out.append(0.5 * (a + b))
-    out[0], out[-1] = float(lo), float(hi)  # pin exact extremes
-    return out
+    # Fully vectorized inversion (this runs on the driver in the serial
+    # section of every run — a Python-loop bisection here measurably
+    # caps scaling): evaluate the mixture CDF once on the union of all
+    # partition quantile points, then invert by interpolation.
+    support = np.unique(np.concatenate([v for _, v in pairs]))
+    mix = np.zeros_like(support)
+    for n, v in pairs:
+        mix += n * np.clip(np.interp(support, v, probs_arr), 0.0, 1.0)
+    mix /= n_tot
+    # make the CDF strictly sortable for inversion
+    mix_m = np.maximum.accumulate(mix)
+    out = np.interp(probs_arr, mix_m, support,
+                    left=support[0], right=support[-1])
+    out[0], out[-1] = support[0], support[-1]  # pin exact extremes
+    return out.tolist()
 
 
 def merge_numeric_partials(rows: list[dict]) -> dict:
@@ -179,6 +187,35 @@ def exact_quantiles(values: np.ndarray,
         return None
     return np.percentile(v, np.asarray(probs) * 100.0,
                          method="linear").tolist()
+
+
+def exact_quantiles_from_counts(values: np.ndarray, counts: np.ndarray,
+                                probs: list[float] = QUANTILE_PROBS
+                                ) -> list[float] | None:
+    """Exact linear-interpolation percentiles from a value histogram —
+    identical to ``np.percentile(method="linear")`` on the expanded
+    data, computed in O(#distinct) instead of O(n).
+
+    This is the scale path for integer-valued components with a bounded
+    domain (n_tok, size(tokens) ≤ max_len): a (partition, value) count
+    shuffle is tiny and embarrassingly parallel, while a GK sketch of
+    accuracy 1e4 × 101 probes measurably bottlenecks the stats pass
+    (tools/ probe: 2.5-4.3 s/agg vs 0.7 s for all scalar aggs).
+    """
+    if values.size == 0:
+        return None
+    order = np.argsort(values, kind="stable")
+    v = np.asarray(values, dtype=float)[order]
+    c = np.asarray(counts, dtype=np.int64)[order]
+    cum = np.cumsum(c)  # 1-based rank of the last occurrence of v[i]
+    n = int(cum[-1])
+    pos = np.asarray(probs, dtype=float) * (n - 1)  # 0-based fractional
+    lo_idx = np.searchsorted(cum, np.floor(pos) + 1, side="left")
+    hi_idx = np.searchsorted(cum, np.floor(pos) + 2, side="left")
+    hi_idx = np.minimum(hi_idx, len(v) - 1)
+    frac = pos - np.floor(pos)
+    out = v[lo_idx] * (1 - frac) + v[hi_idx] * frac
+    return out.tolist()
 
 
 def interp_ecdf(quantiles: list[float],

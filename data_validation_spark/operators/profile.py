@@ -38,6 +38,7 @@ from data_validation_spark.functions.stats import (
     DEFAULT_ACCURACY,
     categoric_agg_exprs,
     exact_quantiles,
+    exact_quantiles_from_counts,
     merge_numeric_partials,
     numeric_agg_exprs,
     pooled_mean_std,
@@ -77,39 +78,110 @@ def _project(df: DataFrame, components: list[Component],
 # catalyst path
 # ---------------------------------------------------------------------------
 
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _hist_specs(df: DataFrame, components: list[Component],
+                quantile_strategy: str) -> dict[str, F.Column]:
+    """Components whose quantiles come from an exact value histogram
+    instead of a GK sketch: SCALAR integral-typed numerics (bounded
+    domains — n_tok).  The histogram job scans only the pruned scalar
+    columns (measured 1.5 s vs 4+ s of sketch time at local[4]/8M rows)
+    and the result is EXACT.  Token-length quantiles deliberately stay
+    in the main agg's sketch: a separate histogram job would pay a
+    second full decode of the tokens column (~9 s at local[4]/8M —
+    the dominant cost of anything touching tokens), which is worse
+    than the in-pass sketch.  ``quantile_strategy="sketch"`` forces the
+    sketch everywhere (use for unbounded/high-cardinality ints)."""
+    if quantile_strategy == "sketch":
+        return {}
+    specs: dict[str, F.Column] = {}
+    for comp in components:
+        if comp.ctype == "numeric":
+            dtype = df.schema[_ccol(comp.name)].dataType
+            if isinstance(dtype, _INTEGRAL_TYPES):
+                specs[comp.name] = F.col(_ccol(comp.name)).cast("long")
+    return specs
+
+
 def _catalyst_records(df: DataFrame, components: list[Component],
-                      partition_cols: list[str], accuracy: int) -> list[dict]:
+                      partition_cols: list[str], accuracy: int,
+                      quantile_strategy: str = "auto") -> list[dict]:
+    """One main agg job computes every numeric/tokens summary AND every
+    categoric component's (n, n_invalid) totals; exact-histogram
+    quantiles for integral components ride one melt job; value counts
+    need one extra low-cardinality groupBy per categoric component.
+    Job count is driver-serial time at scale — keep it small."""
     numericish = [c for c in components if c.ctype in ("numeric", "tokens")]
+    categoric = [c for c in components if c.ctype == "categoric"]
     records: list[dict] = []
 
-    if numericish:
-        exprs = []
-        for comp in numericish:
-            make = tokens_agg_exprs if comp.ctype == "tokens" else numeric_agg_exprs
-            exprs += make(comp.name, _ccol(comp.name), accuracy)
+    hist = _hist_specs(df, numericish, quantile_strategy)
+
+    exprs = []
+    for comp in numericish:
+        make = tokens_agg_exprs if comp.ctype == "tokens" else numeric_agg_exprs
+        exprs += make(comp.name, _ccol(comp.name), accuracy,
+                      include_quantiles=comp.name not in hist)
+    for comp in categoric:
+        exprs += categoric_agg_exprs(comp.name, _ccol(comp.name))
+
+    # exact quantile histograms: one melt → one (pcols, comp, value)
+    # count shuffle for ALL histogram components together
+    hists: dict[str, dict[str, dict[int, int]]] = {}  # comp -> part -> {v: c}
+    if hist:
+        if len(hist) == 1:  # common case: no melt/row-duplication needed
+            only = next(iter(hist))
+            hist_rows = (df.select(*partition_cols,
+                                   F.lit(only).alias("comp"),
+                                   hist[only].alias("val"))
+                         .groupBy(*partition_cols, "comp", "val").count()
+                         .collect())
+        else:
+            pair = F.explode(F.array(*[
+                F.struct(F.lit(name).alias("comp"), col.alias("val"))
+                for name, col in hist.items()])).alias("pair")
+            hist_rows = (df.select(*partition_cols, pair)
+                         .select(*partition_cols, "pair.comp", "pair.val")
+                         .groupBy(*partition_cols, "comp", "val").count()
+                         .collect())
+        for r in hist_rows:
+            if r["val"] is None:
+                continue
+            part = partition_label(partition_cols,
+                                   [r[c] for c in partition_cols])
+            hists.setdefault(r["comp"], {}).setdefault(
+                part, {})[int(r["val"])] = r["count"]
+
+    totals: dict[str, dict] = {}
+    if exprs:
         grouped = (df.groupBy(*partition_cols) if partition_cols else
                    df.groupBy())
         for row in grouped.agg(*exprs).collect():
             d = row.asDict()
             part = partition_label(partition_cols,
                                    [d[c] for c in partition_cols])
+            totals[part] = d
             for comp in numericish:
                 rec = {"partition": part, "component": comp.name,
                        "ctype": comp.ctype, "freq": None}
                 for k in _NUMERIC_KEYS:
                     rec[k] = d.get(f"{comp.name}__{k}")
+                if comp.name in hist:
+                    counts = hists.get(comp.name, {}).get(part, {})
+                    rec["hist"] = counts
+                    rec["quantiles"] = exact_quantiles_from_counts(
+                        np.fromiter(counts.keys(), dtype=float,
+                                    count=len(counts)),
+                        np.fromiter(counts.values(), dtype=np.int64,
+                                    count=len(counts))) if counts else None
                 records.append(rec)
 
-    for comp in components:
-        if comp.ctype != "categoric":
-            continue
+    for comp in categoric:
         keys = [*partition_cols, _ccol(comp.name)]
         counts = df.groupBy(*keys).count().collect()
-        n_exprs = categoric_agg_exprs(comp.name, _ccol(comp.name))
-        grouped = (df.groupBy(*partition_cols) if partition_cols else
-                   df.groupBy())
-        totals = {partition_label(partition_cols, [r[c] for c in partition_cols]):
-                  r.asDict() for r in grouped.agg(*n_exprs).collect()}
         freq_by_part: dict[str, dict[str, int]] = {}
         for r in counts:
             part = partition_label(partition_cols, [r[c] for c in partition_cols])
@@ -239,6 +311,18 @@ def _merge_records(recs: list[dict]) -> dict:
                 "n_invalid": sum(r["n_invalid"] for r in recs),
                 "freq": counts}
     merged = merge_numeric_partials(recs)
+    if all(r.get("hist") is not None for r in recs):
+        # exact global quantiles from the summed value histogram —
+        # supersedes the mixture-ECDF approximation for hist components
+        total: dict[int, int] = {}
+        for r in recs:
+            for v, c in r["hist"].items():
+                total[v] = total.get(v, 0) + c
+        if total:
+            merged["quantiles"] = exact_quantiles_from_counts(
+                np.fromiter(total.keys(), dtype=float, count=len(total)),
+                np.fromiter(total.values(), dtype=np.int64,
+                            count=len(total)))
     elem_mins = [r.get("elem_min") for r in recs if r.get("elem_min") is not None]
     elem_maxs = [r.get("elem_max") for r in recs if r.get("elem_max") is not None]
     return {**first, **merged,
@@ -250,13 +334,21 @@ def build_profile(df: DataFrame, components: list[Component],
                   partition_cols: list[str] | None = None,
                   accuracy: int = DEFAULT_ACCURACY,
                   method: str = "catalyst",
-                  name: str = "profile") -> Profile:
-    """Compute a built Profile (global + per-partition) in one stats pass."""
+                  name: str = "profile",
+                  quantile_strategy: str = "auto") -> Profile:
+    """Compute a built Profile (global + per-partition) in one stats pass.
+
+    ``quantile_strategy``: "auto" uses exact value-histogram quantiles
+    for integral-typed components (bounded domains — n_tok, tokens
+    length) and the GK sketch for everything else; "sketch" forces the
+    sketch (use for unbounded/high-cardinality integer domains where a
+    per-value histogram would not be small).
+    """
     partition_cols = partition_cols or []
     projected = _project(df, components, partition_cols)
     if method == "catalyst":
         records = _catalyst_records(projected, components, partition_cols,
-                                    accuracy)
+                                    accuracy, quantile_strategy)
     elif method == "kernel":
         records = _kernel_records(projected, components, partition_cols)
     else:

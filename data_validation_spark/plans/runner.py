@@ -134,7 +134,8 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
 
     # -- constraints pass (row-level + S8 + J1) ---------------------------
     crun: ConstraintRun = evaluate_constraints(df, suite, dims)
-    crun.violations.persist(StorageLevel.MEMORY_AND_DISK)
+    if sink is not None:
+        crun.violations.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         verdicts = [r.asDict() for r in crun.verdicts.collect()]
 
@@ -149,7 +150,11 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
 
         n_rows = next((c.stats.n for c in profile.components.values()
                        if c.stats and c.stats.n is not None), 0)
-        n_viol = crun.violations.count()
+        # exact violation-row count only when the rows are persisted for
+        # the sink anyway; otherwise derive the (error-instance) total
+        # from the verdicts — avoids a full re-scan job per run
+        n_viol = (crun.violations.count() if sink is not None
+                  else sum(v["n_violations"] for v in verdicts))
 
         # -- sinks ---------------------------------------------------------
         metrics = _metrics_rows(run_id, profile, verdicts, drift, lineage)

@@ -13,7 +13,23 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: local mode is one JVM: size its heap for 32 concurrent task threads
+#: scanning wide token arrays (sandbox has 128 GiB; on a cluster,
+#: executor memory comes from spark-submit instead)
+_DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g")
+
 ENGINE_DEFAULTS = {
+    "spark.driver.memory": _DRIVER_MEM,
+    # measured (tools/scale_probe*.py): WITHOUT a pinned pre-touched
+    # heap, array<int32>-heavy scans at 32 threads spend ~35% of CPU in
+    # the kernel zeroing freshly-faulted heap pages (lazy -Xms growth ×
+    # 4× allocation rate) — queries randomly degrade 10-30×.  Pinning
+    # -Xms to -Xmx with AlwaysPreTouch pre-zeroes the heap once at
+    # startup and makes 32-thread runs stable and faster than 8-thread
+    # runs.  GC choice and the nested vectorized reader were innocent
+    # (confounded in early probes).
+    "spark.driver.extraJavaOptions":
+        f"-XX:+UseParallelGC -Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
     # runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones — backs up the explicit salting we do for hot sources
     "spark.sql.adaptive.enabled": "true",

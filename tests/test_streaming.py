@@ -1,0 +1,99 @@
+"""Structured Streaming validation: foreachBatch constraint pass and
+watermarked windowed stats (streaming/validate.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.plans.suite import Constraint, ValidationSuite
+from data_validation_spark.sources.sequences import (
+    allowed_sources_df,
+    synth_sequences,
+)
+from data_validation_spark.sources.table_provider import TableProvider
+from data_validation_spark.streaming import streaming_stats, validate_stream
+from data_validation_spark.streaming.validate import (
+    STREAM_VERDICTS_TABLE,
+    STREAM_VIOLATIONS_TABLE,
+)
+
+N = 1000
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream_in"))
+    synth_sequences(spark, N).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+    return path, schema
+
+
+def test_validate_stream_matches_batch(spark, stream_input, tmp_path):
+    path, schema = stream_input
+    suite = ValidationSuite(
+        name="stream",
+        constraints=[
+            Constraint("tokens_not_null", "not_null", {"component": "tokens"}),
+            Constraint("unique_doc_id", "unique", {"keys": ["doc_id"]}),
+            Constraint("source_allowed", "referential",
+                       {"column": "source", "dim": "allowed"}),
+        ],
+        partition_cols=["source"])
+    dims = {"allowed": allowed_sources_df(spark)}
+
+    stream_df = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", "100").parquet(path))
+    sink = TableProvider(spark, str(tmp_path / "sink"))
+    q = validate_stream(stream_df, suite, sink, dims=dims,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    verdicts = sink.read(STREAM_VERDICTS_TABLE)
+    violations = sink.read(STREAM_VIOLATIONS_TABLE)
+
+    # summed across micro-batches == the one-shot batch pass (uniqueness
+    # is per-batch by construction; one batch here, so exactly equal)
+    exp_null = sum(1 for i in range(N) if i % 211 == 0)
+    exp_dup = 2 * sum(1 for i in range(N) if i % 97 == 0 and i > 0)
+    got = {r["constraint"]: r["n"] for r in
+           (verdicts.groupBy("constraint")
+            .agg(F.sum("n_violations").alias("n")).collect())}
+    assert got["tokens_not_null"] == exp_null
+    assert got["unique_doc_id"] == exp_dup
+    assert got["source_allowed"] > 0
+    assert violations.count() > 0
+    # violation rows carry the original token arrays (per-row invariant)
+    assert "tokens" in violations.columns
+
+    # restart with the same checkpoint: no new batches → no new rows
+    n_before = verdicts.count()
+    stream_df2 = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", "100").parquet(path))
+    q2 = validate_stream(stream_df2, suite, sink, dims=dims,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    q2.awaitTermination(120)
+    assert sink.read(STREAM_VERDICTS_TABLE).count() == n_before
+
+
+def test_streaming_stats_windowed(spark, tmp_path):
+    rows = [(f"d{i}", i % 3, "2026-01-01 00:%02d:30" % (i % 4)) for i in range(120)]
+    df = (spark.createDataFrame(rows, "doc_id string, v int, ts_s string")
+          .withColumn("ts", F.to_timestamp("ts_s")))
+    path = str(tmp_path / "in")
+    df.write.parquet(path)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(path).schema).parquet(path)
+    stats = streaming_stats(stream, "ts", "v", window_duration="1 minute",
+                            watermark="1 minute")
+    q = (stats.writeStream.format("memory").queryName("win_stats")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    out = spark.sql("select * from win_stats").collect()
+    assert len(out) == 4  # four 1-minute windows
+    by_start = {str(r["window_start"]): r for r in out}
+    r0 = by_start["2026-01-01 00:00:30"] if "2026-01-01 00:00:30" in by_start \
+        else out[0]
+    assert all(r["n"] == 30 for r in out)
+    assert all(r["n_invalid"] == 0 for r in out)
+    assert all(r["min_v"] == 0.0 and r["max_v"] == 2.0 for r in out)
