@@ -284,14 +284,49 @@ def q_pricing_summary(spark, sf_dir):
     return _r6(out, "sum_qty", "sum_base_price", "sum_disc_price", "avg_qty")
 
 
-# -- rows-only queries (no exact SQL oracle; deterministic by seed) ---------
-
 def q_quality_scores(spark, sf_dir):
-    """Quality scoring heuristic per document (deterministic scalar)."""
+    """Quality scoring heuristic per document (deterministic scalar
+    from length/punctuation/uppercase/word-length ratios)."""
     df = _t(spark, sf_dir, "documents")
     return _r6(df.select("doc_id",
                          quality_score_col("text").alias("quality")),
                "quality")
+
+
+def q_embedding_near_dups_exact(spark, sf_dir):
+    """Embedding near-dup, brute-force tier: exact pairwise cosine ≥
+    0.99 over a doubled slice (every vector has an exact twin) — the
+    oracle-checkable counterpart of the LSH-bucketed variant."""
+    from data_validation_spark.functions.arrays import cosine_col
+    base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 150)
+    doubled = base.unionAll(base.withColumn("vec_id",
+                                            F.col("vec_id") + 100000))
+    a = doubled.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("emb_a"))
+    b = doubled.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("emb_b"))
+    pairs = (a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b",
+                     cosine_col(F.col("emb_a"), F.col("emb_b"))
+                     .alias("cosine"))
+             .filter(F.col("cosine") >= 0.99))
+    return _r6(pairs, "cosine")
+
+
+def q_events_windowed(spark, sf_dir):
+    """Event-time windowed aggregation (the batch shape of the
+    streaming stats feed): per (1-hour window × event_type) counts and
+    value stats."""
+    df = _t(spark, sf_dir, "events")
+    out = (df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.avg("value").alias("mean_value"))
+           .select(F.col("w.start").alias("window_start"), "event_type",
+                   "n", "mean_value"))
+    return _r6(out, "mean_value")
+
+
+# -- rows-only queries (no exact SQL oracle; deterministic by seed) ---------
 
 
 def q_minhash_near_dups(spark, sf_dir):
@@ -410,6 +445,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "pricing_summary": q_pricing_summary,
         "quality_scores": q_quality_scores,
+        "embedding_near_dups_exact": q_embedding_near_dups_exact,
+        "events_windowed": q_events_windowed,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -579,6 +616,53 @@ def oracle_sql() -> dict[str, str]:
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type
+        """,
+        "quality_scores": r"""
+            WITH m AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                     END AS n,
+                     len(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))
+                         ::DOUBLE / greatest(len(text), 1) AS punct_ratio,
+                     len(regexp_replace(text, '[^A-Z]', '', 'g'))::DOUBLE
+                         / greatest(len(text), 1) AS upper_ratio,
+                     len(regexp_replace(trim(text), '\s', '', 'g'))
+                         AS word_chars
+              FROM documents),
+            s AS (
+              SELECT doc_id,
+                     least(n / 20.0, 1.0) AS len_ok,
+                     greatest(0.0, 1.0 - punct_ratio * 4) AS punct_pen,
+                     greatest(0.0, 1.0 - upper_ratio * 4) AS upper_pen,
+                     CASE WHEN n > 0 THEN word_chars::DOUBLE / n
+                          ELSE 0.0 END AS awl
+              FROM m)
+            SELECT doc_id,
+                   round(round(len_ok * punct_pen * upper_pen *
+                         (CASE WHEN awl >= 2.0 AND awl <= 12.0
+                               THEN 1.0 ELSE 0.5 END), 6), 6) AS quality
+            FROM s
+        """,
+        "embedding_near_dups_exact": """
+            WITH doubled AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 150
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id < 150)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM doubled a JOIN doubled b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.99
+        """,
+        "events_windowed": """
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                   event_type, count(*) AS n,
+                   round(avg(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -31,21 +31,39 @@ def jaccard_col(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
-def minhash_signature_col(shingles: Column, n_hashes: int) -> Column:
-    """MinHash signature as an array<long>: for permutation j, the min of
-    xxhash64(shingle ⊕ j) over the shingle set.  Seed-varied by
-    concatenating the permutation index — one JVM expression per
-    permutation, no UDF."""
-    def perm(j: int):
-        # NB: must be a ONE-argument lambda — a two-arg lambda makes
-        # F.transform pass (element, index) and the second param would
-        # capture the index Column instead of the permutation number
-        tag = F.lit(f"#{j}")
-        return lambda s: F.xxhash64(F.concat(s, tag))
+def let_col(value: Column, body) -> Column:
+    """Catalyst "let-binding": evaluate ``value`` ONCE per row and feed
+    it to ``body`` as a lambda variable.
 
-    sigs = [F.array_min(F.transform(shingles, perm(j)))
-            for j in range(n_hashes)]
-    return F.array(*sigs)
+    Composed column expressions are inlined by CollapseProject — e.g.
+    16 ``element_at(sig, i)`` references to a signature column become
+    16 full recomputations of the signature expression (measured: the
+    LSH banding stage went quadratic in expression size, 12 s for 1000
+    docs).  ``transform(array(value), v -> body(v))[1]`` binds the
+    expression to a real lambda variable, which Catalyst cannot inline
+    through."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def minhash_signature_col(shingles: Column, n_hashes: int) -> Column:
+    """MinHash signature as an array<long>: for permutation j, the min
+    of xxhash64(shingle ⊕ j) over the shingle set.
+
+    Single-pass: ONE ``aggregate`` traversal of the shingle array
+    updates all ``n_hashes`` minima via ``zip_with(acc, hashes,
+    least)``, so the (expensive) shingle expression is evaluated once
+    per row no matter how wide the signature — the per-permutation
+    ``array_min(transform(...))`` formulation re-evaluated the shingle
+    array once per permutation after projection collapse."""
+    max_long = F.lit(0x7FFF_FFFF_FFFF_FFFF).cast("long")
+    init = F.array(*[max_long for _ in range(n_hashes)])
+
+    def step(acc: Column, s: Column) -> Column:
+        hashes = F.array(*[F.xxhash64(F.concat(s, F.lit(f"#{j}")))
+                           for j in range(n_hashes)])
+        return F.zip_with(acc, hashes, lambda a, h: F.least(a, h))
+
+    return F.aggregate(shingles, init, step)
 
 
 def band_hashes_col(signature: Column, bands: int, rows: int) -> Column:

@@ -93,9 +93,15 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
         raise ValueError("n_hashes must be divisible by bands")
     rows = n_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    # let-bind the signature so banding doesn't re-inline (and thus
+    # recompute) the signature expression per band (functions/arrays.py
+    # let_col docstring has the measured pathology)
+    from data_validation_spark.functions.arrays import let_col
     banded = (sig.select(
         F.col(id_col),
-        F.posexplode(band_hashes_col(F.col("signature"), bands, rows))
+        F.posexplode(let_col(
+            F.col("signature"),
+            lambda s: band_hashes_col(s, bands, rows)))
         .alias("band", "band_hash")))
     sizes = (banded.groupBy("band", "band_hash")
              .agg(F.count(F.lit(1)).alias("bucket_n"))
