@@ -1,0 +1,85 @@
+"""Property-based invariants (SURVEY.md §5.2 item 4, hypothesis).
+
+Strategy: hypothesis generates small pandas frames driver-side; each
+property round-trips through the REAL Spark operators and checks the
+invariant against an independent pandas/numpy computation.  Spark
+sessions are expensive, so examples are capped low — the value is in
+the adversarial shapes (empty, all-null, single-row, duplicate-heavy),
+not the count.
+"""
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from data_validation_spark.operators.constraints import uniqueness_violations
+from data_validation_spark.operators.profile import build_profile
+from data_validation_spark.plans.suite import Component
+
+SET = settings(max_examples=12, deadline=None,
+               suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+values = st.one_of(st.integers(min_value=-1000, max_value=1000),
+                   st.none())
+rows = st.lists(st.tuples(st.integers(0, 20), values),
+                min_size=1, max_size=40)
+
+
+@given(data=rows)
+@SET
+def test_numeric_profile_invariants(spark, data):
+    """pinv ∈ [0,1]; min ≤ quantiles (monotone) ≤ max; stats match
+    pandas on the same values."""
+    pdf = pd.DataFrame(data, columns=["key", "v"])
+    df = spark.createDataFrame(pdf.astype({"v": "float64"}))
+    prof = build_profile(df, [Component("v", "numeric")])
+    s = prof.components["v"].stats
+    assert 0.0 <= s.pinv <= 1.0
+    assert abs(s.pinv - pdf["v"].isna().mean()) < 1e-9
+    valid = pdf["v"].dropna().to_numpy(dtype=float)
+    if valid.size == 0:
+        assert s.min is None and s.max is None
+        return
+    assert s.min == valid.min() and s.max == valid.max()
+    assert abs(s.mean - valid.mean()) < 1e-9
+    q = np.asarray(s.quantiles)
+    assert (np.diff(q) >= -1e-9).all(), "quantiles must be monotone"
+    assert s.min - 1e-9 <= q[0] and q[-1] <= s.max + 1e-9
+    # integral-typed input → exact histogram quantiles == numpy exact
+    expected = np.percentile(valid, np.arange(101), method="linear")
+    int_df = spark.createDataFrame(
+        pdf.dropna(subset=["v"]).astype({"v": "int64"}))
+    if len(pdf.dropna(subset=["v"])):
+        p2 = build_profile(int_df, [Component("v", "numeric")])
+        np.testing.assert_allclose(p2.components["v"].stats.quantiles,
+                                   expected, atol=1e-9)
+
+
+@given(keys=st.lists(st.integers(0, 15), min_size=1, max_size=50))
+@SET
+def test_uniqueness_matches_pandas(spark, keys):
+    """Salted two-phase uniqueness == pandas duplicated() on any key
+    multiset."""
+    pdf = pd.DataFrame({"k": keys, "payload": range(len(keys))})
+    df = spark.createDataFrame(pdf)
+    viol = uniqueness_violations(df, ["k"], [])
+    got = sorted(r["payload"] for r in viol.collect())
+    expected = sorted(pdf[pdf["k"].map(pdf["k"].value_counts()) > 1]
+                      ["payload"].tolist())
+    assert got == expected
+
+
+@given(freqs=st.dictionaries(
+    st.sampled_from(["a", "b", "c", "d", "e"]),
+    st.integers(1, 30), min_size=1, max_size=5))
+@SET
+def test_categoric_frequencies_sum_to_one(spark, freqs):
+    data = [(k,) for k, n in freqs.items() for _ in range(n)]
+    df = spark.createDataFrame(data, "c string")
+    prof = build_profile(df, [Component("c", "categoric")])
+    s = prof.components["c"].stats
+    assert abs(sum(s.frequencies.values()) - 1.0) < 1e-9
+    assert s.counts == freqs
+    assert s.pinv == 0.0
