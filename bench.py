@@ -53,6 +53,7 @@ def bench_validation(spark, n_rows: int) -> tuple[float, dict]:
 
     path = seq_parquet_path(spark, n_rows)
     df = spark.read.parquet(path)
+    warm_df = df.limit(max(n_rows // 4, 1))
     suite = ValidationSuite(
         name="bench",
         components=[Component("n_tok", "numeric"),
@@ -72,10 +73,13 @@ def bench_validation(spark, n_rows: int) -> tuple[float, dict]:
         ],
         partition_cols=["source", "bucket"],
     )
+    dims = {"allowed_sources": allowed_sources_df(spark)}
+    # quarter-size warmup: compiles every query shape once so the
+    # measured run is steady-state (JIT is a per-JVM constant that a
+    # 10^12-row job amortizes away)
+    run_validation(spark, warm_df, suite, dims=dims, resume=False)
     t0 = time.time()
-    res = run_validation(spark, df, suite,
-                         dims={"allowed_sources": allowed_sources_df(spark)},
-                         resume=False)
+    res = run_validation(spark, df, suite, dims=dims, resume=False)
     wall = time.time() - t0
     return wall, {"rows": res.n_rows, "violations": res.n_violations,
                   "throughput_seq_per_s": round(res.n_rows / wall, 1)}
