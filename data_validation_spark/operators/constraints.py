@@ -57,6 +57,50 @@ def _row_violation_cond(c: Constraint) -> Column:
     raise ValueError(f"not a row-level constraint: {c.kind}")
 
 
+def row_violation_count_exprs(constraints: list[Constraint]) -> list[Column]:
+    """Aggregate columns counting each row-level constraint's violations
+    — designed to ride the SAME ``groupBy(partition_cols)`` as the stats
+    pass (operators/profile.py), so verdict counts cost zero extra scans
+    (one tokens decode instead of two per run)."""
+    return [F.sum(F.when(_row_violation_cond(c), 1).otherwise(0))
+            .alias(f"__viol__{c.name}") for c in constraints]
+
+
+def uniqueness_violation_counts(df: DataFrame, keys: list[str],
+                                partition_cols: list[str]) -> dict[str, int]:
+    """Per-partition count of rows whose key is duplicated — the
+    counts-only sibling of ``uniqueness_violations``: projects only
+    (keys ∪ partition_cols), so the scan never decodes payload columns."""
+    cols = list(dict.fromkeys([*keys, *partition_cols]))
+    slim = df.select(*cols)
+    partial = (slim.select(*keys)
+               .withColumn("__split", F.spark_partition_id())
+               .groupBy(*keys, "__split").agg(F.count(F.lit(1)).alias("__c")))
+    dup_keys = (partial.groupBy(*keys).agg(F.sum("__c").alias("__n"))
+                .filter(F.col("__n") > 1).select(*keys))
+    rows = (slim.join(dup_keys, on=keys, how="left_semi")
+            .groupBy(partition_label_col(partition_cols).alias("partition"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    return {r["partition"]: r["n"] for r in rows}
+
+
+def referential_violation_counts(df: DataFrame, column: str, dim: DataFrame,
+                                 partition_cols: list[str],
+                                 dim_column: str | None = None
+                                 ) -> dict[str, int]:
+    """Per-partition count of rows whose key is absent from the
+    dimension — counts-only sibling of ``referential_violations``
+    (pruned scan, broadcast anti-join, no payload columns)."""
+    dim_column = dim_column or column
+    cols = list(dict.fromkeys([column, *partition_cols]))
+    slim = df.select(*cols)
+    dim_keys = dim.select(F.col(dim_column).alias(column)).distinct()
+    rows = (slim.join(F.broadcast(dim_keys), on=column, how="left_anti")
+            .groupBy(partition_label_col(partition_cols).alias("partition"))
+            .agg(F.count(F.lit(1)).alias("n")).collect())
+    return {r["partition"]: r["n"] for r in rows}
+
+
 def row_level_violations(df: DataFrame, constraints: list[Constraint],
                          partition_cols: list[str]) -> DataFrame:
     """One vectorized pass: all row-level checks as boolean columns,

@@ -65,12 +65,20 @@ def _ccol(name: str) -> str:
     return f"__c_{name}"
 
 
+def _xcol(name: str) -> str:
+    return f"__x_{name}"
+
+
 def _project(df: DataFrame, components: list[Component],
-             partition_cols: list[str]) -> DataFrame:
+             partition_cols: list[str],
+             extra_conds: dict[str, F.Column] | None = None) -> DataFrame:
     """Evaluate extractor expressions once, up front (rdv Extractor ≡
-    Catalyst projection, SURVEY.md O7)."""
+    Catalyst projection, SURVEY.md O7).  ``extra_conds`` are row-level
+    boolean columns (constraint predicates) evaluated in the same
+    projection so their per-partition counts ride the stats agg."""
     cols = [F.col(c) for c in partition_cols]
     cols += [F.expr(c.expr).alias(_ccol(c.name)) for c in components]
+    cols += [cond.alias(_xcol(n)) for n, cond in (extra_conds or {}).items()]
     return df.select(*cols)
 
 
@@ -108,7 +116,9 @@ def _hist_specs(df: DataFrame, components: list[Component],
 
 def _catalyst_records(df: DataFrame, components: list[Component],
                       partition_cols: list[str], accuracy: int,
-                      quantile_strategy: str = "auto") -> list[dict]:
+                      quantile_strategy: str = "auto",
+                      extra_names: list[str] | None = None
+                      ) -> tuple[list[dict], dict[str, dict]]:
     """One main agg job computes every numeric/tokens summary AND every
     categoric component's (n, n_invalid) totals; exact-histogram
     quantiles for integral components ride one melt job; value counts
@@ -127,6 +137,9 @@ def _catalyst_records(df: DataFrame, components: list[Component],
                       include_quantiles=comp.name not in hist)
     for comp in categoric:
         exprs += categoric_agg_exprs(comp.name, _ccol(comp.name))
+    extra_names = extra_names or []
+    exprs += [F.sum(F.when(F.col(_xcol(n)), 1).otherwise(0))
+              .alias(_xcol(n)) for n in extra_names]
 
     # exact quantile histograms: one melt → one (pcols, comp, value)
     # count shuffle for ALL histogram components together
@@ -156,6 +169,7 @@ def _catalyst_records(df: DataFrame, components: list[Component],
                 part, {})[int(r["val"])] = r["count"]
 
     totals: dict[str, dict] = {}
+    extras: dict[str, dict] = {}
     if exprs:
         grouped = (df.groupBy(*partition_cols) if partition_cols else
                    df.groupBy())
@@ -164,6 +178,8 @@ def _catalyst_records(df: DataFrame, components: list[Component],
             part = partition_label(partition_cols,
                                    [d[c] for c in partition_cols])
             totals[part] = d
+            if extra_names:
+                extras[part] = {n: d[_xcol(n)] for n in extra_names}
             for comp in numericish:
                 rec = {"partition": part, "component": comp.name,
                        "ctype": comp.ctype, "freq": None}
@@ -197,7 +213,7 @@ def _catalyst_records(df: DataFrame, components: list[Component],
                 "freq": freq_by_part.get(part, {}),
                 **{k: None for k in _NUMERIC_KEYS[2:]},
             })
-    return records
+    return records, extras
 
 
 # ---------------------------------------------------------------------------
@@ -344,12 +360,41 @@ def build_profile(df: DataFrame, components: list[Component],
     sketch (use for unbounded/high-cardinality integer domains where a
     per-value histogram would not be small).
     """
+    profile, _ = build_profile_and_counts(
+        df, components, partition_cols, accuracy=accuracy, method=method,
+        name=name, quantile_strategy=quantile_strategy)
+    return profile
+
+
+def build_profile_and_counts(df: DataFrame, components: list[Component],
+                             partition_cols: list[str] | None = None,
+                             row_conds: dict[str, F.Column] | None = None,
+                             accuracy: int = DEFAULT_ACCURACY,
+                             method: str = "catalyst",
+                             name: str = "profile",
+                             quantile_strategy: str = "auto"
+                             ) -> tuple[Profile, dict[str, dict[str, int]]]:
+    """The spec's literal "single per-partition vectorized pass"
+    (BASELINE.json:6): one grouped aggregation computes every
+    component's stats AND the per-partition violation count of every
+    row-level constraint (``row_conds``: name → boolean violation
+    predicate).  Returns (profile, counts[partition][constraint]).
+    Sharing the scan halves the number of tokens-column decodes per
+    validation run (the dominant cost — see BENCH/BASELINE.md).
+    Counts require the catalyst method; the kernel path computes stats
+    only (runner falls back to a separate counting pass there).
+    """
     partition_cols = partition_cols or []
-    projected = _project(df, components, partition_cols)
+    row_conds = row_conds or {}
+    projected = _project(df, components, partition_cols, row_conds)
+    extras: dict[str, dict[str, int]] = {}
     if method == "catalyst":
-        records = _catalyst_records(projected, components, partition_cols,
-                                    accuracy, quantile_strategy)
+        records, extras = _catalyst_records(
+            projected, components, partition_cols, accuracy,
+            quantile_strategy, extra_names=list(row_conds))
     elif method == "kernel":
+        if row_conds:
+            raise ValueError("row_conds requires method='catalyst'")
         records = _kernel_records(projected, components, partition_cols)
     else:
         raise ValueError(f"unknown method {method!r}")
@@ -373,4 +418,4 @@ def build_profile(df: DataFrame, components: list[Component],
         profile.components[comp_def.name] = Component(
             name=comp_def.name, ctype=comp_def.ctype,
             extractor=comp_def.extractor, stats=_stats_from_record(merged))
-    return profile
+    return profile, extras

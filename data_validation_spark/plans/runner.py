@@ -20,12 +20,21 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from data_validation_spark.operators.constraints import (
-    ConstraintRun,
-    evaluate_constraints,
+    ROW_LEVEL_KINDS,
+    _row_violation_cond,
     partition_label_col,
+    referential_violation_counts,
+    referential_violations,
+    row_level_violations,
+    row_violation_count_exprs,
+    uniqueness_violation_counts,
+    uniqueness_violations,
 )
 from data_validation_spark.operators.contrast import DriftReport, contrast
-from data_validation_spark.operators.profile import build_profile
+from data_validation_spark.operators.profile import (
+    build_profile,
+    build_profile_and_counts,
+)
 from data_validation_spark.plans.manifest import (
     completed_partitions,
     write_manifest,
@@ -128,37 +137,81 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         return RunResult(run_id=run_id, profile=Profile(name=suite.name),
                          drift=None, skipped_partitions=skipped)
 
-    # -- one stats pass (S1-S7) ------------------------------------------
-    profile = build_profile(df, suite.components, pcols, method=method,
-                            name=suite.name)
+    # -- the single vectorized pass: stats + row-level verdict counts ----
+    # (BASELINE.json:6 — one grouped agg over one scan computes every
+    # component stat AND every row-level constraint's per-partition
+    # violation count; no second decode of the tokens column)
+    row_cs = [c for c in suite.constraints if c.kind in ROW_LEVEL_KINDS]
+    row_conds = {c.name: _row_violation_cond(c) for c in row_cs}
+    if method == "catalyst":
+        profile, counts_by_part = build_profile_and_counts(
+            df, suite.components, pcols, row_conds=row_conds,
+            method=method, name=suite.name)
+    else:  # kernel path computes stats only; count pass is separate
+        profile = build_profile(df, suite.components, pcols, method=method,
+                                name=suite.name)
+        counts_by_part = {}
+        if row_cs:
+            grouped = (df.groupBy(partition_label_col(pcols)
+                                  .alias("partition"))
+                       .agg(*row_violation_count_exprs(row_cs)))
+            for r in grouped.collect():
+                d = r.asDict()
+                counts_by_part[d["partition"]] = {
+                    c.name: d[f"__viol__{c.name}"] for c in row_cs}
 
-    # -- constraints pass (row-level + S8 + J1) ---------------------------
-    crun: ConstraintRun = evaluate_constraints(df, suite, dims)
+    # -- set-level constraints: counts-only, column-pruned scans ---------
+    # per-constraint: counts[partition] (S8 salted uniqueness, J1
+    # broadcast referential); violation ROWS are materialized lazily
+    # below only when a sink wants them
+    set_counts: dict[str, dict[str, int]] = {}
+    for c in suite.constraints:
+        if c.kind == "unique":
+            set_counts[c.name] = uniqueness_violation_counts(
+                df, list(c.params["keys"]), pcols)
+        elif c.kind == "referential":
+            p = c.params
+            dim = _resolve_dim(spark, p, dims)
+            set_counts[c.name] = referential_violation_counts(
+                df, p["column"], dim, pcols, p.get("dim_column"))
+
+    # -- verdict assembly (driver-side; universe = every observed
+    #    partition × every constraint, explicit passed=true rows) --------
+    all_parts = sorted(set(counts_by_part)
+                       | set(profile.partitions)
+                       | {p for d in set_counts.values() for p in d}) \
+        or ["<global>"]
+    verdicts = []
+    for part in all_parts:
+        for c in row_cs:
+            n = int((counts_by_part.get(part) or {}).get(c.name, 0))
+            verdicts.append({"partition": part, "constraint": c.name,
+                             "n_violations": n, "passed": n == 0})
+        for cname, per_part in set_counts.items():
+            n = int(per_part.get(part, 0))
+            verdicts.append({"partition": part, "constraint": cname,
+                             "n_violations": n, "passed": n == 0})
+
+    # -- drift (D1-D3) vs the frozen reference profile -------------------
+    drift = None
+    drift_cs = [c for c in suite.constraints if c.kind == "drift"]
+    if drift_cs and suite.reference is not None:
+        thresholds = {}
+        for c in drift_cs:
+            thresholds.update(c.params.get("thresholds", {}))
+        drift = contrast(profile, suite.reference, thresholds)
+
+    n_rows = next((c.stats.n for c in profile.components.values()
+                   if c.stats and c.stats.n is not None), 0)
+    n_viol = sum(v["n_violations"] for v in verdicts)
+
+    # -- sinks (violation rows materialized only here) -------------------
+    metrics = _metrics_rows(run_id, profile, verdicts, drift, lineage)
     if sink is not None:
-        crun.violations.persist(StorageLevel.MEMORY_AND_DISK)
-    try:
-        verdicts = [r.asDict() for r in crun.verdicts.collect()]
-
-        # -- drift (D1-D3) vs the frozen reference profile ----------------
-        drift = None
-        drift_cs = [c for c in suite.constraints if c.kind == "drift"]
-        if drift_cs and suite.reference is not None:
-            thresholds = {}
-            for c in drift_cs:
-                thresholds.update(c.params.get("thresholds", {}))
-            drift = contrast(profile, suite.reference, thresholds)
-
-        n_rows = next((c.stats.n for c in profile.components.values()
-                       if c.stats and c.stats.n is not None), 0)
-        # exact violation-row count only when the rows are persisted for
-        # the sink anyway; otherwise derive the (error-instance) total
-        # from the verdicts — avoids a full re-scan job per run
-        n_viol = (crun.violations.count() if sink is not None
-                  else sum(v["n_violations"] for v in verdicts))
-
-        # -- sinks ---------------------------------------------------------
-        metrics = _metrics_rows(run_id, profile, verdicts, drift, lineage)
-        if sink is not None:
+        violations = _violation_rows(spark, df, suite, dims)
+        violations.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            n_viol = violations.count()
             mdf = spark.createDataFrame(
                 metrics, "run_id string, partition string, component string, "
                          "metric string, value double, passed boolean, "
@@ -166,7 +219,7 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
             ).withColumn("ts", F.current_timestamp())
             sink.append(mdf, METRICS_TABLE)
             sink.append(
-                crun.violations
+                violations
                     .withColumn("run_id", F.lit(run_id))
                     .withColumn("errors", F.to_json("errors")),
                 VIOLATIONS_TABLE)
@@ -175,8 +228,8 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                 per_part_metrics[m[1]] = per_part_metrics.get(m[1], 0) + 1
             write_manifest(sink, spark, suite.name, run_id,
                            [(p, per_part_metrics.get(p, 0)) for p in todo])
-    finally:
-        crun.violations.unpersist()
+        finally:
+            violations.unpersist()
 
     return RunResult(run_id=run_id, profile=profile, drift=drift,
                      verdicts=verdicts, n_rows=n_rows or 0,
@@ -186,3 +239,43 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
 
 def partition_lbl(row, pcols: list[str]) -> str:
     return "/".join(f"{c}={row[c]}" for c in pcols)
+
+
+def _resolve_dim(spark: SparkSession, params: dict,
+                 dims: dict[str, DataFrame] | None) -> DataFrame:
+    """Referential dimension: inline value list or a named DataFrame."""
+    if "values" in params:
+        return spark.createDataFrame([(v,) for v in params["values"]],
+                                     f"{params['column']} string")
+    return (dims or {})[params["dim"]]
+
+
+def _violation_rows(spark: SparkSession, df: DataFrame,
+                    suite: ValidationSuite,
+                    dims: dict[str, DataFrame] | None) -> DataFrame:
+    """Full violation rows (original columns + partition + errors) —
+    the sink payload.  Kept OUT of the verdict path: verdict counts
+    come from the fused stats pass and column-pruned count jobs, so a
+    no-sink run never pays the row-materialization scans."""
+    pcols = suite.partition_cols
+    frames: list[DataFrame] = []
+    row_cs = [c for c in suite.constraints if c.kind in ROW_LEVEL_KINDS]
+    if row_cs:
+        frames.append(row_level_violations(df, row_cs, pcols))
+    for c in suite.constraints:
+        if c.kind == "unique":
+            frames.append(uniqueness_violations(
+                df, list(c.params["keys"]), pcols, c.name))
+        elif c.kind == "referential":
+            p = c.params
+            frames.append(referential_violations(
+                df, p["column"], _resolve_dim(spark, p, dims), pcols,
+                p.get("dim_column"), c.name))
+    if not frames:
+        return (df.limit(0)
+                .withColumn("errors", F.array(F.lit("")))
+                .withColumn("partition", partition_label_col(pcols)))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
