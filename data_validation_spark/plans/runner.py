@@ -143,6 +143,28 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     # violation count; no second decode of the tokens column)
     row_cs = [c for c in suite.constraints if c.kind in ROW_LEVEL_KINDS]
     row_conds = {c.name: _row_violation_cond(c) for c in row_cs}
+
+    # referential constraints against a broadcast-sized dimension fold
+    # into the fused pass as an isin condition (the dim would have been
+    # collected for a broadcast join anyway); larger dims keep the
+    # anti-join counting path below
+    _REF_INLINE_MAX = 10_000
+    inline_ref: set[str] = set()
+    if method == "catalyst":
+        for c in suite.constraints:
+            if c.kind != "referential":
+                continue
+            p = c.params
+            dim_col = p.get("dim_column") or p["column"]
+            vals = (list(p["values"]) if "values" in p else
+                    [r[0] for r in _resolve_dim(spark, p, dims)
+                     .select(dim_col).distinct()
+                     .limit(_REF_INLINE_MAX + 1).collect()])
+            if len(vals) <= _REF_INLINE_MAX:
+                col = F.col(p["column"])
+                row_conds[c.name] = col.isNull() | ~col.isin(vals)
+                inline_ref.add(c.name)
+
     if method == "catalyst":
         profile, counts_by_part = build_profile_and_counts(
             df, suite.components, pcols, row_conds=row_conds,
@@ -169,7 +191,7 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         if c.kind == "unique":
             set_counts[c.name] = uniqueness_violation_counts(
                 df, list(c.params["keys"]), pcols)
-        elif c.kind == "referential":
+        elif c.kind == "referential" and c.name not in inline_ref:
             p = c.params
             dim = _resolve_dim(spark, p, dims)
             set_counts[c.name] = referential_violation_counts(
@@ -182,10 +204,11 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                        | {p for d in set_counts.values() for p in d}) \
         or ["<global>"]
     verdicts = []
+    fused_names = [c.name for c in row_cs] + sorted(inline_ref)
     for part in all_parts:
-        for c in row_cs:
-            n = int((counts_by_part.get(part) or {}).get(c.name, 0))
-            verdicts.append({"partition": part, "constraint": c.name,
+        for name in fused_names:
+            n = int((counts_by_part.get(part) or {}).get(name, 0))
+            verdicts.append({"partition": part, "constraint": name,
                              "n_violations": n, "passed": n == 0})
         for cname, per_part in set_counts.items():
             n = int(per_part.get(part, 0))
