@@ -464,7 +464,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "profile_numeric": f"""
             SELECT count(*) AS n,
-                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS n_invalid,
+                   sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_invalid,
                    min(n_chars) AS min_v, max(n_chars) AS max_v,
                    round(avg(n_chars), 6) AS mean_v,
                    round(stddev_samp(n_chars), 6) AS std_v
@@ -506,12 +507,12 @@ def oracle_sql() -> dict[str, str]:
         "verdicts_per_source": f"""
             WITH v AS (
               SELECT source, 'bounds_n_chars' AS c,
-                     sum(CASE WHEN {bounds_pred} THEN 1 ELSE 0 END) AS n
+                     sum(CASE WHEN {bounds_pred} THEN 1 ELSE 0 END)::BIGINT AS n
               FROM documents GROUP BY source
               UNION ALL
               SELECT source, 'domain_lang' AS c,
                      sum(CASE WHEN lang IS NOT NULL AND {domain_pred}
-                         THEN 1 ELSE 0 END) AS n
+                         THEN 1 ELSE 0 END)::BIGINT AS n
               FROM documents GROUP BY source)
             SELECT 'source=' || source AS partition, c AS "constraint",
                    n AS n_violations, (n = 0) AS passed FROM v

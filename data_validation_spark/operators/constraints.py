@@ -171,12 +171,13 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
     frames: list[DataFrame] = []
     names: list[str] = []
 
-    row_cs = [c for c in suite.constraints if c.kind in ROW_LEVEL_KINDS]
+    constraints = suite.resolved_constraints()
+    row_cs = [c for c in constraints if c.kind in ROW_LEVEL_KINDS]
     if row_cs:
         frames.append(row_level_violations(df, row_cs, pcols))
         names += [c.name for c in row_cs]
 
-    for c in suite.constraints:
+    for c in constraints:
         if c.kind == "unique":
             frames.append(uniqueness_violations(
                 df, list(c.params["keys"]), pcols, c.name))

@@ -86,38 +86,110 @@ def _project(df: DataFrame, components: list[Component],
 # catalyst path
 # ---------------------------------------------------------------------------
 
-from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+import re
+
+from pyspark.sql.types import ArrayType, ByteType, IntegerType, LongType, ShortType
+from pyspark.sql.window import Window
 
 _INTEGRAL_TYPES = (ByteType, ShortType, IntegerType, LongType)
 
+#: max (partition × value) histogram rows collected per component before
+#: the exact-quantile path falls back to the in-pass sketch — bounds
+#: driver memory to ~tens of MB regardless of the column's cardinality
+HIST_MAX_GROUPS = 262_144
+#: max distinct (partition × value) groups a categoric component may
+#: have before frequencies switch from exact to top-k + __other__
+CATEGORIC_EXACT_MAX = 10_000
+#: number of values kept per partition in the top-k frequency path
+CATEGORIC_TOP_K = 100
+#: salt fan-out for the two-phase top-k window (bounds any single
+#: window-sort task to ~1/S of a partition's distinct values)
+_TOPK_SALTS = 32
+
+from data_validation_spark.plans.suite import OTHER_KEY
+
+
+def _array_referencing(components: list[Component],
+                       df: DataFrame) -> set[str]:
+    """Component names whose extractor expression mentions an
+    array-typed source column (e.g. ``size(tokens)``).  Such components
+    never take the separate exact-histogram job: that job would pay a
+    SECOND full decode of the array column (~9 s at local[4]/8M — the
+    dominant cost of anything touching tokens), so their quantiles stay
+    in the main agg's sketch instead."""
+    array_cols = [f.name for f in df.schema.fields
+                  if isinstance(f.dataType, ArrayType)]
+    out: set[str] = set()
+    for comp in components:
+        expr = comp.expr
+        if any(re.search(rf"\b{re.escape(c)}\b", expr) for c in array_cols):
+            out.add(comp.name)
+    return out
+
 
 def _hist_specs(df: DataFrame, components: list[Component],
-                quantile_strategy: str) -> dict[str, F.Column]:
+                quantile_strategy: str,
+                sketch_forced: set[str]) -> dict[str, F.Column]:
     """Components whose quantiles come from an exact value histogram
     instead of a GK sketch: SCALAR integral-typed numerics (bounded
     domains — n_tok).  The histogram job scans only the pruned scalar
     columns (measured 1.5 s vs 4+ s of sketch time at local[4]/8M rows)
-    and the result is EXACT.  Token-length quantiles deliberately stay
-    in the main agg's sketch: a separate histogram job would pay a
-    second full decode of the tokens column (~9 s at local[4]/8M —
-    the dominant cost of anything touching tokens), which is worse
-    than the in-pass sketch.  ``quantile_strategy="sketch"`` forces the
-    sketch everywhere (use for unbounded/high-cardinality ints)."""
+    and the result is EXACT.  Guards (all can be pinned per component
+    via ``Component.quantile_strategy``):
+
+    * ``sketch_forced`` — array-derived components (second-decode cost,
+      see ``_array_referencing``) stay on the in-pass sketch;
+    * a reactive cardinality guard in ``_catalyst_records`` drops any
+      component whose histogram exceeds ``HIST_MAX_GROUPS`` rows back to
+      the sketch BEFORE anything is collected to the driver, so an
+      unbounded integral column (ids, epochs) can never OOM the driver.
+
+    ``quantile_strategy="sketch"`` forces the sketch everywhere."""
     if quantile_strategy == "sketch":
         return {}
     specs: dict[str, F.Column] = {}
     for comp in components:
-        if comp.ctype == "numeric":
-            dtype = df.schema[_ccol(comp.name)].dataType
-            if isinstance(dtype, _INTEGRAL_TYPES):
-                specs[comp.name] = F.col(_ccol(comp.name)).cast("long")
+        if comp.ctype != "numeric":
+            continue
+        override = comp.quantile_strategy
+        if override == "sketch":
+            continue
+        dtype = df.schema[_ccol(comp.name)].dataType
+        if not isinstance(dtype, _INTEGRAL_TYPES):
+            continue
+        if override != "hist" and comp.name in sketch_forced:
+            continue
+        specs[comp.name] = F.col(_ccol(comp.name)).cast("long")
     return specs
+
+
+def _topk_count_rows(counts: DataFrame, partition_cols: list[str],
+                     val_col: str, k: int) -> list:
+    """Deterministic per-partition top-k over a (pcols, value, count)
+    frame via a salted two-phase window (S9 at scale): rank within
+    (pcols, salt) first — no single window task ever sorts more than
+    ~1/``_TOPK_SALTS`` of a partition's distinct values — then rank the
+    ≤ S×k survivors globally per partition.  Ties break on value asc,
+    so the result is reproducible across runs/engines."""
+    order = [F.desc("count"), F.asc(val_col)]
+    salted = (counts
+              .where(F.col(val_col).isNotNull())
+              .withColumn("__salt",
+                          F.pmod(F.xxhash64(F.col(val_col).cast("string")),
+                                 F.lit(_TOPK_SALTS))))
+    w1 = Window.partitionBy(*partition_cols, "__salt").orderBy(*order)
+    cand = (salted.withColumn("__rk", F.row_number().over(w1))
+            .where(F.col("__rk") <= k).drop("__rk", "__salt"))
+    w2 = Window.partitionBy(*partition_cols).orderBy(*order)
+    return (cand.withColumn("__rk", F.row_number().over(w2))
+            .where(F.col("__rk") <= k).drop("__rk").collect())
 
 
 def _catalyst_records(df: DataFrame, components: list[Component],
                       partition_cols: list[str], accuracy: int,
                       quantile_strategy: str = "auto",
-                      extra_names: list[str] | None = None
+                      extra_names: list[str] | None = None,
+                      sketch_forced: set[str] = frozenset()
                       ) -> tuple[list[dict], dict[str, dict]]:
     """One main agg job computes every numeric/tokens summary AND every
     categoric component's (n, n_invalid) totals; exact-histogram
@@ -128,7 +200,53 @@ def _catalyst_records(df: DataFrame, components: list[Component],
     categoric = [c for c in components if c.ctype == "categoric"]
     records: list[dict] = []
 
-    hist = _hist_specs(df, numericish, quantile_strategy)
+    hist = _hist_specs(df, numericish, quantile_strategy, sketch_forced)
+
+    # exact quantile histograms: one melt → one (pcols, comp, value)
+    # count shuffle for ALL histogram components together.  The counts
+    # frame is cached and sized per component BEFORE collecting: a
+    # component whose histogram exceeds HIST_MAX_GROUPS (unbounded ids /
+    # epochs under strategy "auto") falls back to the in-pass sketch —
+    # the guard runs cluster-side, the driver never sees the big rows.
+    hists: dict[str, dict[str, dict[int, int]]] = {}  # comp -> part -> {v: c}
+    if hist:
+        if len(hist) == 1:  # common case: no melt/row-duplication needed
+            only = next(iter(hist))
+            hist_counts = (df.select(*partition_cols,
+                                     F.lit(only).alias("comp"),
+                                     hist[only].alias("val"))
+                           .groupBy(*partition_cols, "comp", "val").count())
+        else:
+            pair = F.explode(F.array(*[
+                F.struct(F.lit(name).alias("comp"), col.alias("val"))
+                for name, col in hist.items()])).alias("pair")
+            hist_counts = (df.select(*partition_cols, pair)
+                           .select(*partition_cols, "pair.comp", "pair.val")
+                           .groupBy(*partition_cols, "comp", "val").count())
+        forced = {n for n in hist
+                  if next(c.quantile_strategy for c in numericish
+                          if c.name == n) == "hist"}
+        if hist.keys() - forced:  # any component still subject to the guard
+            hist_counts.persist()
+            per_comp = {r["comp"]: r["cnt"] for r in
+                        hist_counts.groupBy("comp")
+                        .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+            too_big = {n for n, c in per_comp.items()
+                       if c > HIST_MAX_GROUPS and n not in forced}
+        else:
+            too_big = set()
+        keep = set(hist) - too_big
+        hist_rows = (hist_counts.where(F.col("comp").isin(list(keep)))
+                     .collect() if keep else [])
+        hist_counts.unpersist()
+        hist = {n: c for n, c in hist.items() if n in keep}
+        for r in hist_rows:
+            if r["val"] is None:
+                continue
+            part = partition_label(partition_cols,
+                                   [r[c] for c in partition_cols])
+            hists.setdefault(r["comp"], {}).setdefault(
+                part, {})[int(r["val"])] = r["count"]
 
     exprs = []
     for comp in numericish:
@@ -140,33 +258,6 @@ def _catalyst_records(df: DataFrame, components: list[Component],
     extra_names = extra_names or []
     exprs += [F.sum(F.when(F.col(_xcol(n)), 1).otherwise(0))
               .alias(_xcol(n)) for n in extra_names]
-
-    # exact quantile histograms: one melt → one (pcols, comp, value)
-    # count shuffle for ALL histogram components together
-    hists: dict[str, dict[str, dict[int, int]]] = {}  # comp -> part -> {v: c}
-    if hist:
-        if len(hist) == 1:  # common case: no melt/row-duplication needed
-            only = next(iter(hist))
-            hist_rows = (df.select(*partition_cols,
-                                   F.lit(only).alias("comp"),
-                                   hist[only].alias("val"))
-                         .groupBy(*partition_cols, "comp", "val").count()
-                         .collect())
-        else:
-            pair = F.explode(F.array(*[
-                F.struct(F.lit(name).alias("comp"), col.alias("val"))
-                for name, col in hist.items()])).alias("pair")
-            hist_rows = (df.select(*partition_cols, pair)
-                         .select(*partition_cols, "pair.comp", "pair.val")
-                         .groupBy(*partition_cols, "comp", "val").count()
-                         .collect())
-        for r in hist_rows:
-            if r["val"] is None:
-                continue
-            part = partition_label(partition_cols,
-                                   [r[c] for c in partition_cols])
-            hists.setdefault(r["comp"], {}).setdefault(
-                part, {})[int(r["val"])] = r["count"]
 
     totals: dict[str, dict] = {}
     extras: dict[str, dict] = {}
@@ -197,7 +288,26 @@ def _catalyst_records(df: DataFrame, components: list[Component],
 
     for comp in categoric:
         keys = [*partition_cols, _ccol(comp.name)]
-        counts = df.groupBy(*keys).count().collect()
+        counts_df = df.groupBy(*keys).count()
+        # cardinality guard: the expensive scan+shuffle happens once (the
+        # counts frame is cached); the collect is either the full value
+        # map (≤ CATEGORIC_EXACT_MAX groups) or a cluster-side salted
+        # top-k + remainder — driver memory is bounded either way.
+        # Component.freq_strategy pins the choice and skips the probe.
+        use_topk = comp.freq_strategy == "topk"
+        if comp.freq_strategy == "exact":
+            counts = counts_df.collect()
+        elif use_topk:
+            counts = _topk_count_rows(counts_df, partition_cols,
+                                      _ccol(comp.name), CATEGORIC_TOP_K)
+        else:
+            counts_df.persist()
+            n_groups = counts_df.count()
+            use_topk = n_groups > CATEGORIC_EXACT_MAX
+            counts = (_topk_count_rows(counts_df, partition_cols,
+                                       _ccol(comp.name), CATEGORIC_TOP_K)
+                      if use_topk else counts_df.collect())
+            counts_df.unpersist()
         freq_by_part: dict[str, dict[str, int]] = {}
         for r in counts:
             part = partition_label(partition_cols, [r[c] for c in partition_cols])
@@ -205,12 +315,20 @@ def _catalyst_records(df: DataFrame, components: list[Component],
             if val is not None:
                 freq_by_part.setdefault(part, {})[str(val)] = r["count"]
         for part, tot in totals.items():
+            freq = freq_by_part.get(part, {})
+            if use_topk:
+                # remainder mass, from totals already in hand — no extra job
+                other = (tot[f"{comp.name}__n"]
+                         - tot[f"{comp.name}__n_invalid"]
+                         - sum(freq.values()))
+                if other > 0:
+                    freq[OTHER_KEY] = other
             records.append({
                 "partition": part, "component": comp.name,
                 "ctype": "categoric",
                 "n": tot[f"{comp.name}__n"],
                 "n_invalid": tot[f"{comp.name}__n_invalid"],
-                "freq": freq_by_part.get(part, {}),
+                "freq": freq,
                 **{k: None for k in _NUMERIC_KEYS[2:]},
             })
     return records, extras
@@ -244,8 +362,20 @@ def _make_kernel(components: list[Component], partition_cols: list[str]):
             if ctype == "categoric":
                 base["n_invalid"] = int(col.isna().sum())
                 freq = col.dropna().astype(str).value_counts()
-                base["freq_json"] = json.dumps(
-                    {k: int(v) for k, v in freq.items()}, sort_keys=True)
+                if len(freq) > CATEGORIC_EXACT_MAX:
+                    # bound the Arrow batch returned per partition: keep
+                    # top-k (count desc, value asc — matches the catalyst
+                    # path's determinism) and fold the rest into OTHER_KEY
+                    fd = {k: int(v) for k, v in freq.items()}
+                    top = sorted(fd.items(), key=lambda kv: (-kv[1], kv[0])
+                                 )[:CATEGORIC_TOP_K]
+                    other = sum(fd.values()) - sum(v for _, v in top)
+                    fd = dict(top)
+                    if other > 0:
+                        fd[OTHER_KEY] = other
+                else:
+                    fd = {k: int(v) for k, v in freq.items()}
+                base["freq_json"] = json.dumps(fd, sort_keys=True)
             else:
                 if ctype == "tokens":
                     isnull = col.isna()
@@ -391,7 +521,8 @@ def build_profile_and_counts(df: DataFrame, components: list[Component],
     if method == "catalyst":
         records, extras = _catalyst_records(
             projected, components, partition_cols, accuracy,
-            quantile_strategy, extra_names=list(row_conds))
+            quantile_strategy, extra_names=list(row_conds),
+            sketch_forced=_array_referencing(components, df))
     elif method == "kernel":
         if row_conds:
             raise ValueError("row_conds requires method='catalyst'")

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import json
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,7 +55,12 @@ class RunResult:
     drift: DriftReport | None
     verdicts: list[dict] = field(default_factory=list)
     n_rows: int = 0
+    # sum of per-constraint verdict counts — a row failing two
+    # constraints counts twice; identical definition with/without sink
     n_violations: int = 0
+    # distinct violating rows written to the sink (None without a sink);
+    # <= n_violations because one row may fail several constraints
+    n_violation_rows: int | None = None
     partitions: list[str] = field(default_factory=list)
     skipped_partitions: list[str] = field(default_factory=list)
 
@@ -113,6 +118,9 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     """Validate ``df`` against ``suite``; optionally write metrics /
     violations / manifest through ``sink`` (IO5-IO7)."""
     run_id = run_id or uuid.uuid4().hex[:12]
+    # fill documented defaults (e.g. in_domain ← reference domain) up
+    # front so a bad suite fails here with a clear message, not mid-job
+    suite = replace(suite, constraints=suite.resolved_constraints())
     pcols = suite.partition_cols
     lineage = dict(lineage or {})
 
@@ -156,10 +164,17 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                 continue
             p = c.params
             dim_col = p.get("dim_column") or p["column"]
+            # NULLs in the dim are dropped BEFORE isin: a None inside the
+            # IN-list makes the predicate NULL (never true) for every
+            # non-matching row under SQL three-valued logic, silently
+            # zeroing the violation count.  A NULL dim key also can't
+            # legitimise a NULL fact value — the anti-join path agrees.
             vals = (list(p["values"]) if "values" in p else
                     [r[0] for r in _resolve_dim(spark, p, dims)
-                     .select(dim_col).distinct()
+                     .select(dim_col).where(F.col(dim_col).isNotNull())
+                     .distinct()
                      .limit(_REF_INLINE_MAX + 1).collect()])
+            vals = [v for v in vals if v is not None]
             if len(vals) <= _REF_INLINE_MAX:
                 col = F.col(p["column"])
                 row_conds[c.name] = col.isNull() | ~col.isin(vals)
@@ -182,20 +197,42 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                 counts_by_part[d["partition"]] = {
                     c.name: d[f"__viol__{c.name}"] for c in row_cs}
 
-    # -- set-level constraints: counts-only, column-pruned scans ---------
-    # per-constraint: counts[partition] (S8 salted uniqueness, J1
-    # broadcast referential); violation ROWS are materialized lazily
-    # below only when a sink wants them
+    # -- set-level constraints -------------------------------------------
+    # Without a sink: counts-only, column-pruned scans per constraint
+    # (S8 salted uniqueness, J1 broadcast referential) — violation ROWS
+    # are never materialized.  WITH a sink the rows must be materialized
+    # anyway, so the counts jobs would run the same joins twice; instead
+    # the violations frame is built + persisted here and set-level counts
+    # are derived from it in one action (row-level counts still ride the
+    # fused stats pass for free either way).
+    set_names = [c.name for c in suite.constraints
+                 if c.kind == "unique"
+                 or (c.kind == "referential" and c.name not in inline_ref)]
     set_counts: dict[str, dict[str, int]] = {}
-    for c in suite.constraints:
-        if c.kind == "unique":
-            set_counts[c.name] = uniqueness_violation_counts(
-                df, list(c.params["keys"]), pcols)
-        elif c.kind == "referential" and c.name not in inline_ref:
-            p = c.params
-            dim = _resolve_dim(spark, p, dims)
-            set_counts[c.name] = referential_violation_counts(
-                df, p["column"], dim, pcols, p.get("dim_column"))
+    violations: DataFrame | None = None
+    if sink is not None:
+        violations = _violation_rows(spark, df, suite, dims)
+        violations.persist(StorageLevel.MEMORY_AND_DISK)
+        if set_names:
+            counted = (violations
+                       .select("partition",
+                               F.explode("errors").alias("constraint"))
+                       .where(F.col("constraint").isin(set_names))
+                       .groupBy("partition", "constraint")
+                       .agg(F.count(F.lit(1)).alias("n")).collect())
+            set_counts = {n: {} for n in set_names}
+            for r in counted:
+                set_counts[r["constraint"]][r["partition"]] = r["n"]
+    else:
+        for c in suite.constraints:
+            if c.kind == "unique":
+                set_counts[c.name] = uniqueness_violation_counts(
+                    df, list(c.params["keys"]), pcols)
+            elif c.kind == "referential" and c.name not in inline_ref:
+                p = c.params
+                dim = _resolve_dim(spark, p, dims)
+                set_counts[c.name] = referential_violation_counts(
+                    df, p["column"], dim, pcols, p.get("dim_column"))
 
     # -- verdict assembly (driver-side; universe = every observed
     #    partition × every constraint, explicit passed=true rows) --------
@@ -227,14 +264,13 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     n_rows = next((c.stats.n for c in profile.components.values()
                    if c.stats and c.stats.n is not None), 0)
     n_viol = sum(v["n_violations"] for v in verdicts)
+    n_viol_rows: int | None = None
 
-    # -- sinks (violation rows materialized only here) -------------------
+    # -- sinks (violations frame already materialized + cached above) ----
     metrics = _metrics_rows(run_id, profile, verdicts, drift, lineage)
     if sink is not None:
-        violations = _violation_rows(spark, df, suite, dims)
-        violations.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            n_viol = violations.count()
+            n_viol_rows = violations.count()
             mdf = spark.createDataFrame(
                 metrics, "run_id string, partition string, component string, "
                          "metric string, value double, passed boolean, "
@@ -256,7 +292,8 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
 
     return RunResult(run_id=run_id, profile=profile, drift=drift,
                      verdicts=verdicts, n_rows=n_rows or 0,
-                     n_violations=n_viol, partitions=todo,
+                     n_violations=n_viol, n_violation_rows=n_viol_rows,
+                     partitions=todo,
                      skipped_partitions=skipped)
 
 

@@ -22,6 +22,10 @@ from typing import Any
 N_QUANTILES = 101
 QUANTILE_PROBS = [i / 100.0 for i in range(N_QUANTILES)]
 
+#: pseudo-category holding the remainder mass when a high-cardinality
+#: categoric component is profiled as top-k + other (operators/profile.py)
+OTHER_KEY = "__other__"
+
 
 class NotBuiltError(RuntimeError):
     """Raised when validating/contrasting with an unbuilt profile
@@ -82,7 +86,8 @@ class CategoricStats:
 
     @property
     def domain(self) -> list[str]:
-        return sorted(self.frequencies or {})
+        # OTHER_KEY is remainder mass from a top-k profile, not a value
+        return sorted(k for k in (self.frequencies or {}) if k != OTHER_KEY)
 
     def to_jcr(self) -> dict[str, Any]:
         return {"type": "categoric", "frequencies": self.frequencies,
@@ -115,6 +120,14 @@ class Component:
     ctype: str  # "numeric" | "categoric"
     extractor: str | None = None  # SQL expression; defaults to the name
     stats: NumericStats | CategoricStats | None = None
+    # per-component strategy overrides (None = engine decides with a
+    # cardinality guard — operators/profile.py):
+    #   quantile_strategy: "hist" (exact value histogram) | "sketch"
+    #   freq_strategy:     "exact" (full value counts)    | "topk"
+    # Production suites over known-high-cardinality columns should pin
+    # these so the engine never has to probe.
+    quantile_strategy: str | None = None
+    freq_strategy: str | None = None
 
     @property
     def expr(self) -> str:
@@ -126,13 +139,17 @@ class Component:
     def to_jcr(self) -> dict[str, Any]:
         return {"name": self.name, "ctype": self.ctype,
                 "extractor": self.extractor,
-                "stats": self.stats.to_jcr() if self.stats else None}
+                "stats": self.stats.to_jcr() if self.stats else None,
+                "quantile_strategy": self.quantile_strategy,
+                "freq_strategy": self.freq_strategy}
 
     @classmethod
     def from_jcr(cls, d: dict[str, Any]) -> Component:
         return cls(name=d["name"], ctype=d["ctype"],
                    extractor=d.get("extractor"),
-                   stats=_stats_from_jcr(d.get("stats")))
+                   stats=_stats_from_jcr(d.get("stats")),
+                   quantile_strategy=d.get("quantile_strategy"),
+                   freq_strategy=d.get("freq_strategy"))
 
 
 @dataclass
@@ -236,6 +253,32 @@ class ValidationSuite:
     constraints: list[Constraint] = field(default_factory=list)
     reference: Profile | None = None
     partition_cols: list[str] = field(default_factory=list)
+
+    def resolved_constraints(self) -> list[Constraint]:
+        """Constraints with documented defaults filled in.
+
+        ``in_domain`` without ``values`` defaults to the reference
+        profile's categoric domain for that component (the docstring
+        contract above); with no usable reference domain it raises a
+        clear error instead of a KeyError deep in the evaluator.
+        """
+        out: list[Constraint] = []
+        for c in self.constraints:
+            if c.kind == "in_domain" and "values" not in c.params:
+                comp = c.params.get("component")
+                stats = None
+                if self.reference is not None and comp in self.reference.components:
+                    stats = self.reference.components[comp].stats
+                domain = stats.domain if isinstance(stats, CategoricStats) else None
+                if not domain:
+                    raise ValueError(
+                        f"in_domain constraint {c.name!r}: no 'values' given "
+                        f"and the suite's reference profile has no built "
+                        f"categoric domain for component {comp!r}")
+                c = Constraint(name=c.name, kind=c.kind,
+                               params={**c.params, "values": list(domain)})
+            out.append(c)
+        return out
 
     def to_jcr(self) -> dict[str, Any]:
         return {
