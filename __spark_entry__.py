@@ -353,6 +353,19 @@ def q_embedding_near_dups(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_minhash_recall(spark, sf_dir):
+    """End-to-end recall check of the MinHash+LSH tier: on the doubled
+    documents table, every exact-duplicate pair has Jaccard 1.0 and an
+    IDENTICAL signature, so all bands agree and LSH finds it with
+    probability 1 — the pipeline's output at threshold ~1.0 must equal
+    the exact same-normalized-text pairs DuckDB computes (oracle-
+    checked; verified pairwise-identical at sf0.001 and sf0.01)."""
+    df = _t(spark, sf_dir, "documents")
+    doubled = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 100000))
+    return (minhash_near_duplicates(doubled, threshold=0.999999)
+            .select("id_a", "id_b"))
+
+
 def q_drift_report(spark, sf_dir):
     """D1-D3 — chi2/KS/PSI drift of the en-only slice vs the full
     documents profile (driver-side contrast on collected aggregates)."""
@@ -447,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_scores": q_quality_scores,
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "events_windowed": q_events_windowed,
+        "minhash_recall": q_minhash_recall,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -674,5 +688,23 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        # ground truth for the MinHash+LSH pipeline at threshold ~1.0:
+        # Jaccard-1 pairs == identical whitespace-normalized word
+        # sequences (shingle sets equal), expressible as a fingerprint
+        # self-join — identical docs always share every LSH band, so the
+        # pipeline's recall on these pairs must be exactly 1
+        "minhash_recall": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+              FROM d
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
         """,
     }

@@ -79,15 +79,37 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                      .alias("signature"))
 
 
+def _bucket_drop_stats(banded: DataFrame, keys: list[str],
+                       max_bucket: int) -> dict:
+    """One aggregate action over a banded frame counting what the
+    hot-bucket cap will exclude: (n_buckets, n_dropped_buckets,
+    n_dropped_memberships).  A pipeline owner cannot trust "0 near-dups
+    found" without these.  Costs one extra evaluation of the banded
+    plan — opt in via the operators' ``stats_out``."""
+    over = F.col("n") > max_bucket
+    r = (banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.count(F.lit(1)).alias("n_buckets"),
+              F.sum(F.when(over, 1).otherwise(0)).alias("dropped_buckets"),
+              F.sum(F.when(over, F.col("n")).otherwise(0))
+              .alias("dropped_members")).collect()[0])
+    return {"n_buckets": r["n_buckets"],
+            "n_dropped_buckets": int(r["dropped_buckets"] or 0),
+            "n_dropped_memberships": int(r["dropped_members"] or 0)}
+
+
 def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k_shingle: int = 3,
                         n_hashes: int = 16, bands: int = 4,
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000,
+                        stats_out: dict | None = None) -> DataFrame:
     """Candidate near-dup pairs (id_a < id_b) sharing ≥1 LSH band bucket.
 
     Hot-bucket guard: buckets larger than ``max_bucket`` are dropped
     (they are almost always boilerplate/templated content and would go
-    quadratic); count what was dropped before relying on recall.
+    quadratic).  Pass ``stats_out={}`` to get the drop accounting —
+    n_dropped_buckets / n_dropped_memberships (a doc dropped from one
+    band can still be found through its other bands, so memberships,
+    not docs) — at the cost of one extra signature pass.
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
@@ -103,6 +125,9 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
             F.col("signature"),
             lambda s: band_hashes_col(s, bands, rows)))
         .alias("band", "band_hash")))
+    if stats_out is not None:
+        stats_out.update(_bucket_drop_stats(
+            banded, ["band", "band_hash"], max_bucket))
     sizes = (banded.groupBy("band", "band_hash")
              .agg(F.count(F.lit(1)).alias("bucket_n"))
              .filter((F.col("bucket_n") > 1)
@@ -135,10 +160,13 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", k_shingle: int = 3,
                             n_hashes: int = 16, bands: int = 4,
                             threshold: float = 0.7,
-                            max_bucket: int = 1000) -> DataFrame:
-    """LSH candidates verified by exact Jaccard ≥ threshold."""
+                            max_bucket: int = 1000,
+                            stats_out: dict | None = None) -> DataFrame:
+    """LSH candidates verified by exact Jaccard ≥ threshold.
+    ``stats_out={}`` adds hot-bucket drop accounting (see
+    ``lsh_candidate_pairs``)."""
     pairs = lsh_candidate_pairs(df, text_col, id_col, k_shingle,
-                                n_hashes, bands, max_bucket)
+                                n_hashes, bands, max_bucket, stats_out)
     return (verify_pairs_jaccard(df, pairs, text_col, id_col, k_shingle)
             .filter(F.col("jaccard") >= threshold))
 
@@ -149,22 +177,42 @@ def minhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def _simhash_kernel(texts: pd.Series) -> pd.Series:
     """Vectorized 64-bit SimHash: per-word SipHash via
-    pandas.util.hash_array (C-level, deterministic fixed key), bit
-    contributions accumulated with np.add.at — no per-row Python loop."""
+    pandas.util.hash_array (C-level, deterministic fixed key).
+
+    Bit accumulation is a segment reduction: ``explode`` keeps words
+    grouped by source row, so per-row bit sums are 64 ``np.bincount``
+    calls over a repeat-built segment-id vector (measured 0.8 s/1.5M
+    words vs 5 s for the ``np.add.at`` scatter-add it replaces and
+    4-14 s for reduceat/cumsum formulations on this numpy build).  The
+    ±1 matrix is folded to popcount form — sum(±1) = 2·ones − n_words —
+    so only the 0/1 bit matrix (uint8, via ``np.unpackbits`` on the
+    hash bytes) is ever materialized."""
     s = texts.fillna("").str.strip().str.lower()
     words = s.str.split()
-    exploded = words.explode()
-    mask = exploded.notna()
-    if not mask.any():
+    n_words = words.str.len().to_numpy(dtype=np.int64)
+    if n_words.sum() == 0:
         return pd.Series(np.zeros(len(s), dtype=np.int64), index=texts.index)
-    flat = exploded[mask]
-    row_pos = pd.Series(np.arange(len(s)), index=s.index)
-    rows = row_pos.reindex(flat.index).to_numpy()
-    h = pd.util.hash_array(flat.to_numpy(dtype=object), categorize=False)
-    bits = (((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1)
-            .astype(np.int32) * 2 - 1)
+    # explode emits rows in row-major order (one NaN for empty rows), so
+    # the word→row map is a plain repeat — no pandas reindex needed
+    exploded = words.explode().to_numpy()
+    flat = exploded[np.repeat(n_words > 0, np.maximum(n_words, 1))]
+    rows = np.repeat(np.arange(len(s)), n_words)  # sorted by construction
+    h = pd.util.hash_array(flat, categorize=False)
+    # bit matrix via unpackbits on the little-endian bytes (memcpy-speed;
+    # the uint64 broadcast-shift formulation spent ~20 s per 1.5M words
+    # on this expansion alone): column b == (h >> b) & 1
+    ones = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1,
+                         bitorder="little")
+    starts = np.flatnonzero(np.r_[True, rows[1:] != rows[:-1]])
+    seg_rows = rows[starts]
+    seg_ids = np.repeat(np.arange(len(starts)),
+                        np.diff(np.r_[starts, len(rows)]))
+    seg_ones = np.empty((len(starts), 64), dtype=np.int64)
+    for b in range(64):
+        seg_ones[:, b] = np.bincount(seg_ids, weights=ones[:, b],
+                                     minlength=len(starts))
     acc = np.zeros((len(s), 64), dtype=np.int64)
-    np.add.at(acc, rows, bits)
+    acc[seg_rows] = 2 * seg_ones - n_words[seg_rows, None]
     out = (acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
     return pd.Series(out.sum(axis=1).astype(np.int64, copy=False).view(np.int64),
                      index=texts.index)
@@ -181,13 +229,16 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id", max_hamming: int = 3,
-                            max_bucket: int = 10000) -> DataFrame:
+                            max_bucket: int = 10000,
+                            stats_out: dict | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
     Candidate generation: split the 64-bit hash into max_hamming+1
     16-bit bands — any pair within the Hamming radius must agree on at
     least one band (pigeonhole), so a band-bucket equi-join finds all of
     them; verification is JVM-side bit_count(a XOR b).
+    ``stats_out={}`` adds hot-bucket drop accounting (one extra
+    signature pass — see ``lsh_candidate_pairs``).
     """
     n_bands = 4
     sig = simhash_signatures(df, text_col, id_col)
@@ -197,6 +248,9 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
             F.shiftrightunsigned(F.col("simhash"), 16 * b)
             .bitwiseAND(F.lit(0xFFFF)) for b in range(n_bands)]))
         .alias("band", "band_key"))
+    if stats_out is not None:
+        stats_out.update(_bucket_drop_stats(
+            banded, ["band", "band_key"], max_bucket))
     sizes = (banded.groupBy("band", "band_key")
              .agg(F.count(F.lit(1)).alias("n"))
              .filter((F.col("n") > 1) & (F.col("n") <= max_bucket)))

@@ -129,21 +129,164 @@ def lsh_bucketed_topk(index: DataFrame, query_vec, k: int = 10,
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+#: cap on oversized-(table, bucket) ids collected to the driver per
+#: split round; past this the split stops and the remainder is counted
+#: as dropped (the cap itself bounds driver memory to a few MB)
+_SPLIT_COLLECT_MAX = 65_536
+
+
+def scaled_n_planes(n_rows: int, target_bucket: int = 1024,
+                    lo: int = 4, hi: int = 24) -> int:
+    """Hyperplane count giving an EXPECTED bucket size of
+    ``target_bucket``: k = log2(N / target).  A fixed k partitions the
+    whole space into a constant 2^k buckets, so bucket sizes — and the
+    per-bucket O(b²) verify — grow linearly with data; scaling k with N
+    keeps them constant at any scale."""
+    import math
+    if n_rows <= target_bucket:
+        return lo
+    return int(min(hi, max(lo, math.ceil(math.log2(n_rows / target_bucket)))))
+
+
+def _multitable_kernel(planes_by_table: list[np.ndarray], base_planes: int,
+                       extra_planes: int,
+                       oversized_by_table: list[list[np.ndarray]],
+                       vec_col: str, id_col: str):
+    """Emit (id, table, bucket, vec) — one row per LSH table.
+
+    Refinement: a row whose depth-d bucket is in
+    ``oversized_by_table[t][d]`` takes ``extra_planes`` more sign bits
+    (parent bits stay in the low positions, so refined bucket ids can
+    never collide with ids from a different parent, and the plane
+    matrix's prefix rows are identical at every depth because
+    ``_hyperplanes`` fills its rows in C order from one seeded stream).
+    """
+    n_tables = len(planes_by_table)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            out_id, out_t, out_b = [], [], []
+            for t in range(n_tables):
+                signs = (mat @ planes_by_table[t].T) > 0
+                weights = (np.uint64(1) << np.arange(
+                    signs.shape[1], dtype=np.uint64))
+
+                def bucket_upto(nb):
+                    return (signs[:, :nb].astype(np.uint64)
+                            @ weights[:nb]).astype(np.int64)
+
+                bucket = bucket_upto(base_planes)
+                depth = np.zeros(len(pdf), dtype=np.int64)
+                for lvl, oset in enumerate(oversized_by_table[t]):
+                    if oset.size == 0:
+                        continue
+                    m = (depth == lvl) & np.isin(bucket, oset)
+                    if m.any():
+                        nb = base_planes + (lvl + 1) * extra_planes
+                        bucket[m] = bucket_upto(nb)[m]
+                        depth[m] = lvl + 1
+                out_id.append(ids)
+                out_t.append(np.full(len(pdf), t, dtype=np.int64))
+                out_b.append(bucket)
+            yield pd.DataFrame({
+                id_col: np.concatenate(out_id),
+                "table": np.concatenate(out_t),
+                "bucket": np.concatenate(out_b),
+                vec_col: np.tile(pdf[vec_col].to_numpy(), n_tables)})
+    return assign
+
+
 def embedding_near_duplicates(df: DataFrame, dim: int,
-                              threshold: float = 0.95, n_planes: int = 10,
+                              threshold: float = 0.95,
+                              n_planes: int | None = None,
+                              n_tables: int = 4,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
                               seed: int = DEFAULT_SEED,
-                              max_bucket: int = 5000) -> DataFrame:
-    """Embedding-cosine near-dup pairs: candidates must share an LSH
-    sign bucket (high-cosine pairs almost always do at small n_planes);
-    verification is an exact pairwise cosine inside each bucket via an
-    Arrow-batched numpy kernel (applyInPandas per bucket)."""
-    index = lsh_bucket_index(df, dim, n_planes, vec_col, id_col, seed)
-    sizes = index.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
-    index = index.join(
-        sizes.filter((F.col("n") > 1) & (F.col("n") <= max_bucket))
-        .select("bucket"), "bucket")
+                              max_bucket: int = 5000,
+                              target_bucket: int = 1024,
+                              extra_planes: int = 6,
+                              max_split_rounds: int = 3,
+                              stats_out: dict | None = None) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ threshold, id_a < id_b).
+
+    Scale-safe LSH geometry (the fixed-10-plane, drop-the-rest version
+    silently lost all recall once every bucket outgrew ``max_bucket``):
+
+    * ``n_planes`` defaults to ``scaled_n_planes(count)`` — expected
+      bucket size stays ~``target_bucket`` at ANY data size;
+    * ``n_tables`` independent hash tables recover the recall that more
+      planes per table would destroy: a pair is a candidate if it
+      collides in ANY table — est. recall 1-(1-p^k)^L with
+      p = 1 - arccos(threshold)/π;
+    * buckets still over ``max_bucket`` (skewed/correlated regions) are
+      recursively SPLIT with ``extra_planes`` more sign bits per round
+      instead of dropped; only buckets oversized after
+      ``max_split_rounds`` are dropped, and the drop is COUNTED;
+    * ``stats_out`` (optional dict) receives n_planes / n_tables /
+      split_rounds / n_dropped_buckets / n_dropped_memberships /
+      est_recall — "0 near-dups found" is only trustworthy alongside
+      zero drops.
+
+    Each split round costs one pass over (id, vec) plus a narrow
+    (table, bucket) count shuffle; rounds stop early when nothing is
+    oversized.  Verification is an exact pairwise-cosine numpy kernel
+    per (table, bucket) group; cross-table duplicate pairs are removed
+    by the final ``distinct``.
+    """
+    import math
+    if n_planes is None:
+        n_planes = scaled_n_planes(df.count(), target_bucket)
+    planes_by_table = [
+        _hyperplanes(dim, n_planes + max_split_rounds * extra_planes,
+                     seed + 7919 * t)
+        for t in range(n_tables)]
+    oversized: list[list[np.ndarray]] = [[] for _ in range(n_tables)]
+    schema = f"{id_col} long, table long, bucket long, {vec_col} array<float>"
+
+    def banded_frame():
+        return df.select(id_col, vec_col).mapInPandas(
+            _multitable_kernel(planes_by_table, n_planes, extra_planes,
+                               oversized, vec_col, id_col), schema=schema)
+
+    n_dropped_buckets = n_dropped_members = 0
+    rounds_used = 0
+    for r in range(max_split_rounds + 1):
+        sizes = (banded_frame().groupBy("table", "bucket")
+                 .agg(F.count(F.lit(1)).alias("n")))
+        over = (sizes.where(F.col("n") > max_bucket)
+                .limit(_SPLIT_COLLECT_MAX + 1).collect())
+        if not over:
+            break
+        if r == max_split_rounds or len(over) > _SPLIT_COLLECT_MAX:
+            # out of rounds (or too many hot buckets to track): the
+            # remainder is dropped — record it instead of hiding it
+            n_dropped_buckets = len(over)
+            n_dropped_members = sum(x["n"] for x in over)
+            break
+        rounds_used = r + 1
+        for t in range(n_tables):
+            oversized[t].append(np.array(
+                sorted(x["bucket"] for x in over if x["table"] == t),
+                dtype=np.int64))
+
+    if stats_out is not None:
+        p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+        stats_out.update({
+            "n_planes": n_planes, "n_tables": n_tables,
+            "split_rounds": rounds_used,
+            "n_dropped_buckets": n_dropped_buckets,
+            "n_dropped_memberships": n_dropped_members,
+            "est_recall": 1.0 - (1.0 - p ** n_planes) ** n_tables})
+
+    banded = banded_frame()
+    sizes = (banded.groupBy("table", "bucket")
+             .agg(F.count(F.lit(1)).alias("n")))
+    keep = (sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
+            .select("table", "bucket"))
+    cand = banded.join(keep, ["table", "bucket"])
 
     def pairwise(pdf: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
@@ -152,13 +295,13 @@ def embedding_near_duplicates(df: DataFrame, dim: int,
         unit = mat / norms[:, None]
         cos = unit @ unit.T
         ia, ib = np.triu_indices(len(pdf), k=1)
-        keep = cos[ia, ib] >= threshold
+        keep_m = cos[ia, ib] >= threshold
         ids = pdf[id_col].to_numpy()
-        a, b = ids[ia[keep]], ids[ib[keep]]
+        a, b = ids[ia[keep_m]], ids[ib[keep_m]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi,
-                             "cosine": cos[ia, ib][keep]})
+                             "cosine": cos[ia, ib][keep_m]})
 
-    return (index.groupBy("bucket")
+    return (cand.groupBy("table", "bucket")
             .applyInPandas(pairwise, schema="id_a long, id_b long, cosine double")
             .distinct())

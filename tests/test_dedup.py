@@ -98,3 +98,29 @@ def test_minhash_on_planted_testdata_dups(spark):
     nd = dedup.minhash_near_duplicates(docs, threshold=0.9)
     pairs = {(r["id_a"], r["id_b"]) for r in nd.collect()}
     assert (435, 486) in pairs
+
+
+def test_lsh_drop_accounting(spark):
+    """Hot-bucket cap drops are counted, never silent (stats_out)."""
+    docs = [(i, "common boiler plate text repeated everywhere")
+            for i in range(40)] + [(100 + i, f"unique document number {i} "
+                                    f"with its own words {i*7}")
+                                   for i in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {}
+    pairs = dedup.lsh_candidate_pairs(df, max_bucket=10, stats_out=stats)
+    pairs.count()
+    assert stats["n_dropped_buckets"] > 0
+    assert stats["n_dropped_memberships"] >= 40  # the boilerplate cluster
+    stats2 = {}
+    dedup.lsh_candidate_pairs(df, max_bucket=1000, stats_out=stats2).count()
+    assert stats2["n_dropped_buckets"] == 0
+    assert stats2["n_dropped_memberships"] == 0
+
+
+def test_simhash_drop_accounting(spark):
+    docs = [(i, "identical text cluster") for i in range(30)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    stats = {}
+    dedup.simhash_near_duplicates(df, max_bucket=5, stats_out=stats).count()
+    assert stats["n_dropped_buckets"] > 0 and stats["n_dropped_memberships"] > 0

@@ -92,3 +92,70 @@ def test_query_buckets_probe_count():
     q = np.ones(DIM)
     probes = similarity.query_buckets(q, DIM, n_planes=8, n_probe=4)
     assert len(probes) == 5 and len(set(probes)) == 5
+
+
+def test_scaled_n_planes_keeps_expected_bucket_constant():
+    s = similarity.scaled_n_planes
+    assert s(500) == 4                       # small data → floor
+    assert s(1024 * 256) == 8                # N/target = 2^8
+    assert s(10**12) == 24                   # capped
+    # expected bucket size N / 2^k stays ≤ ~target as N grows 100×
+    for n in (10**6, 10**8, 10**10):
+        k = s(n)
+        assert k == 24 or n / 2 ** k <= 1024
+
+
+def test_embedding_near_dups_stats_and_split(spark):
+    """10× planted-hot-region data: a correlated-but-splittable hot
+    region is recursively split instead of dropped — zero drops, and
+    the split + recall estimate are part of the reported stats."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((3000, DIM)).astype(np.float32)
+    # correlated hot region, wide enough that extra sign bits separate it
+    center = rng.standard_normal(DIM)
+    hot = (center[None, :] + 0.3 * rng.standard_normal((600, DIM))
+           ).astype(np.float32)
+    mat = np.vstack([base, hot])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(len(mat))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    nd = similarity.embedding_near_duplicates(
+        df, DIM, threshold=0.9, max_bucket=300, target_bucket=256,
+        stats_out=stats)
+    n_pairs = nd.count()
+    assert stats["n_dropped_buckets"] == 0
+    assert stats["n_dropped_memberships"] == 0
+    assert stats["split_rounds"] >= 1          # the hot cone forced a split
+    assert 0.0 < stats["est_recall"] <= 1.0
+    # the hot cone yields plenty of cosine-.9 pairs; none were lost to caps
+    assert n_pairs > 100
+
+
+def test_embedding_near_dups_degenerate_clique_is_counted(spark):
+    """A near-parallel clique larger than max_bucket cannot be separated
+    by sign bits (all pairwise cosines ≈ 1) — it must be DROPPED WITH
+    ACCOUNTING, never silently."""
+    rng = np.random.default_rng(12)
+    center = rng.standard_normal(DIM)
+    clique = (center[None, :] + 0.01 * rng.standard_normal((500, DIM))
+              ).astype(np.float32)
+    rows = [(i, [float(x) for x in clique[i]]) for i in range(len(clique))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = {}
+    similarity.embedding_near_duplicates(
+        df, DIM, threshold=0.99, max_bucket=100, max_split_rounds=2,
+        stats_out=stats).count()
+    assert stats["n_dropped_buckets"] > 0
+    assert stats["n_dropped_memberships"] >= 100
+
+
+def test_embedding_near_dups_stable_under_plane_count(emb):
+    """Planted pairs survive a plane-count change (multi-table recall)."""
+    a = {(r["id_a"], r["id_b"]) for r in
+         similarity.embedding_near_duplicates(
+             emb, DIM, threshold=0.95, n_planes=4).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in
+         similarity.embedding_near_duplicates(
+             emb, DIM, threshold=0.95, n_planes=6).collect()}
+    assert {(3, 10), (3, 11)} <= a
+    assert {(3, 10), (3, 11)} <= b
