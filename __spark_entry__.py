@@ -33,11 +33,13 @@ from data_validation_spark.functions.text import (
     quality_score_col,
     token_count_col,
 )
+from data_validation_spark.functions.hashing import partition_checksum_exprs
 from data_validation_spark.operators.constraints import (
     evaluate_constraints,
     referential_violations,
     row_level_violations,
     uniqueness_violations,
+    validation_tags,
 )
 from data_validation_spark.operators.contrast import contrast
 from data_validation_spark.operators.dedup import (
@@ -145,11 +147,17 @@ def q_profile_quantiles(spark, sf_dir):
 
 
 def q_freq_source(spark, sf_dir):
-    """S4 — categorical frequency profile (counts + relative freq)."""
+    """S4 — categorical frequency profile (counts + relative freq).
+    The normalizing total rides a window sum over the (tiny) grouped
+    result — one job, one scan (a separate ``df.count()`` would re-scan
+    the whole table at cluster scale just to divide)."""
+    from pyspark.sql import Window
     df = _t(spark, sf_dir, "documents")
-    total = df.count()
-    out = (df.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
-           .withColumn("rel_freq", F.col("cnt") / F.lit(float(total))))
+    counts = df.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    out = counts.withColumn(
+        "rel_freq",
+        F.col("cnt") / F.sum("cnt").over(
+            Window.partitionBy()).cast("double"))
     return _r6(out, "rel_freq")
 
 
@@ -428,6 +436,106 @@ def q_sequences_validation(spark, sf_dir):
     return out
 
 
+def q_validation_tags(spark, sf_dir):
+    """O4/O5 — rdv-style per-row tag output (feature-value tags for
+    every suite component + error tags for failed row-level
+    constraints), exploded to one row per tag so DuckDB can rebuild the
+    exact surface as a UNION ALL (oracle-checked end to end)."""
+    df = _t(spark, sf_dir, "documents")
+    tagged = validation_tags(df, _documents_suite())
+    t = tagged.select("doc_id", F.explode("tags").alias("t"))
+    return t.select(
+        "doc_id",
+        F.col("t.type").alias("tag_type"),
+        F.col("t.name").alias("tag_name"),
+        F.col("t.value").alias("tag_value"),
+        F.col("t.group").alias("tag_group"))
+
+
+def q_content_parity_docs(spark, sf_dir):
+    """Content-parity checksum, cross-engine for real: the Rabin-style
+    polynomial fold (Catalyst higher-order ``aggregate``) over a
+    text-derived int array (per-whitespace-token lengths) of the
+    documents table, aggregated per source.  The DuckDB oracle replays
+    the identical fold with ``list_reduce`` — a hash match IS the
+    cross-engine content-parity guarantee the operator exists to
+    provide (complements the rows-only synthetic-sequences variant)."""
+    df = _t(spark, sf_dir, "documents")
+    toks = F.transform(F.split(F.col("text"), " "),
+                       lambda x: F.length(x).cast("long"))
+    d = df.withColumn("__toks", toks)
+    return (d.groupBy("source")
+            .agg(*partition_checksum_exprs("__toks")))
+
+
+def q_drift_chi2(spark, sf_dir):
+    """D1 end-to-end through the real profile machinery: chi-squared
+    statistic of the lang distribution of the en-only slice against the
+    full-table reference profile (observed counts vs expected
+    frequencies, exactly ``chi2_drift``'s formula).  The p-value (from-
+    scratch incomplete gamma) stays pytest-verified; the statistic is
+    plain arithmetic DuckDB can replay."""
+    df = _t(spark, sf_dir, "documents")
+    comps = [Component("lang", "categoric")]
+    cur = build_profile(df.filter(F.col("lang") == "en"), comps)
+    ref = build_profile(df, comps)
+    report = contrast(cur, ref)
+    chi2 = next(r for r in report.components["lang"].results
+                if r.test == "chi2")
+    return spark.createDataFrame(
+        [("lang", "chi2", round(float(chi2.statistic), 6),
+          bool(chi2.drifted))],
+        "component string, test string, statistic double, drifted boolean")
+
+
+def _exact_text_pairs(doubled: DataFrame) -> DataFrame:
+    """Ground-truth exact-duplicate pairs on a doubled documents table:
+    identical whitespace-normalized text (the md5 fingerprint the
+    DuckDB recall oracles recompute verbatim)."""
+    fp = doubled.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        .alias("fp"))
+    return (fp.alias("a")
+            .join(fp.alias("b"),
+                  (F.col("a.fp") == F.col("b.fp"))
+                  & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b")))
+
+
+def q_simhash_recall(spark, sf_dir):
+    """End-to-end recall proof for the SimHash tier: exact duplicates
+    have IDENTICAL simhashes (Hamming 0 ≤ radius), so the banded
+    pipeline must find every exact-dup pair deterministically.  Output =
+    pipeline pairs ∩ exact pairs; the oracle computes the exact pairs —
+    equality means recall 1.0 on the ground-truth subset."""
+    df = _t(spark, sf_dir, "documents")
+    doubled = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 100000))
+    pairs = (simhash_near_duplicates(doubled, max_hamming=3)
+             .select("id_a", "id_b"))
+    return pairs.join(_exact_text_pairs(doubled), ["id_a", "id_b"], "inner")
+
+
+def q_embedding_recall(spark, sf_dir):
+    """End-to-end recall proof for the embedding-LSH tier: identical
+    vectors land in the same sign bucket in EVERY hash table (and in
+    every recursive split), so the multi-table pipeline must find every
+    identical-vector pair.  Output = pipeline pairs ∩ identical-vector
+    pairs; oracle = the identical-vector pairs themselves."""
+    df = _t(spark, sf_dir, "embeddings")
+    doubled = df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 100000))
+    pairs = (embedding_near_duplicates(doubled, dim=64, threshold=0.999)
+             .select("id_a", "id_b"))
+    exact = (doubled.alias("a")
+             .join(doubled.alias("b"),
+                   (F.col("a.embedding") == F.col("b.embedding"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b")))
+    return pairs.join(exact, ["id_a", "id_b"], "inner")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -461,6 +569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups_exact": q_embedding_near_dups_exact,
         "events_windowed": q_events_windowed,
         "minhash_recall": q_minhash_recall,
+        "simhash_recall": q_simhash_recall,
+        "embedding_recall": q_embedding_recall,
+        "validation_tags": q_validation_tags,
+        "content_parity_docs": q_content_parity_docs,
+        "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
@@ -706,5 +819,81 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        """,
+        "simhash_recall": """
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+            ), f AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS fp
+              FROM d
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        """,
+        "embedding_recall": """
+            WITH d AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM d a JOIN d b
+              ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+        """,
+        "validation_tags": f"""
+            SELECT doc_id, 'feature' AS tag_type, 'n_chars' AS tag_name,
+                   CAST(n_chars AS VARCHAR) AS tag_value,
+                   'documents' AS tag_group FROM documents
+            UNION ALL
+            SELECT doc_id, 'feature', 'lang', lang, 'documents'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'feature', 'source', source, 'documents'
+            FROM documents
+            UNION ALL
+            SELECT doc_id, 'error', 'bounds_n_chars',
+                   CAST(n_chars AS VARCHAR), 'documents'
+            FROM documents WHERE {bounds_pred}
+            UNION ALL
+            SELECT doc_id, 'error', 'domain_lang', lang, 'documents'
+            FROM documents WHERE {domain_pred}
+        """,
+        "content_parity_docs": """
+            SELECT source,
+                   sum(list_reduce(
+                     list_prepend(0::BIGINT,
+                       list_transform(string_split(text, ' '),
+                                      x -> length(x)::BIGINT)),
+                     (acc, x) -> (acc * 31 + (x * 2654435761) % 1000000007)
+                                 % 1000000007))::BIGINT AS checksum_sum,
+                   count(text) AS n_rows_with_tokens,
+                   sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+            FROM documents GROUP BY source
+        """,
+        "drift_chi2": """
+            WITH tot AS (
+              SELECT count(lang)::DOUBLE AS t FROM documents
+            ), expf AS (
+              SELECT lang, count(*) / (SELECT t FROM tot) AS f
+              FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ), obs AS (
+              SELECT lang, count(*)::DOUBLE AS c
+              FROM documents WHERE lang = 'en' GROUP BY lang
+            ), n AS (
+              SELECT sum(c) AS n FROM obs
+            ), norm AS (
+              SELECT sum(f) AS s FROM expf
+            )
+            SELECT 'lang' AS component, 'chi2' AS test,
+                   round(sum((o - e) * (o - e) / e), 6) AS statistic,
+                   TRUE AS drifted
+            FROM (
+              SELECT coalesce(obs.c, 0) AS o,
+                     expf.f / norm.s * n.n AS e
+              FROM expf LEFT JOIN obs USING (lang), n, norm
+            )
         """,
     }

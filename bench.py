@@ -33,26 +33,38 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def seq_parquet_path(spark, n_rows: int) -> str:
-    """Materialize the deterministic sequences table once (cached)."""
-    path = f"/tmp/dvs_bench_sequences_{n_rows}"
+def seq_parquet_path(spark, n_rows: int,
+                     num_partitions: int | None = None) -> str:
+    """Materialize the deterministic sequences table once (cached).
+
+    ``num_partitions`` pins the physical file/task layout — the weak-
+    scaling protocol passes rows/partition-constant values so task SIZE
+    stays identical across ladder levels (default: 2 files per CPU)."""
+    parts = num_partitions or CPUS * 2
+    suffix = f"_p{parts}" if num_partitions else ""
+    path = f"/tmp/dvs_bench_sequences_{n_rows}{suffix}"
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from data_validation_spark.sources.sequences import synth_sequences
-        log(f"generating sequences parquet n={n_rows} → {path}")
-        synth_sequences(spark, n_rows, num_partitions=CPUS * 2) \
+        log(f"generating sequences parquet n={n_rows} ({parts} parts) → {path}")
+        synth_sequences(spark, n_rows, num_partitions=parts) \
             .write.mode("overwrite").parquet(path)
     return path
 
 
 def bench_validation(spark, n_rows: int) -> tuple[float, dict]:
     """North-star job: full validation run over the sequences table."""
+    path = seq_parquet_path(spark, n_rows)
+    return bench_validation_df(spark, spark.read.parquet(path), n_rows)
+
+
+def bench_validation_df(spark, df, n_rows: int) -> tuple[float, dict]:
+    """Same north-star job over an explicit DataFrame (scaling harness
+    feeds per-executor file shards through here)."""
     from data_validation_spark.plans.runner import run_validation
     from data_validation_spark.plans.suite import (
         Component, Constraint, ValidationSuite)
     from data_validation_spark.sources.sequences import allowed_sources_df
 
-    path = seq_parquet_path(spark, n_rows)
-    df = spark.read.parquet(path)
     warm_df = df.limit(max(n_rows // 4, 1))
     suite = ValidationSuite(
         name="bench",

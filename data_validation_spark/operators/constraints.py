@@ -148,6 +148,42 @@ def referential_violations(df: DataFrame, column: str, dim: DataFrame,
             .withColumn("partition", partition_label_col(partition_cols)))
 
 
+def validation_tags(df: DataFrame, suite: ValidationSuite) -> DataFrame:
+    """rdv-style per-row tag output (SURVEY.md O4/O5 tags): every input
+    row gains ``tags: array<struct<type,name,value,group>>`` holding
+
+    * one **feature-value tag** per suite component
+      (``type='feature'``, name=component, value=extracted value), and
+    * one **error tag** per failed row-level constraint
+      (``type='error'``, name=constraint, value=the offending
+      component's value where the constraint names one).
+
+    The reference checkout is empty, so the exact rdv tag *type
+    strings* are a documented reconstruction of SURVEY.md §1.1's
+    ``{type, name, value, group}`` shape — re-verify the literals
+    against the real source if it appears (group = suite name stands in
+    for rdv's schema group).  Vectorized: one projection, no UDF."""
+    constraints = suite.resolved_constraints()
+    row_cs = [c for c in constraints if c.kind in ROW_LEVEL_KINDS]
+    group = F.lit(suite.name)
+
+    def tag(ttype: str, name: str, value: Column) -> Column:
+        return F.struct(F.lit(ttype).alias("type"), F.lit(name).alias("name"),
+                        value.cast("string").alias("value"),
+                        group.alias("group"))
+
+    feature_tags = [tag("feature", c.name, F.expr(c.expr))
+                    for c in suite.components]
+    error_tags = []
+    for c in row_cs:
+        comp = c.params.get("component")
+        val = F.expr(comp) if comp else F.lit(None)
+        error_tags.append(F.when(_row_violation_cond(c),
+                                 tag("error", c.name, val)))
+    return df.withColumn(
+        "tags", F.array_compact(F.array(*feature_tags, *error_tags)))
+
+
 @dataclass
 class ConstraintRun:
     """Distributed outputs of one evaluation pass."""

@@ -19,17 +19,29 @@ Two shapes, matching Spark's two streaming idioms:
   max / null-count) as an incremental state-store agg.  Late rows beyond
   the watermark are dropped by Spark; this is the always-on profile feed
   that a drift monitor tails.
+* ``streaming_duplicates`` — custom stateful operator
+  (``applyInPandasWithState``): CROSS-batch uniqueness, the one check
+  ``foreachBatch`` cannot express (it only sees one batch).  State is
+  sharded by a hash bucket of the key, holds the seen-key set per
+  shard, and expires on a processing-time timeout so it never grows
+  unbounded.
 
 At scale: foreachBatch inherits all batch-path properties (map-side
 partials, broadcast joins); the windowed agg's state is bounded by
-(#windows in watermark horizon × #groups), never row count.
+(#windows in watermark horizon × #groups), never row count; the
+stateful dedup's state is bounded by (keys within TTL), sharded across
+``n_shards`` state-store partitions.
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from data_validation_spark.operators.constraints import evaluate_constraints
 from data_validation_spark.plans.suite import ValidationSuite
@@ -100,3 +112,56 @@ def streaming_stats(stream_df: DataFrame, ts_col: str, value_expr: str,
                     F.col("window.end").alias("window_end"),
                     *group_cols, "n", "n_invalid", "min_v", "max_v",
                     "mean_v"))
+
+
+def streaming_duplicates(stream_df: DataFrame, key_col: str = "doc_id",
+                         n_shards: int = 64,
+                         state_ttl_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Cross-micro-batch duplicate detection — a custom stateful
+    operator built on ``applyInPandasWithState`` (U-surface: Arrow
+    batches in and out, no per-row Python against Spark rows).
+
+    Keys are sharded into ``n_shards`` hash buckets; each shard's
+    ``GroupState`` holds the set of keys it has seen.  Each micro-batch
+    emits ``(key, shard, n_dup)`` for every key that arrived again
+    after its first-ever occurrence (``n_dup`` = duplicate arrivals in
+    this batch); state expires after ``state_ttl_ms`` of shard
+    inactivity (processing-time timeout), bounding memory to the keys
+    seen within the TTL.
+
+    Scale notes: state per shard is the distinct-key list — shard count
+    spreads it across the state store's partitions, and the TTL bounds
+    its lifetime; for a 10^12-key stream, swap the exact list for a
+    Bloom filter inside the same operator shape (the state schema is
+    already bytes-friendly).  Use ``outputMode("update")``.
+    """
+    shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).alias("__shard")
+    keyed = stream_df.select(F.col(key_col).cast("string").alias("key"), shard)
+
+    def detect(key, pdfs: Iterator[pd.DataFrame],
+               state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (seen,) = state.get if state.exists else ([],)
+        seen_set = set(seen)
+        dup: dict[str, int] = {}  # key -> duplicate arrivals this batch
+        for pdf in pdfs:
+            for k, c in pdf["key"].value_counts().items():
+                extra = int(c) - (0 if k in seen_set else 1)
+                if extra > 0:
+                    dup[k] = dup.get(k, 0) + extra
+                seen_set.add(k)
+        state.update((list(seen_set),))
+        state.setTimeoutDuration(state_ttl_ms)
+        if dup:
+            yield pd.DataFrame({"key": list(dup),
+                                "shard": [key[0]] * len(dup),
+                                "n_dup": list(dup.values())})
+
+    return (keyed.groupBy("__shard").applyInPandasWithState(
+        detect,
+        outputStructType="key string, shard long, n_dup long",
+        stateStructType="seen array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -110,3 +110,25 @@ def test_verdicts_cover_all_partitions_and_constraints(crun, sequences, suite):
 def test_violations_carry_partition_label(crun):
     row = crun.violations.first()
     assert row["partition"].startswith("source=") and "/bucket=" in row["partition"]
+
+
+def test_validation_tags_shape(sequences, suite, expected_ids):
+    """rdv tag-dict reconstruction: feature tags for every component,
+    error tags only on violating rows, all carrying the suite group."""
+    from data_validation_spark.operators.constraints import validation_tags
+    tagged = validation_tags(sequences, suite)
+    i = min(expected_ids["oov"])
+    row = tagged.filter(F.col("doc_id") == doc(i)).select("tags").first()
+    tags = [t.asDict() for t in row["tags"]]
+    by_type = {}
+    for t in tags:
+        by_type.setdefault(t["type"], []).append(t)
+    # one feature tag per component, in order
+    assert [t["name"] for t in by_type["feature"]] == \
+        ["n_tok", "source", "tokens"]
+    assert all(t["group"] == "seq_suite" for t in tags)
+    # the planted OOV row fires exactly the vocab_bounds error tag
+    assert [t["name"] for t in by_type["error"]] == ["vocab_bounds"]
+    # a clean row has no error tags
+    clean = tagged.filter(F.col("doc_id") == doc(1)).select("tags").first()
+    assert all(t["type"] == "feature" for t in clean["tags"])

@@ -97,3 +97,29 @@ def test_streaming_stats_windowed(spark, tmp_path):
     assert all(r["n"] == 30 for r in out)
     assert all(r["n_invalid"] == 0 for r in out)
     assert all(r["min_v"] == 0.0 and r["max_v"] == 2.0 for r in out)
+
+
+def test_streaming_duplicates_cross_batch(spark, tmp_path):
+    """Cross-batch uniqueness via the applyInPandasWithState operator:
+    a key that first appears in batch 1 and again in batch 2 is caught
+    — exactly the case per-batch foreachBatch uniqueness cannot see."""
+    from data_validation_spark.streaming.validate import streaming_duplicates
+    path = str(tmp_path / "in")
+    # file 1: a,b,c,c   file 2: b,d,e  (b dups ACROSS batches, c within)
+    spark.createDataFrame([("a",), ("b",), ("c",), ("c",)], "doc_id string") \
+        .coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame([("b",), ("d",), ("e",)], "doc_id string") \
+        .coalesce(1).write.mode("append").parquet(path)
+
+    stream = (spark.readStream.schema("doc_id string")
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    dups = streaming_duplicates(stream, "doc_id", n_shards=4)
+    q = (dups.writeStream.format("memory").queryName("dups")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = spark.sql("select * from dups").collect()
+    got = {r["key"]: r["n_dup"] for r in rows}
+    # c duplicated within its batch; b across batches (file order may
+    # swap, but either order yields exactly these two duplicates)
+    assert got == {"b": 1, "c": 1}
