@@ -242,6 +242,28 @@ def q_ann_topk(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    """Similarity search, IVF scale path: deterministic hash-sampled +
+    fsum-merged Lloyd centroids, cell assignment, probe-pruned exact
+    scoring.  Oracle contract = identical-vector recall, the structural
+    guarantee an IVF index owes at ANY scale: on the doubled table the
+    query (a stored vector) and its copy share a cell, that cell is by
+    definition the query's nearest centroid — always probe #1 — so the
+    exact top-2 (both cosine 1.0) MUST come back.  Exact-top-k on the
+    flat low-cosine tail is deliberately NOT claimed (those ranks
+    scatter across unprobed cells; pytest covers full-probe == exact
+    and partial-probe recall on a clustered fixture)."""
+    from data_validation_spark.operators.similarity import (
+        ivf_centroids, ivf_index, ivf_topk)
+    df = _t(spark, sf_dir, "embeddings")
+    doubled = df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 100000))
+    q = df.filter(F.col("vec_id") == 3).first()["embedding"]
+    cents = ivf_centroids(doubled, dim=64, n_centroids=16)
+    idx = ivf_index(doubled, cents)
+    out = ivf_topk(idx, cents, q, k=2, n_probe=4)
+    return _r6(out, "cosine")
+
+
 def q_ann_topk_pandas(spark, sf_dir):
     """Same semantics through the Arrow-batched numpy kernel
     (mapInPandas matrix-vector scoring) — the bulk-scoring fast path."""
@@ -561,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "ann_topk": q_ann_topk,
         "ann_topk_pandas": q_ann_topk_pandas,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "events_by_type": q_events_by_type,
@@ -693,6 +716,25 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], {ann_lit})
                      DESC, vec_id ASC
             LIMIT 10
+        """,
+        "ann_topk_ivf": """
+            WITH d AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings
+            ), q AS (
+              SELECT embedding::DOUBLE[] AS v FROM embeddings
+              WHERE vec_id = 3
+            )
+            SELECT vec_id,
+                   round(list_cosine_similarity(embedding::DOUBLE[],
+                                                (SELECT v FROM q)), 6)
+                       AS cosine
+            FROM d
+            ORDER BY list_cosine_similarity(embedding::DOUBLE[],
+                                            (SELECT v FROM q)) DESC,
+                     vec_id ASC
+            LIMIT 2
         """,
         "ann_topk_pandas": f"""
             SELECT vec_id,

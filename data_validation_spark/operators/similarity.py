@@ -129,6 +129,119 @@ def lsh_bucketed_topk(index: DataFrame, query_vec, k: int = 10,
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) index — the k-means-cell scale path
+# ---------------------------------------------------------------------------
+
+def ivf_centroids(df: DataFrame, dim: int, n_centroids: int = 16,
+                  n_iters: int = 2, vec_col: str = "embedding",
+                  id_col: str = "vec_id",
+                  sample_factor: int = 8) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: k-means centroids trained
+    with driver-bounded cluster work.
+
+    * **Init**: k-means|| style but deterministic — take the
+      ``n_centroids`` vectors with the smallest ``xxhash64(id)``
+      (a TakeOrdered over a hash ordering = a uniform pseudo-random
+      sample with NO RNG state on the data path, so index build and
+      rebuild agree bit-for-bit).
+    * **Refine**: ``n_iters`` Lloyd iterations; each is ONE pass that
+      emits per-Arrow-batch partial (centroid, count, sum-vector) rows
+      — #batches × k rows of dim floats, merged driver-side — never a
+      per-row shuffle of vectors.
+
+    Driver memory is O(k × dim); cluster passes are O(n_iters).
+    """
+    sample = (df.select(id_col, vec_col)
+              .orderBy(F.xxhash64(F.col(id_col).cast("string")))
+              .limit(max(n_centroids * sample_factor, n_centroids)))
+    rows = sample.collect()
+    cents = np.stack([np.asarray(r[vec_col], dtype=np.float64)
+                      for r in rows[:n_centroids]])
+
+    for _ in range(n_iters):
+        c = cents.copy()
+
+        def partials(batches: Iterator[pd.DataFrame]
+                     ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                assign = np.argmax(_unit(mat) @ _unit(c).T, axis=1)
+                ks, inv = np.unique(assign, return_inverse=True)
+                sums = np.zeros((len(ks), mat.shape[1]))
+                np.add.at(sums, inv, mat)  # k×dim accumulator, not hot
+                counts = np.bincount(inv, minlength=len(ks))
+                yield pd.DataFrame({
+                    "centroid": ks.astype(np.int64),
+                    "cnt": counts.astype(np.int64),
+                    "vsum": list(sums)})
+
+        part = df.select(id_col, vec_col).mapInPandas(
+            partials, schema="centroid long, cnt long, vsum array<double>")
+        merged = part.collect()
+        # collect() row order varies run to run; float += in that order
+        # would wobble the centroids' last bits and flip borderline cell
+        # assignments between runs.  math.fsum is exactly rounded and
+        # therefore ORDER-INSENSITIVE — centroids are bit-deterministic
+        # for a given dataset no matter how partials arrive.
+        import math as _math
+        by_cent: dict[int, list] = {}
+        for r in merged:
+            by_cent.setdefault(r["centroid"], []).append(r)
+        sums = np.zeros_like(cents)
+        counts = np.zeros(len(cents))
+        for ci, rs in by_cent.items():
+            counts[ci] = sum(r["cnt"] for r in rs)
+            for d in range(cents.shape[1]):
+                sums[ci, d] = _math.fsum(r["vsum"][d] for r in rs)
+        nonzero = counts > 0
+        cents[nonzero] = sums[nonzero] / counts[nonzero, None]
+    return cents
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def ivf_index(df: DataFrame, centroids: np.ndarray,
+              vec_col: str = "embedding",
+              id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector to its nearest (cosine) centroid cell.
+    Persist partitioned by ``cell`` so a probe prunes to the probed
+    cells' files — the IVF analogue of ``lsh_bucket_index``."""
+    c = centroids.copy()
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cu = _unit(c)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cell = np.argmax(_unit(mat) @ cu.T, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "cell": cell.astype(np.int64),
+                                vec_col: pdf[vec_col]})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell long, {vec_col} array<float>")
+
+
+def ivf_topk(index: DataFrame, centroids: np.ndarray, query_vec,
+             k: int = 10, n_probe: int = 4,
+             vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """Approximate cosine top-k: exact scoring over only the
+    ``n_probe`` cells whose centroids are nearest the query — scan
+    cost ~ n_probe/n_centroids of the table (further reduced to file
+    pruning if the index is stored partitioned by cell)."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    qu = q / (np.linalg.norm(q) or 1.0)
+    order = np.argsort(-(_unit(centroids.copy()) @ qu))
+    probes = [int(x) for x in order[:n_probe]]
+    cand = index.filter(F.col("cell").isin(probes))
+    return brute_force_topk(cand, query_vec, k, vec_col, id_col)
+
+
 #: cap on oversized-(table, bucket) ids collected to the driver per
 #: split round; past this the split stops and the remainder is counted
 #: as dropped (the cap itself bounds driver memory to a few MB)
