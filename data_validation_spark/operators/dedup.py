@@ -118,7 +118,15 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     quadratic).  Pass ``stats_out={}`` to get the drop accounting —
     n_dropped_buckets / n_dropped_memberships (a doc dropped from one
     band can still be found through its other bands, so memberships,
-    not docs) — at the cost of one extra signature pass.
+    not docs) — with the banded frame persisted, nearly free.
+
+    The banded frame feeds three plan branches (bucket sizes, the two
+    join sides), so it is persisted MEMORY_AND_DISK: without it Spark
+    re-runs the shingle+signature scan — the dominant cost — once per
+    branch (measured 6.7 s → 3.2 s on the sf0.1 near-dup bench).  At
+    scale the frame is N × bands narrow rows (id, band, hash ≈ 24 B),
+    spilling to executor disk past memory — the standard LSH-index
+    materialization trade.
     """
     if n_hashes % bands:
         raise ValueError("n_hashes must be divisible by bands")
@@ -127,13 +135,16 @@ def lsh_candidate_pairs(df: DataFrame, text_col: str = "text",
     # let-bind the signature so banding doesn't re-inline (and thus
     # recompute) the signature expression per band (functions/arrays.py
     # let_col docstring has the measured pathology)
+    from pyspark import StorageLevel
+
     from data_validation_spark.functions.arrays import let_col
     banded = (sig.select(
         F.col(id_col),
         F.posexplode(let_col(
             F.col("signature"),
             lambda s: band_hashes_col(s, bands, rows)))
-        .alias("band", "band_hash")))
+        .alias("band", "band_hash"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     if stats_out is not None:
         stats_out.update(_bucket_drop_stats(
             banded, ["band", "band_hash"], max_bucket))
@@ -246,9 +257,13 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     16-bit bands — any pair within the Hamming radius must agree on at
     least one band (pigeonhole), so a band-bucket equi-join finds all of
     them; verification is JVM-side bit_count(a XOR b).
-    ``stats_out={}`` adds hot-bucket drop accounting (one extra
-    signature pass — see ``lsh_candidate_pairs``).
+    ``stats_out={}`` adds hot-bucket drop accounting (with the banded
+    frame persisted, nearly free).  The banded frame is persisted
+    MEMORY_AND_DISK for the same three-branch reason as
+    ``lsh_candidate_pairs`` — it saves re-running the Arrow simhash
+    kernel once per branch.
     """
+    from pyspark import StorageLevel
     n_bands = 4
     sig = simhash_signatures(df, text_col, id_col)
     banded = sig.select(
@@ -256,7 +271,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         F.posexplode(F.array(*[
             F.shiftrightunsigned(F.col("simhash"), 16 * b)
             .bitwiseAND(F.lit(0xFFFF)) for b in range(n_bands)]))
-        .alias("band", "band_key"))
+        .alias("band", "band_key")).persist(StorageLevel.MEMORY_AND_DISK)
     if stats_out is not None:
         stats_out.update(_bucket_drop_stats(
             banded, ["band", "band_key"], max_bucket))

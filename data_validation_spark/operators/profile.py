@@ -226,6 +226,12 @@ def _catalyst_records(df: DataFrame, components: list[Component],
         forced = {n for n in hist
                   if next(c.quantile_strategy for c in numericish
                           if c.name == n) == "hist"}
+        # The guard stays TWO actions on a persisted counts frame, not
+        # one self-joined action: a broadcast of the per-comp sizes agg
+        # executes the melt subplan a second time (no exchange reuse
+        # across the broadcast boundary — measured slower at sf0.1),
+        # while the second action on the persisted frame is a
+        # milliseconds-scale count at any data size.
         if hist.keys() - forced:  # any component still subject to the guard
             hist_counts.persist()
             per_comp = {r["comp"]: r["cnt"] for r in

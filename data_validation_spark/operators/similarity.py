@@ -394,7 +394,10 @@ def embedding_near_duplicates(df: DataFrame, dim: int,
             "n_dropped_memberships": n_dropped_members,
             "est_recall": 1.0 - (1.0 - p ** n_planes) ** n_tables})
 
-    banded = banded_frame()
+    from pyspark import StorageLevel
+    # final banded frame feeds two branches (sizes + candidate join):
+    # persist so the assignment kernel runs once, not twice
+    banded = banded_frame().persist(StorageLevel.MEMORY_AND_DISK)
     sizes = (banded.groupBy("table", "bucket")
              .agg(F.count(F.lit(1)).alias("n")))
     keep = (sizes.where((F.col("n") > 1) & (F.col("n") <= max_bucket))
