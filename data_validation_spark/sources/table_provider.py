@@ -26,14 +26,27 @@ class TableProvider:
     backend="iceberg": name → catalog table ``{root}.{name}`` (requires
     Iceberg jars + catalog conf; not available in the sandbox, kept as
     the production path).
+    backend="json" / "csv": name → ``{root}/{name}`` line-delimited
+    JSON / CSV (csv defaults to header=true).  Pass ``schema`` (DDL
+    string) for these: without it Spark infers by scanning the data —
+    a FULL extra pass at 100 TB — so raw-ingest validation should
+    always pin the schema (a warning comment, not an error, since
+    ad-hoc exploration is legitimate).  ``options`` are forwarded to
+    the reader/writer.
     """
 
-    def __init__(self, spark: SparkSession, root: str, backend: str = "parquet"):
-        if backend not in ("parquet", "iceberg"):
+    def __init__(self, spark: SparkSession, root: str,
+                 backend: str = "parquet", schema: str | None = None,
+                 options: dict | None = None):
+        if backend not in ("parquet", "iceberg", "json", "csv"):
             raise ValueError(f"unknown backend {backend!r}")
         self.spark = spark
         self.root = root.rstrip("/")
         self.backend = backend
+        self.schema = schema
+        self.options = dict(options or {})
+        if backend == "csv" and "header" not in self.options:
+            self.options["header"] = "true"
 
     def _ident(self, name: str) -> str:
         return (f"{self.root}/{name}" if self.backend == "parquet"
@@ -41,35 +54,44 @@ class TableProvider:
 
     # -- IO1: sequence-table scan (column pruning via explicit select) --
     def read(self, name: str, columns: list[str] | None = None) -> DataFrame:
-        if self.backend == "parquet":
-            df = self.spark.read.parquet(self._ident(name))
-        else:
+        if self.backend == "iceberg":
             df = self.spark.table(self._ident(name))
+        else:
+            reader = self.spark.read.format(self.backend)
+            if self.options:
+                reader = reader.options(**self.options)
+            if self.schema:
+                reader = reader.schema(self.schema)
+            df = reader.load(self._ident(name))
         return df.select(*columns) if columns else df
 
     # -- IO5/IO6/IO7: append-only sinks --
     def append(self, df: DataFrame, name: str,
                partition_by: list[str] | None = None) -> None:
-        if self.backend == "parquet":
-            w = df.write.mode("append")
+        if self.backend == "iceberg":
+            df.writeTo(self._ident(name)).append()
+        else:
+            w = df.write.mode("append").format(self.backend)
+            if self.options:
+                w = w.options(**self.options)
             if partition_by:
                 w = w.partitionBy(*partition_by)
-            w.parquet(self._ident(name))
-        else:
-            df.writeTo(self._ident(name)).append()
+            w.save(self._ident(name))
 
     def overwrite(self, df: DataFrame, name: str,
                   partition_by: list[str] | None = None) -> None:
-        if self.backend == "parquet":
-            w = df.write.mode("overwrite")
+        if self.backend == "iceberg":
+            df.writeTo(self._ident(name)).createOrReplace()
+        else:
+            w = df.write.mode("overwrite").format(self.backend)
+            if self.options:
+                w = w.options(**self.options)
             if partition_by:
                 w = w.partitionBy(*partition_by)
-            w.parquet(self._ident(name))
-        else:
-            df.writeTo(self._ident(name)).createOrReplace()
+            w.save(self._ident(name))
 
     def exists(self, name: str) -> bool:
-        if self.backend == "parquet":
+        if self.backend != "iceberg":
             # cheap existence probe via the Hadoop FS API (no listing scan)
             jvm = self.spark.sparkContext._jvm
             jsc = self.spark.sparkContext._jsc

@@ -1,0 +1,64 @@
+"""JSON/CSV TableProvider backends: raw-ingest round trips and an
+end-to-end validation run over a CSV input (pinned schema — at 100 TB
+schema inference would be a full extra scan)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.plans.runner import run_validation
+from data_validation_spark.plans.suite import (
+    Component,
+    Constraint,
+    ValidationSuite,
+)
+from data_validation_spark.sources.table_provider import TableProvider
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [(i, f"doc number {i}", "en" if i % 3 else "xx", 40 + i)
+            for i in range(30)]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long")
+
+
+def test_json_round_trip(spark, tmp_path, docs):
+    tp = TableProvider(spark, str(tmp_path), backend="json",
+                       schema="doc_id long, text string, lang string, "
+                              "n_chars long")
+    tp.overwrite(docs, "docs")
+    back = tp.read("docs")
+    assert back.count() == 30
+    assert {r["doc_id"] for r in back.collect()} == set(range(30))
+    assert dict(back.dtypes)["n_chars"] == "bigint"  # pinned, not inferred
+
+
+def test_csv_round_trip_with_projection(spark, tmp_path, docs):
+    tp = TableProvider(spark, str(tmp_path), backend="csv",
+                       schema="doc_id long, text string, lang string, "
+                              "n_chars long")
+    tp.overwrite(docs, "docs")
+    back = tp.read("docs", columns=["doc_id", "lang"])
+    assert back.columns == ["doc_id", "lang"]
+    assert back.count() == 30
+
+
+def test_validation_over_csv_input(spark, tmp_path, docs):
+    """The engine is format-agnostic end to end: a suite evaluated over
+    a CSV-backed table finds exactly the planted violations."""
+    tp = TableProvider(spark, str(tmp_path), backend="csv",
+                       schema="doc_id long, text string, lang string, "
+                              "n_chars long")
+    tp.overwrite(docs, "docs")
+    suite = ValidationSuite(
+        name="csv_suite",
+        components=[Component("n_chars", "numeric"),
+                    Component("lang", "categoric")],
+        constraints=[Constraint("lang_domain", "in_domain",
+                                {"component": "lang",
+                                 "values": ["en", "es"]})],
+        partition_cols=[],
+    )
+    res = run_validation(spark, tp.read("docs"), suite, resume=False)
+    planted = len([i for i in range(30) if i % 3 == 0])  # lang == "xx"
+    assert res.n_violations == planted
