@@ -558,6 +558,17 @@ def q_embedding_recall(spark, sf_dir):
     return pairs.join(exact, ["id_a", "id_b"], "inner")
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events log (30-min gap):
+    lag + cumulative-sum windows, microsecond-exact, deterministic
+    tie-break on event_id; summary agg rides the window's user
+    partitioning (no second shuffle)."""
+    from data_validation_spark.operators.sessions import session_summary
+    df = _t(spark, sf_dir, "events")
+    out = session_summary(df, gap_minutes=30)
+    return _r6(out, "sum_value")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -595,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_recall": q_simhash_recall,
         "embedding_recall": q_embedding_recall,
         "validation_tags": q_validation_tags,
+        "sessionize": q_sessionize,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
@@ -902,6 +914,29 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'error', 'domain_lang', lang, 'documents'
             FROM documents WHERE {domain_pred}
+        """,
+        "sessionize": """
+            WITH flagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                          WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000 THEN 1
+                          ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, us, value,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_seq
+              FROM flagged
+            )
+            SELECT user_id, session_seq,
+                   min(us) AS start_us, max(us) AS end_us,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
         """,
         "content_parity_docs": """
             SELECT source,

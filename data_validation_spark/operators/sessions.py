@@ -1,0 +1,71 @@
+"""Gap-based sessionization of event streams (training-data pipelines
+segment interaction logs into sessions before sampling/weighting).
+
+Pure Catalyst window arithmetic — no UDF:
+
+* a session breaks when the gap to the previous event of the same user
+  exceeds ``gap``; the running sum of break flags is the per-user
+  session sequence number (the classic lag + cumulative-sum idiom);
+* timestamps compare as ``unix_micros`` longs so the semantics are
+  integer-exact and engine-portable (no float epoch rounding);
+* ordering ties break on ``event_id`` so results are deterministic
+  under duplicate timestamps.
+
+Scale shape: both windows partition by ``user_col`` — parallelism =
+#users, state per task = one user's events (bounded by retention in any
+real log).  A single pathological user concentrating millions of events
+lands on one task; shard such users upstream by day before sessionizing
+(the gap rule can't span shards a session crosses — the standard
+trade-off — or fall back to the watermarked streaming path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(col: Column) -> Column:
+    """Microsecond epoch of a timestamp column.  TIMESTAMP_NTZ (what
+    parquet event logs usually carry) holds a wall clock; the cast
+    interprets it in the session timezone — pinned to UTC in
+    ``session.ENGINE_DEFAULTS`` — making the value engine-portable
+    (DuckDB ``epoch_us`` parity).  A no-op for plain TIMESTAMP."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def sessionize(df: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts", gap_minutes: int = 30,
+               order_cols: tuple[str, ...] = ("event_id",)) -> DataFrame:
+    """Input rows + ``session_seq`` (1-based per user) assigned by the
+    gap rule.  One shuffle (by user), two windows over the same sort."""
+    us = _micros(F.col(ts_col))
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_session = (
+        F.when(F.lag(us).over(w).isNull(), F.lit(1))
+        .when(us - F.lag(us).over(w) > F.lit(gap_us), F.lit(1))
+        .otherwise(F.lit(0)))
+    running = Window.partitionBy(user_col).orderBy(ts_col, *order_cols) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("session_seq",
+                         F.sum(new_session).over(running))
+
+
+def session_summary(df: DataFrame, user_col: str = "user_id",
+                    ts_col: str = "ts", gap_minutes: int = 30,
+                    value_col: str | None = "value",
+                    order_cols: tuple[str, ...] = ("event_id",)
+                    ) -> DataFrame:
+    """One row per (user, session): bounds (micros), event count, value
+    sum.  No second shuffle: the window leaves the data hash-partitioned
+    by ``user_col``, which satisfies the groupBy's clustering on
+    (user, session_seq) — a subset key co-locates every group — so the
+    agg runs in the same stage (verify: one Exchange in `.explain`)."""
+    s = sessionize(df, user_col, ts_col, gap_minutes, order_cols)
+    us = _micros(F.col(ts_col))
+    aggs = [F.min(us).alias("start_us"), F.max(us).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return s.groupBy(user_col, "session_seq").agg(*aggs)

@@ -32,6 +32,10 @@ ENGINE_DEFAULTS = {
         f"-XX:+UseParallelGC -Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
     # runtime re-planning: coalesce small shuffle partitions, split skewed
     # ones — backs up the explicit salting we do for hot sources
+    # engine-wide UTC: timestamp_ntz wall clocks read as UTC instants,
+    # so epoch arithmetic is engine-portable (DuckDB epoch_us parity)
+    # and independent of the host timezone
+    "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
