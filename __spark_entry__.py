@@ -569,6 +569,22 @@ def q_sessionize(spark, sf_dir):
     return _r6(out, "sum_value")
 
 
+def q_json_props(spark, sf_dir):
+    """P6 — JSON field extraction in the hot path stays JVM-side:
+    ``get_json_object`` pulls ``props.k`` out of the raw JSON string
+    column (no Python, no schema inference pass), cast + aggregated per
+    event_type."""
+    df = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    out = (df.select("event_type", k.alias("k"))
+           .groupBy("event_type")
+           .agg(F.count("k").alias("n_with_k"),
+                F.sum("k").alias("sum_k"),
+                F.min("k").alias("min_k"),
+                F.max("k").alias("max_k")))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -607,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_recall": q_embedding_recall,
         "validation_tags": q_validation_tags,
         "sessionize": q_sessionize,
+        "json_props": q_json_props,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
@@ -914,6 +931,18 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'error', 'domain_lang', lang, 'documents'
             FROM documents WHERE {domain_pred}
+        """,
+        "json_props": """
+            SELECT event_type,
+                   count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS n_with_k,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       ::BIGINT AS sum_k,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                       AS max_k
+            FROM events GROUP BY event_type
         """,
         "sessionize": """
             WITH flagged AS (
