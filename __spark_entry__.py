@@ -585,6 +585,21 @@ def q_json_props(spark, sf_dir):
     return out
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified hash sampling (reproducible across
+    engines/retries — `df.sample`'s task-attempt RNG is neither): keep
+    50% of web, 25% of wiki, 10% of everything else, selected by
+    md5-bucket of doc_id.  The oracle replays the identical hash
+    arithmetic, so the exact row set must match."""
+    from data_validation_spark.operators.sampling import (
+        stratified_hash_sample)
+    df = _t(spark, sf_dir, "documents")
+    out = stratified_hash_sample(
+        df, "source", {"web": 0.5, "wiki": 0.25},
+        key_col="doc_id", salt="s1", default_fraction=0.1)
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -624,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_tags": q_validation_tags,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
+        "stratified_sample": q_stratified_sample,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
@@ -931,6 +947,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'error', 'domain_lang', lang, 'documents'
             FROM documents WHERE {domain_pred}
+        """,
+        "stratified_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || 's1'), 1, 8))
+                      ::BIGINT
+                  < CASE WHEN source = 'web'  THEN 2147483648
+                         WHEN source = 'wiki' THEN 1073741824
+                         ELSE 429496729 END
         """,
         "json_props": """
             SELECT event_type,

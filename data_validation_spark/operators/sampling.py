@@ -1,0 +1,65 @@
+"""Deterministic hash-based sampling for training-data pipelines.
+
+`df.sample()` re-draws on every scan/retry (RNG per task attempt) — a
+retried stage can emit a DIFFERENT sample, and no other engine can
+reproduce the row set.  Pipelines that must be auditable sample by
+KEY HASH instead: a row is in the sample iff a fixed-width hash of its
+key falls under ``fraction × 2³²``.  Properties the RNG path lacks:
+
+* reproducible across runs, retries, engines (md5 is universal — the
+  DuckDB oracle replays the selection bit-for-bit);
+* stable under data growth: a row's membership never changes when other
+  rows appear, so incremental pipelines don't churn their sample;
+* disjoint/nested samples for free via ``salt`` (different salt →
+  independent sample; same salt, larger fraction → superset).
+
+Pure projection + filter: no shuffle, no RNG state, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1 << 32
+
+
+def hash_bucket_col(key: Column, salt: str = "") -> Column:
+    """Uniform uint32 bucket from the first 8 hex chars of
+    md5(key ⊕ salt) — identical arithmetic is expressible in any engine
+    with md5 (the oracle uses ``('0x' || substr(md5(..),1,8))::BIGINT``)."""
+    return (F.conv(F.substring(F.md5(F.concat(key.cast("string"),
+                                              F.lit(salt))), 1, 8), 16, 10)
+            .cast("long"))
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
+                salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, selected by key hash (see module
+    docstring for why not ``df.sample``)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(hash_bucket_col(F.col(key_col), salt)
+                    < F.lit(int(fraction * _BUCKETS)))
+
+
+def stratified_hash_sample(df: DataFrame, strata_col: str,
+                           fractions: dict[str, float],
+                           key_col: str = "doc_id", salt: str = "",
+                           default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum hash sampling (e.g. down-weight web, keep all wiki).
+    One projection+filter pass — the per-stratum threshold is a CASE
+    expression, so there is still no shuffle and no RNG."""
+    for k, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1]")
+    thr: Column | None = None
+    for k, f in fractions.items():
+        cond = F.col(strata_col) == F.lit(k)
+        lim = F.lit(int(f * _BUCKETS))
+        thr = F.when(cond, lim) if thr is None else thr.when(cond, lim)
+    if thr is None:
+        thr = F.lit(int(default_fraction * _BUCKETS))
+    else:
+        thr = thr.otherwise(F.lit(int(default_fraction * _BUCKETS)))
+    return df.where(hash_bucket_col(F.col(key_col), salt) < thr)

@@ -1,0 +1,67 @@
+"""Deterministic hash sampling: reproducibility, nesting, stratified
+fractions, and independence from RNG/task attempts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators.sampling import (
+    hash_bucket_col,
+    hash_sample,
+    stratified_hash_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, ["web", "wiki", "books"][i % 3]) for i in range(3000)]
+    return spark.createDataFrame(rows, "doc_id long, source string").cache()
+
+
+def test_reproducible_and_rate(docs):
+    a = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="x").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, 0.2, salt="x").collect()}
+    assert a == b                       # no RNG anywhere
+    assert 0.15 < len(a) / 3000 < 0.25  # ~20%
+
+
+def test_nested_supersets_and_salt_independence(docs):
+    small = {r["doc_id"] for r in hash_sample(docs, 0.1, salt="x").collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, 0.3, salt="x").collect()}
+    assert small <= big                 # same salt: nested by construction
+    other = {r["doc_id"] for r in hash_sample(docs, 0.1, salt="y").collect()}
+    # different salt draws an (approximately) independent sample
+    assert other != small
+
+
+def test_membership_stable_under_growth(spark, docs):
+    """A row's membership never changes when other rows appear — the
+    property incremental pipelines need and df.sample lacks."""
+    sample_full = {r["doc_id"]
+                   for r in hash_sample(docs, 0.2, salt="x").collect()}
+    half = docs.where(F.col("doc_id") < 1500)
+    sample_half = {r["doc_id"]
+                   for r in hash_sample(half, 0.2, salt="x").collect()}
+    assert sample_half == {i for i in sample_full if i < 1500}
+
+
+def test_stratified_fractions(docs):
+    out = stratified_hash_sample(
+        docs, "source", {"web": 0.6, "wiki": 0.2}, default_fraction=0.0)
+    by_src = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    assert 0.5 < by_src["web"] / 1000 < 0.7
+    assert 0.12 < by_src["wiki"] / 1000 < 0.3
+    assert "books" not in by_src        # default 0 drops the stratum
+
+
+def test_no_shuffle(docs):
+    plan = stratified_hash_sample(docs, "source", {"web": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bucket_range(docs):
+    r = docs.select(hash_bucket_col(F.col("doc_id")).alias("b")) \
+        .agg(F.min("b"), F.max("b")).first()
+    assert 0 <= r[0] and r[1] < 2 ** 32
