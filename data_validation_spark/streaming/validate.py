@@ -165,3 +165,61 @@ def streaming_duplicates(stream_df: DataFrame, key_col: str = "doc_id",
         stateStructType="seen array<string>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+STREAM_DRIFT_TABLE = "stream_drift"
+
+
+def streaming_drift(stream_df: DataFrame, reference,
+                    components: list, sink: TableProvider,
+                    thresholds: dict | None = None,
+                    min_batch_rows: int = 1000,
+                    checkpoint_dir: str | None = None,
+                    trigger_available_now: bool = True) -> StreamingQuery:
+    """Always-on drift monitor — rdv's production loop (score live
+    traffic against a frozen reference profile) as a stream: each
+    micro-batch is profiled with the batch ``build_profile`` and
+    contrasted (KS / PSI / chi² / Δpinv) against ``reference``; one row
+    per (batch, component, test) lands in the ``stream_drift`` sink.
+
+    ``min_batch_rows`` guards statistical power: tiny batches produce
+    noisy statistics (chi² against a treated-as-exact reference is hot
+    on small samples — see verify notes), so under-sized batches are
+    recorded with test='skipped_small_batch' instead of fake verdicts.
+
+    Scale shape: profiling a batch is the fused single pass (map-side
+    partials); the contrast itself is driver-side arithmetic on
+    aggregated profiles — O(components × quantile points), independent
+    of batch size.
+    """
+    from data_validation_spark.operators.contrast import contrast
+    from data_validation_spark.operators.profile import build_profile
+
+    spark = stream_df.sparkSession
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n == 0:
+            return
+        if n < min_batch_rows:
+            rows = [(int(batch_id), n, "_batch", "skipped_small_batch",
+                     None, False)]
+        else:
+            cur = build_profile(batch_df, components)
+            report = contrast(cur, reference, thresholds)
+            rows = [(int(batch_id), n, name, r.test,
+                     float(r.statistic), bool(r.drifted))
+                    for name, cd in report.components.items()
+                    for r in cd.results]
+        out = spark.createDataFrame(
+            rows, "batch_id long, n_rows long, component string, "
+                  "test string, statistic double, drifted boolean")
+        sink.append(out, STREAM_DRIFT_TABLE)
+
+    writer = stream_df.writeStream.foreachBatch(handle) \
+        .outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -123,3 +123,50 @@ def test_streaming_duplicates_cross_batch(spark, tmp_path):
     # c duplicated within its batch; b across batches (file order may
     # swap, but either order yields exactly these two duplicates)
     assert got == {"b": 1, "c": 1}
+
+
+def test_streaming_drift_detects_shifted_batch(spark, tmp_path):
+    """Always-on drift monitor: a same-distribution batch reports no
+    drift, a shifted batch drifts, an undersized batch is recorded as
+    skipped (not a fake verdict)."""
+    from data_validation_spark.operators.profile import build_profile
+    from data_validation_spark.plans.suite import Component
+    from data_validation_spark.sources.sequences import synth_sequences
+    from data_validation_spark.sources.table_provider import TableProvider
+    from data_validation_spark.streaming.validate import (
+        STREAM_DRIFT_TABLE,
+        streaming_drift,
+    )
+
+    comps = [Component("n_tok", "numeric")]
+    reference = build_profile(synth_sequences(spark, 12000), comps)
+
+    in_dir = str(tmp_path / "in")
+    # batch 1: same distribution; batch 2: shifted; batch 3: tiny
+    synth_sequences(spark, 12000).select("doc_id", "n_tok", "tokens",
+                                         "source", "bucket") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    synth_sequences(spark, 12000, shift=True) \
+        .select("doc_id", "n_tok", "tokens", "source", "bucket") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    synth_sequences(spark, 50).select("doc_id", "n_tok", "tokens",
+                                      "source", "bucket") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+
+    schema = spark.read.parquet(in_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(in_dir))
+    sink = TableProvider(spark, str(tmp_path / "sink"))
+    q = streaming_drift(stream, reference, comps, sink,
+                        min_batch_rows=1000,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    rows = sink.read(STREAM_DRIFT_TABLE).collect()
+    # the two 12k batches are distinguished by drift outcome
+    drifted_rows = [r for r in rows if r["n_rows"] == 12000 and r["drifted"]]
+    clean_rows = [r for r in rows if r["n_rows"] == 12000
+                  and not r["drifted"]]
+    assert drifted_rows and clean_rows  # one batch drifts, one does not
+    small = [r for r in rows if r["n_rows"] == 50]
+    assert small and all(r["test"] == "skipped_small_batch" for r in small)
