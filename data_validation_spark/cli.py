@@ -78,6 +78,18 @@ def main(argv: list[str] | None = None) -> int:
     from data_validation_spark.session import get_spark
     spark = get_spark(app_name=f"dvs-{args.cmd}")
 
+    # under spark-submit the driver JVM pre-exists, so ENGINE_DEFAULTS'
+    # heap sizing (-Xms/-Xmx/AlwaysPreTouch) CANNOT apply — the
+    # submit line must carry --driver-memory.  Token-array scans OOM a
+    # default 1 GiB heap even at toy scale, so surface it loudly.
+    max_heap = spark.sparkContext._jvm.java.lang.Runtime.getRuntime() \
+        .maxMemory()
+    if max_heap < 2 * 1024 ** 3:
+        print(f"WARNING: driver heap is {max_heap / 1024**3:.1f} GiB — "
+              "pass --driver-memory (e.g. 8g) on the spark-submit line; "
+              "in-conf sizing cannot resize an already-started JVM",
+              file=sys.stderr)
+
     suite = _build_suite(args.suite)
 
     if args.cmd == "build-profile":
