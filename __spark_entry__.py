@@ -600,6 +600,23 @@ def q_stratified_sample(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_source_mix(spark, sf_dir):
+    """Domain reweighting — mix three sources to 50/30/20 target
+    proportions without upsampling: the binding stratum keeps fraction
+    1.0, the others down-sample by deterministic md5 buckets.  With the
+    testdata's equal per-source counts the resolved fractions are
+    exactly {src0: 1.0, src1: 0.6, src2: 0.4} at every SF, so the
+    oracle replays the selection with the corresponding fixed
+    thresholds (the fraction DERIVATION from live counts is covered by
+    test_sampling)."""
+    from data_validation_spark.operators.sampling import mix_to_proportions
+    df = _t(spark, sf_dir, "documents")
+    out = mix_to_proportions(
+        df, "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        key_col="doc_id", salt="mix1")
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -640,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "json_props": q_json_props,
         "stratified_sample": q_stratified_sample,
+        "source_mix": q_source_mix,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
@@ -955,6 +973,15 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "source_mix": """
+            SELECT doc_id, source FROM documents
+            WHERE source IN ('src0', 'src1', 'src2')
+              AND ('0x' || substr(md5(doc_id::VARCHAR || 'mix1'), 1, 8))
+                      ::BIGINT
+                  < CASE WHEN source = 'src0' THEN 4294967296
+                         WHEN source = 'src1' THEN 2576980377
+                         ELSE 1717986918 END
         """,
         "json_props": """
             SELECT event_type,

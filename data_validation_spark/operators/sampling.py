@@ -63,3 +63,49 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
     else:
         thr = thr.otherwise(F.lit(int(default_fraction * _BUCKETS)))
     return df.where(hash_bucket_col(F.col(key_col), salt) < thr)
+
+
+def mix_to_proportions(df: DataFrame, strata_col: str,
+                       targets: dict[str, float], key_col: str = "doc_id",
+                       salt: str = "",
+                       counts: dict[str, int] | None = None,
+                       fractions_out: dict | None = None) -> DataFrame:
+    """Down-sample strata so the output matches ``targets``'s relative
+    proportions (domain reweighting: "make the corpus 30% web, 60%
+    wiki, 10% books") WITHOUT upsampling: the binding stratum — the one
+    whose supply runs out first relative to its target share — is kept
+    in full and every other stratum is hash-sampled down to match.
+
+    ``fraction_s = α · target_s / count_s`` with
+    ``α = min_s count_s / target_s`` (so ``max fraction = 1``).
+    Strata absent from ``targets`` are dropped.
+
+    One count job (skipped when ``counts`` is passed — e.g. from an
+    existing profile's frequency map) + one projection/filter pass;
+    membership inherits every ``hash_sample`` guarantee (reproducible,
+    nested under one salt, stable as data grows apart from the
+    recomputed fractions — pin ``counts`` to freeze them).
+    ``fractions_out={}`` receives the resolved per-stratum fractions,
+    rounded to 6 decimals — the SAME rounding the filter uses, so a
+    caller (or an oracle) can replay the exact row selection.
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    tot_share = sum(targets.values())
+    shares = {k: v / tot_share for k, v in targets.items()}
+    if counts is None:
+        rows = (df.where(F.col(strata_col).isin(list(targets)))
+                .groupBy(strata_col).agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        counts = {r[strata_col]: r["n"] for r in rows}
+    missing = [k for k in targets if not counts.get(k)]
+    if missing:
+        raise ValueError(f"strata with no rows cannot be mixed: {missing}")
+    alpha = min(counts[k] / shares[k] for k in targets)
+    fractions = {k: round(min(alpha * shares[k] / counts[k], 1.0), 6)
+                 for k in targets}
+    if fractions_out is not None:
+        fractions_out.update(fractions)
+    return stratified_hash_sample(df, strata_col, fractions,
+                                  key_col=key_col, salt=salt,
+                                  default_fraction=0.0)

@@ -65,3 +65,32 @@ def test_bucket_range(docs):
     r = docs.select(hash_bucket_col(F.col("doc_id")).alias("b")) \
         .agg(F.min("b"), F.max("b")).first()
     assert 0 <= r[0] and r[1] < 2 ** 32
+
+
+def test_mix_to_proportions(docs):
+    """1000 rows per source → target 60/20/20 keeps the binding stratum
+    (web at 60% of a 1667-row ideal) and down-samples the rest."""
+    from data_validation_spark.operators.sampling import mix_to_proportions
+    fr = {}
+    out = mix_to_proportions(docs, "source",
+                             {"web": 0.6, "wiki": 0.2, "books": 0.2},
+                             fractions_out=fr)
+    assert fr["web"] == 1.0          # binding stratum kept in full
+    assert 0.3 < fr["wiki"] <= 0.34  # 1000/0.6 * 0.2 / 1000 = 1/3
+    by = {r["source"]: r["n"] for r in
+          out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["web"] == 1000
+    # realized proportions approach 60/20/20 (hash sampling is ~exact)
+    total = sum(by.values())
+    assert 0.55 < by["web"] / total < 0.65
+    assert 0.15 < by["wiki"] / total < 0.25
+
+
+def test_mix_deterministic_and_pinnable(docs):
+    from data_validation_spark.operators.sampling import mix_to_proportions
+    a = {r["doc_id"] for r in mix_to_proportions(
+        docs, "source", {"web": 0.5, "wiki": 0.5}, salt="m").collect()}
+    b = {r["doc_id"] for r in mix_to_proportions(
+        docs, "source", {"web": 0.5, "wiki": 0.5}, salt="m",
+        counts={"web": 1000, "wiki": 1000}).collect()}
+    assert a == b                    # pinned counts reproduce exactly
