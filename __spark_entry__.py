@@ -617,6 +617,17 @@ def q_source_mix(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+def q_contamination(spark, sf_dir):
+    """Dataset decontamination — flag training docs sharing ≥3 distinct
+    word 3-grams with a benchmark set (here: docs 0-9 as the stand-in
+    eval set).  The benchmark's distinct shingles broadcast; the corpus
+    side is one scan with a map-side join."""
+    from data_validation_spark.operators.dedup import ngram_contamination
+    df = _t(spark, sf_dir, "documents")
+    bench = df.filter(F.col("doc_id") < 10)
+    return ngram_contamination(df, bench, min_hits=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -658,6 +669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_props": q_json_props,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
+        "contamination": q_contamination,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
@@ -973,6 +985,26 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "contamination": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                         AS words
+              FROM documents),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                         AS sh
+              FROM w),
+            bench AS (
+              SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 10),
+            hits AS (
+              SELECT d.doc_id, count(*) AS n_hits
+              FROM (SELECT doc_id, unnest(sh) AS s FROM sh) d
+              JOIN bench USING (s)
+              GROUP BY d.doc_id)
+            SELECT doc_id, n_hits FROM hits WHERE n_hits >= 3
         """,
         "source_mix": """
             SELECT doc_id, source FROM documents

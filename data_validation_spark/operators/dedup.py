@@ -292,3 +292,39 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                 F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark contamination (dataset decontamination)
+# ---------------------------------------------------------------------------
+
+def ngram_contamination(df: DataFrame, benchmark: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k_shingle: int = 3, min_hits: int = 1,
+                        broadcast_benchmark: bool = True) -> DataFrame:
+    """Training docs that leak benchmark content: (id, n_hits) for every
+    document sharing ≥ ``min_hits`` DISTINCT word ``k``-gram shingles
+    with the benchmark corpus — the standard test-set-decontamination
+    screen run before training.
+
+    Scale shape: the benchmark (an eval set) is tiny next to the corpus,
+    so its distinct shingle set is BROADCAST — the 100 TB side is one
+    scan with a map-side hash-join, and only matching (doc, shingle)
+    rows reach the per-doc count shuffle (bounded by actual
+    contamination, not corpus size).  Set
+    ``broadcast_benchmark=False`` only if the benchmark's shingle set
+    is itself too large to broadcast — it becomes a shuffle join.
+    """
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles_col(text_col, k_shingle)).alias("__sh"))
+    bench_sh = (benchmark
+                .select(F.explode(word_shingles_col(text_col, k_shingle))
+                        .alias("__sh"))
+                .distinct())
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (doc_sh.join(bench_sh, "__sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .filter(F.col("n_hits") >= min_hits))

@@ -124,3 +124,33 @@ def test_simhash_drop_accounting(spark):
     stats = {}
     dedup.simhash_near_duplicates(df, max_bucket=5, stats_out=stats).count()
     assert stats["n_dropped_buckets"] > 0 and stats["n_dropped_memberships"] > 0
+
+
+def test_ngram_contamination(spark):
+    """Docs sharing >= min_hits distinct 3-grams with the benchmark are
+    flagged with exact hit counts; clean docs are not."""
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "a sentence about the quick brown fox jumps far away"),
+         (2, "quick brown fox appears once here"),
+         (3, "completely unrelated words in this document")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["n_hits"] for r in
+           dedup.ngram_contamination(corpus, bench, min_hits=1).collect()}
+    # doc 1 shares: 'the quick brown','quick brown fox','brown fox jumps'
+    assert out[1] == 3
+    assert out[2] == 1          # 'quick brown fox'
+    assert 3 not in out
+    strict = {r["doc_id"] for r in
+              dedup.ngram_contamination(corpus, bench, min_hits=2).collect()}
+    assert strict == {1}
+
+
+def test_ngram_contamination_broadcast_plan(spark):
+    bench = spark.createDataFrame([(0, "x y z w")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    plan = dedup.ngram_contamination(corpus, bench) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
