@@ -628,6 +628,40 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(df, bench, min_hits=3)
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary analysis (tokenizer QA / Zipf check): explode
+    whitespace tokens → count by token — reduce cardinality = vocab
+    size, map-side partial agg — then deterministic top-25."""
+    from pyspark.sql import Window
+
+    from data_validation_spark.functions.text import words_col
+    df = _t(spark, sf_dir, "documents")
+    counts = (df.select(F.explode(words_col("text")).alias("word"))
+              .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
+    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
+    return (counts.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 25).select("word", "cnt", "rank"))
+
+
+def q_drift_by_source(spark, sf_dir):
+    """Per-partition drift — each source's lang distribution contrasted
+    (chi²) against the global profile, through the real per-partition
+    profile machinery (one grouped pass for all sources) + driver-side
+    contrast per partition."""
+    from data_validation_spark.plans.suite import Profile
+    df = _t(spark, sf_dir, "documents")
+    comps = [Component("lang", "categoric")]
+    per_src = build_profile(df, comps, partition_cols=["source"])
+    ref = build_profile(df, comps)
+    rows = []
+    for part, comp_map in sorted(per_src.partitions.items()):
+        report = contrast(Profile(name=part, components=comp_map), ref)
+        chi2 = next(r for r in report.components["lang"].results
+                    if r.test == "chi2")
+        rows.append((part, round(float(chi2.statistic), 6)))
+    return spark.createDataFrame(rows, "partition string, statistic double")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -670,6 +704,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
         "contamination": q_contamination,
+        "vocab_topk": q_vocab_topk,
+        "drift_by_source": q_drift_by_source,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
         "minhash_near_dups": q_minhash_near_dups,
@@ -985,6 +1021,43 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "vocab_topk": r"""
+            WITH words AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS word
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0)
+            SELECT word, cnt, rank FROM (
+              SELECT word, count(*) AS cnt,
+                     row_number() OVER (ORDER BY count(*) DESC, word ASC)
+                         AS rank
+              FROM words GROUP BY word)
+            WHERE rank <= 25
+        """,
+        "drift_by_source": """
+            WITH tot AS (
+              SELECT count(lang)::DOUBLE AS t FROM documents
+            ), expf AS (
+              SELECT lang, count(*) / (SELECT t FROM tot) AS f
+              FROM documents WHERE lang IS NOT NULL GROUP BY lang
+            ), norm AS (
+              SELECT sum(f) AS s FROM expf
+            ), obs AS (
+              SELECT source, lang, count(*)::DOUBLE AS c
+              FROM documents WHERE lang IS NOT NULL GROUP BY source, lang
+            ), n AS (
+              SELECT source, sum(c) AS n FROM obs GROUP BY source
+            ), grid AS (
+              SELECT n.source,
+                     coalesce(obs.c, 0) AS o,
+                     expf.f / (SELECT s FROM norm) * n.n AS e
+              FROM n CROSS JOIN expf
+              LEFT JOIN obs ON obs.source = n.source
+                           AND obs.lang = expf.lang)
+            SELECT 'source=' || source AS partition,
+                   round(sum((o - e) * (o - e) / e), 6) AS statistic
+            FROM grid GROUP BY source
         """,
         "contamination": r"""
             WITH w AS (
