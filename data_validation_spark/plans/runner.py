@@ -121,6 +121,11 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     # fill documented defaults (e.g. in_domain ← reference domain) up
     # front so a bad suite fails here with a clear message, not mid-job
     suite = replace(suite, constraints=suite.resolved_constraints())
+    schema_errs = suite.schema_errors(df)
+    if schema_errs:
+        raise ValueError(
+            "suite does not match the input schema:\n  - "
+            + "\n  - ".join(schema_errs))
     pcols = suite.partition_cols
     lineage = dict(lineage or {})
 

@@ -280,6 +280,73 @@ class ValidationSuite:
             out.append(c)
         return out
 
+    def schema_errors(self, df) -> list[str]:
+        """rdv's schema-model check: does ``df`` actually carry what
+        this suite references?  Analysis-only (Catalyst resolution — no
+        job runs): missing partition columns, extractors that don't
+        resolve, component type-category mismatches (numeric component
+        over a string column, tokens over a scalar), and constraint
+        references to absent columns all come back as plain-English
+        strings.  Empty list = the suite can run.  ``run_validation``
+        calls this up front so a bad suite fails in milliseconds with
+        every problem listed, not minutes into a 100 TB scan with one
+        AnalysisException."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, NumericType
+
+        errs: list[str] = []
+        cols = set(df.columns)
+        for c in self.partition_cols:
+            if c not in cols:
+                errs.append(f"partition column {c!r} is not in the input "
+                            f"(columns: {sorted(cols)})")
+
+        def resolve(expr: str, what: str):
+            try:
+                return df.select(F.expr(expr).alias("__x")).schema[0].dataType
+            except Exception as e:  # AnalysisException and friends
+                msg = str(e).splitlines()[0]
+                errs.append(f"{what}: expression {expr!r} does not "
+                            f"resolve: {msg}")
+                return None
+
+        for comp in self.components:
+            dtype = resolve(comp.expr, f"component {comp.name!r}")
+            if dtype is None:
+                continue
+            if comp.ctype == "numeric" and not isinstance(dtype, NumericType):
+                errs.append(f"component {comp.name!r} is numeric but "
+                            f"{comp.expr!r} resolves to {dtype.simpleString()}")
+            elif comp.ctype == "tokens" and not isinstance(dtype, ArrayType):
+                errs.append(f"component {comp.name!r} is tokens but "
+                            f"{comp.expr!r} resolves to {dtype.simpleString()}")
+
+        for con in self.constraints:
+            p = con.params
+            what = f"constraint {con.name!r}"
+            if con.kind in ("bounds", "in_domain", "not_null"):
+                expr = p.get("expr", p.get("component"))
+                if expr is None:
+                    errs.append(f"{what}: needs 'component' or 'expr'")
+                else:
+                    resolve(expr, what)
+            elif con.kind == "expression":
+                if "sql" not in p:
+                    errs.append(f"{what}: needs 'sql'")
+                else:
+                    dtype = resolve(p["sql"], what)
+                    if dtype is not None and dtype.simpleString() != "boolean":
+                        errs.append(f"{what}: predicate {p['sql']!r} is "
+                                    f"{dtype.simpleString()}, not boolean")
+            elif con.kind == "unique":
+                for k in p.get("keys", []):
+                    if k not in cols:
+                        errs.append(f"{what}: key column {k!r} missing")
+            elif con.kind == "referential":
+                if p.get("column") not in cols:
+                    errs.append(f"{what}: column {p.get('column')!r} missing")
+        return errs
+
     def to_jcr(self) -> dict[str, Any]:
         return {
             "name": self.name,

@@ -154,3 +154,59 @@ def test_extractor_expression_component(sequences):
     vals = np.log([r["n_tok"] for r in sequences.select("n_tok").collect()])
     assert p.components["log_len"].stats.mean == pytest.approx(vals.mean(), rel=1e-9)
     assert p.components["log_len"].stats.max == pytest.approx(vals.max(), rel=1e-9)
+
+
+def test_schema_errors_catches_everything(spark):
+    """Pre-flight schema check: every mismatch between suite and input
+    is listed in plain English; a good suite returns []."""
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    df = spark.createDataFrame(
+        [(1, "a", 2.0)], "doc_id long, text string, score double")
+
+    good = ValidationSuite(
+        name="g",
+        components=[Component("score", "numeric"),
+                    Component("text", "categoric")],
+        constraints=[
+            Constraint("b", "bounds", {"component": "score", "min": 0}),
+            Constraint("u", "unique", {"keys": ["doc_id"]}),
+            Constraint("e", "expression", {"sql": "score >= 0"})],
+        partition_cols=[])
+    assert good.schema_errors(df) == []
+
+    bad = ValidationSuite(
+        name="b",
+        components=[Component("text", "numeric"),          # wrong category
+                    Component("toks", "tokens",
+                              extractor="nope_col"),       # unresolvable
+                    ],
+        constraints=[
+            Constraint("u", "unique", {"keys": ["missing_key"]}),
+            Constraint("r", "referential", {"column": "ghost",
+                                            "dim": "d"}),
+            Constraint("e", "expression", {"sql": "score + 1"}),  # not bool
+            Constraint("nn", "not_null", {})],                    # no target
+        partition_cols=["no_such_part"])
+    errs = bad.schema_errors(df)
+    joined = "\n".join(errs)
+    assert "partition column 'no_such_part'" in joined
+    assert "is numeric but" in joined
+    assert "does not resolve" in joined
+    assert "key column 'missing_key' missing" in joined
+    assert "column 'ghost' missing" in joined
+    assert "not boolean" in joined
+    assert "needs 'component' or 'expr'" in joined
+    assert len(errs) == 7
+
+
+def test_run_validation_fails_fast_on_schema_mismatch(spark):
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    suite = ValidationSuite(
+        name="s", components=[Component("nope", "numeric")],
+        constraints=[Constraint("u", "unique", {"keys": ["doc_id"]})])
+    with pytest.raises(ValueError, match="does not match the input schema"):
+        run_validation(spark, df, suite, resume=False)
