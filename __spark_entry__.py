@@ -662,6 +662,25 @@ def q_drift_by_source(spark, sf_dir):
     return spark.createDataFrame(rows, "partition string, statistic double")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot parity diff — migration-gate shape: snapshot B alters
+    the text of docs 0-4, the per-partition checksum join pinpoints
+    exactly the sources those docs live in (comparing two snapshots
+    shuffles only the tiny per-partition aggregate frames).  The oracle
+    replays both checksum aggregations and the diff in SQL."""
+    from data_validation_spark.operators.parity import snapshot_diff
+    df = _t(spark, sf_dir, "documents")
+    toks = F.transform(F.split(F.col("text"), " "),
+                       lambda x: F.length(x).cast("long"))
+    a = df.withColumn("__toks", toks)
+    b = (df.withColumn("text",
+                       F.when(F.col("doc_id") < 5,
+                              F.concat(F.col("text"), F.lit(" EXTRA")))
+                       .otherwise(F.col("text")))
+         .withColumn("__toks", toks))
+    return snapshot_diff(a, b, "__toks", ["source"]).drop("match")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -705,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "contamination": q_contamination,
         "vocab_topk": q_vocab_topk,
+        "snapshot_diff": q_snapshot_diff,
         "drift_by_source": q_drift_by_source,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
@@ -1021,6 +1041,47 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "snapshot_diff": """
+            WITH a AS (
+              SELECT source,
+                     sum(list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split(text, ' '),
+                                        x -> length(x)::BIGINT)),
+                       (acc, x) -> (acc * 31 + (x * 2654435761)
+                                    % 1000000007) % 1000000007))::BIGINT
+                         AS checksum_sum_a,
+                     count(text) AS n_rows_with_tokens_a,
+                     sum(len(string_split(text, ' ')))::BIGINT
+                         AS n_tokens_a
+              FROM documents GROUP BY source
+            ), bsrc AS (
+              SELECT source, doc_id,
+                     CASE WHEN doc_id < 5 THEN text || ' EXTRA'
+                          ELSE text END AS text
+              FROM documents
+            ), b AS (
+              SELECT source,
+                     sum(list_reduce(
+                       list_prepend(0::BIGINT,
+                         list_transform(string_split(text, ' '),
+                                        x -> length(x)::BIGINT)),
+                       (acc, x) -> (acc * 31 + (x * 2654435761)
+                                    % 1000000007) % 1000000007))::BIGINT
+                         AS checksum_sum_b,
+                     count(text) AS n_rows_with_tokens_b,
+                     sum(len(string_split(text, ' ')))::BIGINT
+                         AS n_tokens_b
+              FROM bsrc GROUP BY source
+            )
+            SELECT source, checksum_sum_a, n_rows_with_tokens_a,
+                   n_tokens_a, checksum_sum_b, n_rows_with_tokens_b,
+                   n_tokens_b
+            FROM a JOIN b USING (source)
+            WHERE checksum_sum_a <> checksum_sum_b
+               OR n_tokens_a <> n_tokens_b
+               OR n_rows_with_tokens_a <> n_rows_with_tokens_b
         """,
         "vocab_topk": r"""
             WITH words AS (
