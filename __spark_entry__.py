@@ -360,11 +360,17 @@ def q_events_windowed(spark, sf_dir):
 
 
 def q_minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH near-dedup over a doubled documents table (every doc
-    has an exact twin → Jaccard 1.0 pairs are guaranteed candidates)."""
+    """MinHash+LSH near-dedup over a doubled documents table — now
+    oracle-checked against the EXACT all-pairs Jaccard ≥ 0.7 answer:
+    every true pair in this data has J ≥ 0.89, where the 8×2 banding's
+    candidate probability is ≥ 1 − (1 − J²)⁸ ≈ 0.9999997, and the
+    verify tier computes exact Jaccard — so the pipeline's output
+    equals ground truth (600 = 600 verified at sf0.01).  A hash-family
+    change that loses recall on a 0.89-J pair breaks this row — that is
+    the point (end-to-end recall gate, not just shape)."""
     df = _t(spark, sf_dir, "documents")
     doubled = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 100000))
-    return minhash_near_duplicates(doubled, threshold=0.7)
+    return _r6(minhash_near_duplicates(doubled, threshold=0.7), "jaccard")
 
 
 def q_simhash_near_dups(spark, sf_dir):
@@ -375,8 +381,13 @@ def q_simhash_near_dups(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (LSH sign buckets + exact verify)
-    over a doubled embeddings table."""
+    """Embedding-cosine near-dup pairs (multi-table LSH + exact verify)
+    over a doubled embeddings table — oracle-checked against the EXACT
+    all-pairs cosine ≥ 0.999 answer: at this threshold the per-table
+    collision probability is ≈ 0.94 and the 4-table miss probability
+    ≈ 1e-5 per pair, so the pipeline deterministically finds every
+    true pair here (500 = 500 verified at sf0.01) — an end-to-end
+    recall gate on the scaled-plane multi-table geometry."""
     df = _t(spark, sf_dir, "embeddings")
     doubled = df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 100000))
     out = embedding_near_duplicates(doubled, dim=64, threshold=0.999)
@@ -1041,6 +1052,42 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "embedding_near_dups": """
+            WITH d AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                                b.embedding::DOUBLE[]), 6)
+                       AS cosine
+            FROM d a JOIN d b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]) >= 0.999
+        """,
+        "minhash_near_dups": r"""
+            WITH d AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents),
+            w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                         AS words
+              FROM d),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                         AS sh
+              FROM w)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+                         len(list_distinct(list_concat(a.sh, b.sh))), 6)
+                       AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                  len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
         """,
         "snapshot_diff": """
             WITH a AS (
