@@ -692,6 +692,26 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(a, b, "__toks", ["source"]).drop("match")
 
 
+def q_boilerplate_lines(spark, sf_dir):
+    """C4-style boilerplate screen: distinct-per-doc line DOCUMENT
+    frequencies, flagging lines shared by ≥ 2 docs.  The synthetic
+    corpus is single-line, so both engines derive identical pseudo-
+    lines (5-word chunks) first — the operator's counting/distinct
+    semantics are what the oracle locks."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.cleaning import line_frequencies
+    df = _t(spark, sf_dir, "documents")
+    w = words_col("text")
+    n_lines = F.ceil(F.array_size(w) / F.lit(5)).cast("int")
+    pseudo = F.array_join(
+        F.transform(F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 5 + 1,
+                                                       5))),
+        "\n")
+    lined = df.select("doc_id", pseudo.alias("text"))
+    return line_frequencies(lined, min_doc_freq=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -736,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "vocab_topk": q_vocab_topk,
         "snapshot_diff": q_snapshot_diff,
+        "boilerplate_lines": q_boilerplate_lines,
         "drift_by_source": q_drift_by_source,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
@@ -1052,6 +1073,24 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "boilerplate_lines": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                         AS words
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0),
+            lines AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       [array_to_string(words[(i-1)*5+1 : (i-1)*5+5], ' ')
+                        for i in generate_series(
+                          1, greatest(ceil(len(words) / 5.0)::BIGINT, 1))],
+                       x -> length(trim(x)) > 0)) AS ls
+              FROM w)
+            SELECT line, count(*) AS doc_freq
+            FROM (SELECT doc_id, unnest(ls) AS line FROM lines)
+            GROUP BY line HAVING count(*) >= 2
         """,
         "embedding_near_dups": """
             WITH d AS (

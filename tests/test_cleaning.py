@@ -1,0 +1,50 @@
+"""Line-level boilerplate removal (C4-style): document-frequency
+counting, order-preserving strip, empty-doc survival."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators.cleaning import (
+    line_frequencies,
+    strip_boilerplate,
+)
+
+FOOTER = "subscribe to our newsletter"
+NAV = "home | about | contact"
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    rows = [
+        (1, f"{NAV}\nunique article one\n{FOOTER}"),
+        (2, f"{NAV}\nanother real text\nmore of it\n{FOOTER}"),
+        (3, f"{NAV}\nthird page body\n{FOOTER}\n{FOOTER}"),  # dup inside
+        (4, "standalone page with no chrome"),
+        (5, f"{FOOTER}"),                                     # only chrome
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_line_frequencies_are_document_frequencies(pages):
+    freq = {r["line"]: r["doc_freq"]
+            for r in line_frequencies(pages, min_doc_freq=2).collect()}
+    # FOOTER appears twice inside doc 3 but counts once per document
+    assert freq == {NAV: 3, FOOTER: 4}
+
+
+def test_strip_preserves_order_and_unique_content(pages):
+    boiler = line_frequencies(pages, min_doc_freq=3)
+    out = {r["doc_id"]: r["text"]
+           for r in strip_boilerplate(pages, boiler).collect()}
+    assert out[1] == "unique article one"
+    assert out[2] == "another real text\nmore of it"
+    assert out[4] == "standalone page with no chrome"
+    assert out[5] == ""                       # chrome-only doc survives empty
+    assert len(out) == 5
+
+
+def test_strip_broadcast_plan(pages):
+    boiler = line_frequencies(pages, min_doc_freq=3)
+    plan = strip_boilerplate(pages, boiler) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
