@@ -712,6 +712,15 @@ def q_boilerplate_lines(spark, sf_dir):
     return line_frequencies(lined, min_doc_freq=2)
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText repetition battery per document: duplicate
+    word / 2-gram / 3-gram occurrence fractions — the degenerate-text
+    quality filter, pure Catalyst array arithmetic."""
+    from data_validation_spark.functions.text import repetition_stats_exprs
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", *repetition_stats_exprs("text"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -757,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
+        "repetition_stats": q_repetition_stats,
         "drift_by_source": q_drift_by_source,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
@@ -1073,6 +1083,35 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     CASE WHEN text IS NULL OR length(trim(text)) = 0
+                          THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS words
+              FROM documents),
+            g AS (
+              SELECT doc_id, words, len(words) AS n,
+                     [array_to_string(words[i:i+1], ' ')
+                      for i in generate_series(1, greatest(len(words)-1, 0))]
+                         AS g2,
+                     [array_to_string(words[i:i+2], ' ')
+                      for i in generate_series(1, greatest(len(words)-2, 0))]
+                         AS g3
+              FROM w)
+            SELECT doc_id,
+                   round(CASE WHEN n = 0 THEN 0.0
+                         ELSE (n - len(list_distinct(words)))::DOUBLE / n
+                         END, 6) AS dup_word_frac,
+                   round(CASE WHEN len(g2) = 0 THEN 0.0
+                         ELSE (len(g2) - len(list_distinct(g2)))::DOUBLE
+                              / len(g2) END, 6) AS dup_2gram_frac,
+                   round(CASE WHEN len(g3) = 0 THEN 0.0
+                         ELSE (len(g3) - len(list_distinct(g3)))::DOUBLE
+                              / len(g3) END, 6) AS dup_3gram_frac
+            FROM g
         """,
         "boilerplate_lines": r"""
             WITH w AS (

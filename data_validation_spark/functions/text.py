@@ -114,3 +114,39 @@ def rolling_hash_col(text: str | Column = "text", window: int = 8) -> Column:
     shingle_hashes = F.transform(
         idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(w, i, window))))
     return F.slice(F.array_sort(shingle_hashes), 1, 8)
+
+
+def dup_word_fraction_col(text: str | Column = "text") -> Column:
+    """Gopher-style repetition signal: fraction of word occurrences
+    beyond each word's first — 0 for all-distinct text, → 1 for
+    degenerate repetition.  Pure Catalyst (no UDF)."""
+    w = words_col(text)
+    n = F.array_size(w)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.array_size(F.array_distinct(w))).cast("double") / n)
+
+
+def dup_ngram_fraction_col(text: str | Column = "text",
+                           k: int = 2) -> Column:
+    """Fraction of word ``k``-gram occurrences beyond each gram's first
+    — the MassiveText duplicate-n-gram filter's core statistic.
+    Computed from the positional (non-distinct) gram list."""
+    w = words_col(text)
+    n = F.array_size(w)
+    n_grams = F.greatest(n - k + 1, F.lit(0))
+    grams = F.transform(F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+                        lambda i: F.concat_ws(" ", F.slice(w, i, k)))
+    grams = F.when(n_grams > 0, grams).otherwise(
+        F.array().cast("array<string>"))
+    return F.when(n_grams == 0, F.lit(0.0)).otherwise(
+        (n_grams - F.array_size(F.array_distinct(grams))).cast("double")
+        / n_grams)
+
+
+def repetition_stats_exprs(text: str | Column = "text") -> list[Column]:
+    """The per-doc repetition battery (select alongside other stats)."""
+    return [
+        F.round(dup_word_fraction_col(text), 6).alias("dup_word_frac"),
+        F.round(dup_ngram_fraction_col(text, 2), 6).alias("dup_2gram_frac"),
+        F.round(dup_ngram_fraction_col(text, 3), 6).alias("dup_3gram_frac"),
+    ]
