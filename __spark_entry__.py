@@ -721,6 +721,22 @@ def q_repetition_stats(spark, sf_dir):
     return df.select("doc_id", *repetition_stats_exprs("text"))
 
 
+def q_filter_report(spark, sf_dir):
+    """Filter-config dry run — per-source acceptance counts for a
+    3-filter config (length bounds, lang domain, repetition cap) in ONE
+    grouped scan; NULL predicate = fail."""
+    from data_validation_spark.functions.text import dup_word_fraction_col
+    from data_validation_spark.operators.filters import acceptance_report
+    df = _t(spark, sf_dir, "documents")
+    preds = {
+        "len": (F.col("n_chars") >= N_CHARS_MIN)
+               & (F.col("n_chars") <= N_CHARS_MAX),
+        "lang": F.col("lang").isin(LANG_DOMAIN),
+        "low_rep": dup_word_fraction_col("text") <= 0.8,
+    }
+    return acceptance_report(df, preds, ["source"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -767,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
+        "filter_report": q_filter_report,
         "drift_by_source": q_drift_by_source,
         "content_parity_docs": q_content_parity_docs,
         "drift_chi2": q_drift_chi2,
@@ -1083,6 +1100,33 @@ def oracle_sql() -> dict[str, str]:
                   < CASE WHEN source = 'web'  THEN 2147483648
                          WHEN source = 'wiki' THEN 1073741824
                          ELSE 429496729 END
+        """,
+        "filter_report": f"""
+            WITH p AS (
+              SELECT source,
+                     coalesce(n_chars >= {N_CHARS_MIN}
+                              AND n_chars <= {N_CHARS_MAX}, FALSE)
+                         AS len_ok,
+                     coalesce(lang IN ({", ".join(f"'{v}'" for v in LANG_DOMAIN)}), FALSE)
+                         AS lang_ok,
+                     coalesce((SELECT CASE WHEN len(w) = 0 THEN 0.0
+                               ELSE (len(w) - len(list_distinct(w)))::DOUBLE
+                                    / len(w) END
+                               FROM (SELECT CASE
+                                 WHEN text IS NULL
+                                      OR length(trim(text)) = 0
+                                 THEN []::VARCHAR[]
+                                 ELSE regexp_split_to_array(trim(text),
+                                                            '\\s+')
+                                 END AS w)) <= 0.8, FALSE) AS rep_ok
+              FROM documents)
+            SELECT source, count(*) AS n,
+                   sum(len_ok::INT)::BIGINT AS n_pass_len,
+                   sum(lang_ok::INT)::BIGINT AS n_pass_lang,
+                   sum(rep_ok::INT)::BIGINT AS n_pass_low_rep,
+                   sum((len_ok AND lang_ok AND rep_ok)::INT)::BIGINT
+                       AS n_pass_all
+            FROM p GROUP BY source
         """,
         "repetition_stats": r"""
             WITH w AS (
