@@ -83,3 +83,68 @@ def test_categoric_frequencies_sum_to_one(spark, freqs):
     assert abs(sum(s.frequencies.values()) - 1.0) < 1e-9
     assert s.counts == freqs
     assert s.pinv == 0.0
+
+
+# ---------------------------------------------------------------------------
+# deterministic sampling invariants
+# ---------------------------------------------------------------------------
+
+_frac = st.floats(min_value=0.0, max_value=1.0,
+                  allow_nan=False, allow_infinity=False)
+_ids = st.lists(st.integers(min_value=0, max_value=10**9),
+                min_size=1, max_size=60, unique=True)
+
+
+@given(ids=_ids, f1=_frac, f2=_frac)
+@SET
+def test_hash_sample_nesting_and_determinism(spark, ids, f1, f2):
+    """For ANY two fractions under one salt, the smaller sample is a
+    subset of the larger; repeated runs are identical; a fraction of
+    1.0 keeps everything, 0.0 keeps nothing."""
+    from data_validation_spark.operators.sampling import hash_sample
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    lo, hi = sorted([f1, f2])
+    s_lo = {r["doc_id"] for r in hash_sample(df, lo, salt="p").collect()}
+    s_hi = {r["doc_id"] for r in hash_sample(df, hi, salt="p").collect()}
+    assert s_lo <= s_hi
+    again = {r["doc_id"] for r in hash_sample(df, hi, salt="p").collect()}
+    assert again == s_hi
+    assert {r["doc_id"] for r in hash_sample(df, 1.0).collect()} == set(ids)
+    assert hash_sample(df, 0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# sessionization invariants
+# ---------------------------------------------------------------------------
+
+_events = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3),        # user
+              st.integers(min_value=0, max_value=10**6)),   # seconds offset
+    min_size=1, max_size=50)
+
+
+@given(data=_events)
+@SET
+def test_sessionize_invariants(spark, data):
+    """Per user: session_seq starts at 1, never decreases along the
+    event order, increments by exactly 1 at gaps > threshold, and the
+    session count equals 1 + #gaps — checked against an independent
+    pandas computation."""
+    from data_validation_spark.operators.sessions import sessionize
+    rows = [(i, u, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=s))
+            for i, (u, s) in enumerate(data)]
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts"])
+    df = spark.createDataFrame(pdf)
+    gap_min = 30
+    got = sessionize(df, gap_minutes=gap_min).toPandas() \
+        .sort_values(["user_id", "ts", "event_id"])
+    for uid, g in got.groupby("user_id"):
+        seqs = g["session_seq"].to_numpy()
+        assert seqs[0] == 1
+        deltas = np.diff(seqs)
+        assert ((deltas == 0) | (deltas == 1)).all()
+        # independent expectation from pandas
+        ts = g["ts"].to_numpy()
+        gaps = (np.diff(ts).astype("timedelta64[s]").astype(int)
+                > gap_min * 60)
+        assert seqs[-1] == 1 + gaps.sum()
