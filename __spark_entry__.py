@@ -80,6 +80,22 @@ def _r6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def _dec6(col: str) -> "F.Column":
+    """DOUBLE column pre-cast to DECIMAL(18,6) for summation.
+
+    Float sums are order-sensitive: Spark's partial-agg merge order
+    varies run to run, so round(sum(double), 6) can flip its last digit
+    vs DuckDB when the unrounded sum sits within float noise of a
+    0.5e-6 boundary (this is exactly the CORRECTNESS_r02 `sessionize`
+    hash flake).  Decimal addition is exact and associative, so any
+    oracle column that is a SUM or AVG of doubles aggregates
+    DECIMAL(18,6) on BOTH engines; the per-row double->decimal cast is
+    deterministic (binary doubles are never exactly on a 1e-6 decimal
+    midpoint unless they have <=7 fractional bits, which generated data
+    never does)."""
+    return F.col(col).cast("decimal(18,6)")
+
+
 def _documents_suite() -> ValidationSuite:
     return ValidationSuite(
         name="documents",
@@ -294,7 +310,8 @@ def q_events_by_type(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     out = (df.groupBy("event_type")
            .agg(F.count(F.lit(1)).alias("n"),
-                F.avg("value").alias("mean_value"),
+                (F.sum(_dec6("value")).cast("double")
+                 / F.count("value")).alias("mean_value"),
                 F.min("value").alias("min_value"),
                 F.max("value").alias("max_value")))
     return _r6(out, "mean_value", "min_value", "max_value")
@@ -304,12 +321,15 @@ def q_pricing_summary(spark, sf_dir):
     """TPC-H Q1-shaped agg — shows the stats pass generalizes to plain
     warehouse aggregation (partial+final hash agg, no extra shuffle)."""
     df = _t(spark, sf_dir, "lineitem")
+    disc = (F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))).cast("decimal(18,6)")
     out = (df.groupBy("l_returnflag", "l_linestatus")
-           .agg(F.sum("l_quantity").alias("sum_qty"),
-                F.sum("l_extendedprice").alias("sum_base_price"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
-                .alias("sum_disc_price"),
-                F.avg("l_quantity").alias("avg_qty"),
+           .agg(F.sum(_dec6("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(_dec6("l_extendedprice")).cast("double")
+                .alias("sum_base_price"),
+                F.sum(disc).cast("double").alias("sum_disc_price"),
+                (F.sum(_dec6("l_quantity")).cast("double")
+                 / F.count("l_quantity")).alias("avg_qty"),
                 F.count(F.lit(1)).alias("count_order")))
     return _r6(out, "sum_qty", "sum_base_price", "sum_disc_price", "avg_qty")
 
@@ -350,7 +370,8 @@ def q_events_windowed(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     out = (df.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count(F.lit(1)).alias("n"),
-                F.avg("value").alias("mean_value"))
+                (F.sum(_dec6("value")).cast("double")
+                 / F.count("value")).alias("mean_value"))
            .select(F.col("w.start").alias("window_start"), "event_type",
                    "n", "mean_value"))
     return _r6(out, "mean_value")
@@ -575,8 +596,9 @@ def q_sessionize(spark, sf_dir):
     tie-break on event_id; summary agg rides the window's user
     partitioning (no second shuffle)."""
     from data_validation_spark.operators.sessions import session_summary
-    df = _t(spark, sf_dir, "events")
+    df = _t(spark, sf_dir, "events").withColumn("value", _dec6("value"))
     out = session_summary(df, gap_minutes=30)
+    out = out.withColumn("sum_value", F.col("sum_value").cast("double"))
     return _r6(out, "sum_value")
 
 
@@ -972,7 +994,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,
-                   round(avg(value), 6) AS mean_value,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(value), 6) AS mean_value,
                    round(min(value), 6) AS min_value,
                    round(max(value), 6) AS max_value
             FROM events GROUP BY event_type
@@ -1021,16 +1044,21 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": """
             SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
                    event_type, count(*) AS n,
-                   round(avg(value), 6) AS mean_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                         / count(value), 6) AS mean_value
             FROM events GROUP BY 1, 2
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 6) AS sum_qty,
-                   round(sum(l_extendedprice), 6) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 6)
-                       AS sum_disc_price,
-                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS sum_qty,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS sum_base_price,
+                   round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS sum_disc_price,
+                   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(l_quantity), 6) AS avg_qty,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
@@ -1350,7 +1378,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_seq,
                    min(us) AS start_us, max(us) AS end_us,
                    count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+                         6) AS sum_value
             FROM numbered GROUP BY user_id, session_seq
         """,
         "content_parity_docs": """

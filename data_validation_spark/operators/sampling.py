@@ -13,6 +13,15 @@ key falls under ``fraction × 2³²``.  Properties the RNG path lacks:
 * disjoint/nested samples for free via ``salt`` (different salt →
   independent sample; same salt, larger fraction → superset).
 
+NULL sampling keys: ``md5(concat(NULL, salt))`` is NULL, so the
+threshold predicate is never true and a NULL-key row would silently
+vanish from the sample even at fraction 1.0 — on dirty keys that is a
+shrinking sample nobody notices.  The samplers therefore take
+``on_null`` (default ``"error"``: fail the job at the first NULL key;
+``"drop"``: the documented legacy semantics; ``"coalesce"``: map every
+NULL to one sentinel key, so all NULL rows share one membership
+decision — lumpy, but deterministic and never silent).
+
 Pure projection + filter: no shuffle, no RNG state, whole-stage codegen.
 """
 
@@ -33,20 +42,43 @@ def hash_bucket_col(key: Column, salt: str = "") -> Column:
             .cast("long"))
 
 
+_NULL_SENTINEL = "\x00__null__"
+
+
+def _sample_key(key: Column, on_null: str) -> Column:
+    """Key column with the configured NULL policy applied (module
+    docstring: NULL keys hash to NULL and silently fail the threshold
+    predicate, so 'drop' is the only mode that leaves them alone)."""
+    if on_null == "error":
+        return F.when(
+            key.isNull(),
+            F.raise_error(F.lit(
+                "hash sampling key is NULL — pass on_null='drop' or "
+                "'coalesce', or clean the key column first"))
+        ).otherwise(key.cast("string"))
+    if on_null == "coalesce":
+        return F.coalesce(key.cast("string"), F.lit(_NULL_SENTINEL))
+    if on_null == "drop":
+        return key
+    raise ValueError(f"on_null must be error|drop|coalesce, got {on_null!r}")
+
+
 def hash_sample(df: DataFrame, fraction: float, key_col: str = "doc_id",
-                salt: str = "") -> DataFrame:
+                salt: str = "", on_null: str = "error") -> DataFrame:
     """Keep ~``fraction`` of rows, selected by key hash (see module
-    docstring for why not ``df.sample``)."""
+    docstring for why not ``df.sample``, and for ``on_null``)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.where(hash_bucket_col(F.col(key_col), salt)
+    return df.where(hash_bucket_col(_sample_key(F.col(key_col), on_null),
+                                    salt)
                     < F.lit(int(fraction * _BUCKETS)))
 
 
 def stratified_hash_sample(df: DataFrame, strata_col: str,
                            fractions: dict[str, float],
                            key_col: str = "doc_id", salt: str = "",
-                           default_fraction: float = 0.0) -> DataFrame:
+                           default_fraction: float = 0.0,
+                           on_null: str = "error") -> DataFrame:
     """Per-stratum hash sampling (e.g. down-weight web, keep all wiki).
     One projection+filter pass — the per-stratum threshold is a CASE
     expression, so there is still no shuffle and no RNG."""
@@ -62,14 +94,16 @@ def stratified_hash_sample(df: DataFrame, strata_col: str,
         thr = F.lit(int(default_fraction * _BUCKETS))
     else:
         thr = thr.otherwise(F.lit(int(default_fraction * _BUCKETS)))
-    return df.where(hash_bucket_col(F.col(key_col), salt) < thr)
+    return df.where(hash_bucket_col(_sample_key(F.col(key_col), on_null),
+                                    salt) < thr)
 
 
 def mix_to_proportions(df: DataFrame, strata_col: str,
                        targets: dict[str, float], key_col: str = "doc_id",
                        salt: str = "",
                        counts: dict[str, int] | None = None,
-                       fractions_out: dict | None = None) -> DataFrame:
+                       fractions_out: dict | None = None,
+                       on_null: str = "error") -> DataFrame:
     """Down-sample strata so the output matches ``targets``'s relative
     proportions (domain reweighting: "make the corpus 30% web, 60%
     wiki, 10% books") WITHOUT upsampling: the binding stratum — the one
@@ -108,4 +142,4 @@ def mix_to_proportions(df: DataFrame, strata_col: str,
         fractions_out.update(fractions)
     return stratified_hash_sample(df, strata_col, fractions,
                                   key_col=key_col, salt=salt,
-                                  default_fraction=0.0)
+                                  default_fraction=0.0, on_null=on_null)

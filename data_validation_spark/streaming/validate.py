@@ -22,9 +22,10 @@ Two shapes, matching Spark's two streaming idioms:
 * ``streaming_duplicates`` — custom stateful operator
   (``applyInPandasWithState``): CROSS-batch uniqueness, the one check
   ``foreachBatch`` cannot express (it only sees one batch).  State is
-  sharded by a hash bucket of the key, holds the seen-key set per
-  shard, and expires on a processing-time timeout so it never grows
-  unbounded.
+  sharded by a hash bucket of the key; the default state is a
+  FIXED-SIZE Bloom filter per shard (constant bytes at any key count,
+  no false negatives), with an exact seen-key-list mode for small key
+  spaces; both expire on a processing-time timeout.
 
 At scale: foreachBatch inherits all batch-path properties (map-side
 partials, broadcast joins); the windowed agg's state is bounded by
@@ -114,55 +115,154 @@ def streaming_stats(stream_df: DataFrame, ts_col: str, value_expr: str,
                     "mean_v"))
 
 
+# ---------------------------------------------------------------- Bloom
+# Pure, vectorized Bloom-filter kernel used as the bounded state of
+# streaming_duplicates.  Deterministic across runs and processes:
+# pandas' hash_array is SipHash with an explicit 16-byte key, so a
+# restarted query reads the same bit positions out of checkpointed
+# state.  Double hashing (h1 + i*h2 with h2 forced odd) gives the k
+# probe positions from two base hashes (Kirsch–Mitzenmacher).
+
+_BLOOM_KEY_1 = "dv_spark_bloom_1"
+_BLOOM_KEY_2 = "dv_spark_bloom_2"
+
+
+def _bloom_positions(keys, n_bits: int, n_hashes: int):
+    """(len(keys), n_hashes) uint64 array of bit positions."""
+    import numpy as np
+
+    arr = pd.Index(keys).to_numpy(dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_BLOOM_KEY_1, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=_BLOOM_KEY_2, categorize=False) | 1
+    i = np.arange(n_hashes, dtype=np.uint64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+
+
+def _bloom_contains(bloom, pos):
+    """Per-key membership (all k bits set) for a packed uint8 filter."""
+    import numpy as np
+
+    byte = bloom[(pos >> np.uint64(3)).astype(np.int64)]
+    bit = (byte >> (pos & np.uint64(7)).astype(np.uint8)) & 1
+    return bit.all(axis=1)
+
+
+def _bloom_add(bloom, pos) -> None:
+    import numpy as np
+
+    idx = (pos >> np.uint64(3)).astype(np.int64).ravel()
+    mask = np.left_shift(np.uint8(1),
+                         (pos & np.uint64(7)).astype(np.uint8)).ravel()
+    np.bitwise_or.at(bloom, idx, mask)
+
+
 def streaming_duplicates(stream_df: DataFrame, key_col: str = "doc_id",
                          n_shards: int = 64,
-                         state_ttl_ms: int = 30 * 60 * 1000) -> DataFrame:
+                         state_ttl_ms: int = 30 * 60 * 1000,
+                         state_mode: str = "bloom",
+                         n_bits: int = 1 << 23,
+                         n_hashes: int = 6) -> DataFrame:
     """Cross-micro-batch duplicate detection — a custom stateful
     operator built on ``applyInPandasWithState`` (U-surface: Arrow
     batches in and out, no per-row Python against Spark rows).
 
-    Keys are sharded into ``n_shards`` hash buckets; each shard's
-    ``GroupState`` holds the set of keys it has seen.  Each micro-batch
+    Keys are sharded into ``n_shards`` hash buckets; each micro-batch
     emits ``(key, shard, n_dup)`` for every key that arrived again
     after its first-ever occurrence (``n_dup`` = duplicate arrivals in
     this batch); state expires after ``state_ttl_ms`` of shard
-    inactivity (processing-time timeout), bounding memory to the keys
-    seen within the TTL.
+    inactivity (processing-time timeout), bounding state lifetime.
 
-    Scale notes: state per shard is the distinct-key list — shard count
-    spreads it across the state store's partitions, and the TTL bounds
-    its lifetime; for a 10^12-key stream, swap the exact list for a
-    Bloom filter inside the same operator shape (the state schema is
-    already bytes-friendly).  Use ``outputMode("update")``.
+    ``state_mode`` picks the shard state representation:
+
+    * ``"bloom"`` (default, the scale path) — a FIXED-SIZE Bloom filter
+      of ``n_bits`` bits (``n_bits/8`` bytes, default 1 MiB) with
+      ``n_hashes`` probes per key, held as ``binary`` state.  State per
+      shard is constant no matter how many keys stream through — the
+      property the exact mode lacks at 10^12 keys, where rewriting a
+      full key list into the state store every batch is the
+      scale-killer.  Bloom filters have NO false negatives (every true
+      cross-batch duplicate is still caught); false positives flag a
+      first-time key as duplicate at rate ≈ (1 - e^(-kn/m))^k for n
+      keys inserted (k=``n_hashes``, m=``n_bits``) — at the defaults,
+      n=500k keys per shard gives FPR ≈ 0.05%, and the per-shard
+      insert count is kept in state (``n_seen``) so operators can size
+      m against it.  Hashing is SipHash with pinned keys
+      (``pd.util.hash_array``), so checkpoint-restored state stays
+      valid across restarts.
+    * ``"exact"`` — the seen-key list (array state).  Exact answers,
+      state grows with distinct keys within the TTL; for modest key
+      spaces (e.g. per-day id dedup) this is fine and gives no false
+      positives.
+
+    Use ``outputMode("update")``.
     """
+    if state_mode not in ("bloom", "exact"):
+        raise ValueError(f"state_mode must be bloom|exact, got {state_mode!r}")
+    if state_mode == "bloom" and n_bits % 8:
+        raise ValueError("n_bits must be a multiple of 8")
     shard = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).alias("__shard")
     keyed = stream_df.select(F.col(key_col).cast("string").alias("key"), shard)
 
-    def detect(key, pdfs: Iterator[pd.DataFrame],
-               state: GroupState) -> Iterator[pd.DataFrame]:
+    def batch_counts(pdfs: Iterator[pd.DataFrame]) -> pd.Series:
+        """key -> arrivals this batch (concat chunks, one value_counts)."""
+        parts = [pdf["key"] for pdf in pdfs]
+        if not parts:
+            return pd.Series(dtype="int64")
+        return pd.concat(parts, ignore_index=True).value_counts()
+
+    def emit(shard_id, counts: pd.Series, first_time) -> Iterator[pd.DataFrame]:
+        n_dup = counts.to_numpy() - first_time.astype("int64")
+        keep = n_dup > 0
+        if keep.any():
+            yield pd.DataFrame({"key": counts.index.to_numpy()[keep],
+                                "shard": shard_id,
+                                "n_dup": n_dup[keep]})
+
+    def detect_exact(key, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
         (seen,) = state.get if state.exists else ([],)
         seen_set = set(seen)
-        dup: dict[str, int] = {}  # key -> duplicate arrivals this batch
-        for pdf in pdfs:
-            for k, c in pdf["key"].value_counts().items():
-                extra = int(c) - (0 if k in seen_set else 1)
-                if extra > 0:
-                    dup[k] = dup.get(k, 0) + extra
-                seen_set.add(k)
+        counts = batch_counts(pdfs)
+        first = ~counts.index.isin(seen_set)
+        seen_set.update(counts.index)
         state.update((list(seen_set),))
         state.setTimeoutDuration(state_ttl_ms)
-        if dup:
-            yield pd.DataFrame({"key": list(dup),
-                                "shard": [key[0]] * len(dup),
-                                "n_dup": list(dup.values())})
+        yield from emit(key[0], counts, first)
 
+    def detect_bloom(key, pdfs: Iterator[pd.DataFrame],
+                     state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            raw, n_seen = state.get
+            bloom = np.frombuffer(bytes(raw), dtype=np.uint8).copy()
+        else:
+            bloom, n_seen = np.zeros(n_bits // 8, dtype=np.uint8), 0
+        counts = batch_counts(pdfs)
+        if len(counts):
+            pos = _bloom_positions(counts.index, n_bits, n_hashes)
+            seen_before = _bloom_contains(bloom, pos)
+            _bloom_add(bloom, pos)
+            n_seen += int((~seen_before).sum())
+        else:
+            seen_before = np.zeros(0, dtype=bool)
+        state.update((bytearray(bloom.tobytes()), n_seen))
+        state.setTimeoutDuration(state_ttl_ms)
+        yield from emit(key[0], counts, ~seen_before)
+
+    detect = detect_bloom if state_mode == "bloom" else detect_exact
+    state_schema = ("bloom binary, n_seen long" if state_mode == "bloom"
+                    else "seen array<string>")
     return (keyed.groupBy("__shard").applyInPandasWithState(
         detect,
         outputStructType="key string, shard long, n_dup long",
-        stateStructType="seen array<string>",
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
 

@@ -48,3 +48,28 @@ def test_strip_broadcast_plan(pages):
     plan = strip_boilerplate(pages, boiler) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_strip_shuffle_fallback_above_limit(pages):
+    """Oversized flagged set: the broadcast HINT must not be forced —
+    the anti-join plans from stats (at web scale: shuffle), a warning
+    records the choice, and the result is identical."""
+    boiler = line_frequencies(pages, min_doc_freq=3)
+    with pytest.warns(UserWarning, match="shuffle"):
+        out = strip_boilerplate(pages, boiler, broadcast_limit=0)
+    want = {r["doc_id"]: r["text"]
+            for r in strip_boilerplate(pages, boiler).collect()}
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert got == want
+    # no broadcast hint in the analyzed plan (the guarded path leaves
+    # the join strategy to the planner's size estimates)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" not in analyzed
+
+
+def test_strip_broadcast_limit_none_skips_count(pages):
+    boiler = line_frequencies(pages, min_doc_freq=3)
+    out = strip_boilerplate(pages, boiler, broadcast_limit=None)
+    assert out.count() == 5
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "strategy=broadcast" in analyzed

@@ -86,6 +86,32 @@ def test_mix_to_proportions(docs):
     assert 0.15 < by["wiki"] / total < 0.25
 
 
+def test_on_null_error_default(spark):
+    """NULL keys hash to NULL and silently fail the threshold predicate
+    (module docstring) — the default now fails fast instead."""
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(100)] + [(None,)] * 10, "doc_id string")
+    with pytest.raises(Exception, match="hash sampling key is NULL"):
+        hash_sample(df, 1.0).collect()
+
+
+def test_on_null_drop_and_coalesce(spark):
+    df = spark.createDataFrame(
+        [(str(i),) for i in range(100)] + [(None,)] * 10,
+        "doc_id string").cache()
+    # drop: the legacy silent-shrink semantics, now opt-in
+    assert hash_sample(df, 1.0, on_null="drop").count() == 100
+    # coalesce: every NULL maps to one sentinel key, so at 1.0 all stay
+    assert hash_sample(df, 1.0, on_null="coalesce").count() == 110
+    # ... and at any fraction the NULL rows move as one block
+    for frac in (0.3, 0.7):
+        n_null = (hash_sample(df, frac, on_null="coalesce")
+                  .where(F.col("doc_id").isNull()).count())
+        assert n_null in (0, 10)
+    with pytest.raises(ValueError):
+        hash_sample(df, 0.5, on_null="bogus")
+
+
 def test_mix_deterministic_and_pinnable(docs):
     from data_validation_spark.operators.sampling import mix_to_proportions
     a = {r["doc_id"] for r in mix_to_proportions(

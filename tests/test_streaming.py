@@ -99,10 +99,13 @@ def test_streaming_stats_windowed(spark, tmp_path):
     assert all(r["min_v"] == 0.0 and r["max_v"] == 2.0 for r in out)
 
 
-def test_streaming_duplicates_cross_batch(spark, tmp_path):
+@pytest.mark.parametrize("mode", ["bloom", "exact"])
+def test_streaming_duplicates_cross_batch(spark, tmp_path, mode):
     """Cross-batch uniqueness via the applyInPandasWithState operator:
     a key that first appears in batch 1 and again in batch 2 is caught
-    — exactly the case per-batch foreachBatch uniqueness cannot see."""
+    — exactly the case per-batch foreachBatch uniqueness cannot see.
+    Both state modes (fixed-size Bloom / exact key list) must agree on
+    this key space (Bloom FPR at 5 keys in 2^23 bits ≈ 0)."""
     from data_validation_spark.streaming.validate import streaming_duplicates
     path = str(tmp_path / "in")
     # file 1: a,b,c,c   file 2: b,d,e  (b dups ACROSS batches, c within)
@@ -113,16 +116,60 @@ def test_streaming_duplicates_cross_batch(spark, tmp_path):
 
     stream = (spark.readStream.schema("doc_id string")
               .option("maxFilesPerTrigger", "1").parquet(path))
-    dups = streaming_duplicates(stream, "doc_id", n_shards=4)
-    q = (dups.writeStream.format("memory").queryName("dups")
+    dups = streaming_duplicates(stream, "doc_id", n_shards=4,
+                                state_mode=mode)
+    q = (dups.writeStream.format("memory").queryName(f"dups_{mode}")
          .outputMode("update").trigger(availableNow=True).start())
     q.awaitTermination(120)
 
-    rows = spark.sql("select * from dups").collect()
+    rows = spark.sql(f"select * from dups_{mode}").collect()
     got = {r["key"]: r["n_dup"] for r in rows}
     # c duplicated within its batch; b across batches (file order may
     # swap, but either order yields exactly these two duplicates)
     assert got == {"b": 1, "c": 1}
+
+
+def test_bloom_kernel_bounded_no_false_negatives():
+    """The Bloom state kernel: (1) state bytes are CONSTANT as keys
+    grow — the scale property the exact list lacks; (2) zero false
+    negatives ever; (3) false-positive rate within theory at the
+    sized load."""
+    import numpy as np
+
+    from data_validation_spark.streaming.validate import (
+        _bloom_add,
+        _bloom_contains,
+        _bloom_positions,
+    )
+
+    n_bits, k = 1 << 20, 6            # 128 KiB filter
+    bloom = np.zeros(n_bits // 8, dtype=np.uint8)
+    size0 = bloom.nbytes
+    inserted = [f"key-{i}" for i in range(20_000)]
+    for chunk in (inserted[:5_000], inserted[5_000:]):
+        _bloom_add(bloom, _bloom_positions(chunk, n_bits, k))
+    assert bloom.nbytes == size0      # state never grows
+    # no false negatives: every inserted key reports present
+    assert _bloom_contains(
+        bloom, _bloom_positions(inserted, n_bits, k)).all()
+    # FPR at n=20k, m=2^20, k=6: (1-e^(-kn/m))^k ~= 2.6e-6; allow 100x
+    fresh = [f"other-{i}" for i in range(50_000)]
+    fpr = _bloom_contains(
+        bloom, _bloom_positions(fresh, n_bits, k)).mean()
+    assert fpr < 3e-4
+
+
+def test_bloom_positions_deterministic():
+    """SipHash with pinned keys: positions are identical across calls
+    (and therefore across query restarts reading checkpointed state)."""
+    import numpy as np
+
+    from data_validation_spark.streaming.validate import _bloom_positions
+
+    a = _bloom_positions(["x", "y", "z"], 1 << 20, 6)
+    b = _bloom_positions(["x", "y", "z"], 1 << 20, 6)
+    assert np.array_equal(a, b)
+    assert (a < (1 << 20)).all()
 
 
 def test_streaming_drift_detects_shifted_batch(spark, tmp_path):
