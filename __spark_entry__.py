@@ -288,6 +288,44 @@ def q_ann_topk_pandas(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_knn_join_ivf(spark, sf_dir):
+    """Batch kNN JOIN — for each of 50 query vectors, the 5 nearest
+    corpus vectors, via the IVF cogroup join run in EXACT mode (every
+    cell probed), so DuckDB can replay it as per-query exact kNN.  The
+    operator's distributed shape (probe explode → one cogrouped
+    shuffle by cell with per-cell matrix scoring → narrow per-query
+    top-k merge) is identical in production, where small n_probe
+    prunes the scan; partial-probe recall is locked by
+    ``knn_join_recall`` and pytest."""
+    from data_validation_spark.operators.similarity import (
+        ivf_centroids, ivf_index, ivf_knn_join)
+    df = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(df, dim=64, n_centroids=16)
+    idx = ivf_index(df, cents)
+    queries = df.filter(F.col("vec_id") < 50)
+    out = ivf_knn_join(queries, idx, cents, k=5, n_probe=len(cents))
+    return _r6(out, "cosine")
+
+
+def q_knn_join_recall(spark, sf_dir):
+    """Partial-probe batch kNN: every corpus vector, used as a query
+    with only 2 of 16 cells probed, must find itself (or a duplicate
+    at cosine 1) at rank 1 — the structural IVF guarantee (a query's
+    own cell is its nearest centroid, so it is always probe #1).  The
+    oracle is the constant all-true table: any recall regression in
+    the join machinery breaks value equality."""
+    from data_validation_spark.operators.similarity import (
+        ivf_centroids, ivf_index, ivf_knn_join)
+    df = _t(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(df, dim=64, n_centroids=16)
+    idx = ivf_index(df, cents)
+    out = ivf_knn_join(df, idx, cents, k=1, n_probe=2)
+    return out.select(
+        "query_id",
+        ((F.col("vec_id") == F.col("query_id"))
+         | (F.col("cosine") > 0.999999)).alias("self_hit"))
+
+
 def q_text_stats(spark, sf_dir):
     """Text analysis — token counting (whitespace + BPE-ish regex) and
     document fingerprinting, all JVM-side expressions."""
@@ -395,10 +433,32 @@ def q_minhash_near_dups(spark, sf_dir):
 
 
 def q_simhash_near_dups(spark, sf_dir):
-    """SimHash near-dedup (banded Hamming ≤ 3) over the doubled table."""
+    """SimHash near-dedup (banded Hamming ≤ 3) over the doubled table —
+    NOW oracle-checked end to end minus the hash kernel: the Arrow
+    SipHash signature kernel writes its ``(doc_id, simhash)`` output to
+    a deterministic parquet path, the Spark side derives pairs FROM THAT
+    TABLE (16-bit pigeonhole banding → bucket equi-join → bit_count
+    verify), and the DuckDB oracle replays the identical banding/join/
+    Hamming logic over the same file (unsigned shifts emulated with
+    HUGEINT division — verified bit-equal to shiftrightunsigned).  The
+    kernel's own values stay locked by pytest + ``simhash_recall``."""
+    import os as _os
+    from data_validation_spark.operators.dedup import (
+        simhash_pairs_from_signatures, simhash_signatures)
     df = _t(spark, sf_dir, "documents")
     doubled = df.unionAll(df.withColumn("doc_id", F.col("doc_id") + 100000))
-    return simhash_near_duplicates(doubled, max_hamming=3)
+    path = SIMHASH_SIG_PATH_TMPL.format(
+        sf=_os.path.basename(sf_dir.rstrip("/")))
+    simhash_signatures(doubled).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    return simhash_pairs_from_signatures(spark.read.parquet(path),
+                                         max_hamming=3)
+
+
+#: where q_simhash_near_dups materializes the signature table — the
+#: DuckDB oracle reads the same files, so both engines derive pairs
+#: from identical input (driver correctness runs at sf0.01)
+SIMHASH_SIG_PATH_TMPL = "/tmp/dvs_simhash_sigs_{sf}"
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -413,6 +473,35 @@ def q_embedding_near_dups(spark, sf_dir):
     doubled = df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 100000))
     out = embedding_near_duplicates(doubled, dim=64, threshold=0.999)
     return _r6(out, "cosine")
+
+
+def q_dedup_drop_accounting(spark, sf_dir):
+    """The near-dup pipelines' drop accounting as a driver-checked
+    surface: hot-bucket caps may EXCLUDE work, and "0 near-dups found"
+    is only trustworthy alongside zero drops — so the drop counters
+    (and the embedding tier's plane geometry + estimated recall) are
+    pinned by the oracle.  A regression that silently starts dropping
+    buckets at sf0.01, or shifts the scaled-plane geometry, breaks
+    this row rather than hiding in a stats dict nobody reads."""
+    from data_validation_spark.operators.dedup import minhash_near_duplicates
+    from data_validation_spark.operators.similarity import (
+        embedding_near_duplicates)
+    docs = _t(spark, sf_dir, "documents")
+    docs2 = docs.unionAll(docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    ms: dict = {}
+    minhash_near_duplicates(docs2, threshold=0.7, stats_out=ms)
+    emb = _t(spark, sf_dir, "embeddings")
+    emb2 = emb.unionAll(emb.withColumn("vec_id", F.col("vec_id") + 100000))
+    es: dict = {}
+    embedding_near_duplicates(emb2, dim=64, threshold=0.999, stats_out=es)
+    rows = [("minhash", None,
+             ms["n_dropped_buckets"], ms["n_dropped_memberships"], None),
+            ("embedding", es["n_planes"],
+             es["n_dropped_buckets"], es["n_dropped_memberships"],
+             round(float(es["est_recall"]), 6))]
+    return spark.createDataFrame(
+        rows, "pipeline string, n_planes long, n_dropped_buckets long, "
+              "n_dropped_memberships long, est_recall double")
 
 
 def q_minhash_recall(spark, sf_dir):
@@ -785,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_pandas": q_ann_topk_pandas,
         "ann_topk_ivf": q_ann_topk_ivf,
+        "knn_join_ivf": q_knn_join_ivf,
+        "knn_join_recall": q_knn_join_recall,
+        "dedup_drop_accounting": q_dedup_drop_accounting,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "events_by_type": q_events_by_type,
@@ -956,6 +1048,70 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(embedding::DOUBLE[], {ann_lit})
                      DESC, vec_id ASC
             LIMIT 10
+        """,
+        "knn_join_ivf": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 50),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                         AS cosine
+              FROM q, embeddings e),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rk
+              FROM p)
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine
+            FROM r WHERE rk <= 5
+        """,
+        "knn_join_recall": """
+            SELECT vec_id AS query_id, true AS self_hit FROM embeddings
+        """,
+        "simhash_near_dups": """
+            WITH s AS (
+              SELECT doc_id, simhash,
+                     CAST(simhash AS HUGEINT)
+                     + CASE WHEN simhash < 0
+                            THEN 18446744073709551616::HUGEINT
+                            ELSE 0::HUGEINT END AS u
+              FROM '/tmp/dvs_simhash_sigs_sf0.01/*.parquet'),
+            banded AS (
+              SELECT doc_id, simhash, b.band,
+                     CAST((u // b.c) % 65536 AS BIGINT) AS band_key
+              FROM s, (VALUES (0, 1::HUGEINT), (1, 65536::HUGEINT),
+                              (2, 4294967296::HUGEINT),
+                              (3, 281474976710656::HUGEINT)) AS b(band, c)),
+            sz AS (
+              SELECT band, band_key FROM banded GROUP BY band, band_key
+              HAVING count(*) > 1 AND count(*) <= 10000),
+            ib AS (SELECT banded.* FROM banded
+                   JOIN sz USING (band, band_key)),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sa, b.simhash AS sb
+              FROM ib a JOIN ib b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id)
+            SELECT id_a, id_b, bit_count(xor(sa, sb)) AS hamming
+            FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+        """,
+        "dedup_drop_accounting": """
+            WITH geom AS (
+              SELECT CASE WHEN 2 * count(*) <= 1024 THEN 4
+                          ELSE least(24, greatest(4, CAST(ceil(log2(
+                               2 * count(*) / 1024.0)) AS BIGINT)))
+                     END AS n_planes
+              FROM embeddings)
+            SELECT 'minhash' AS pipeline, NULL::BIGINT AS n_planes,
+                   0::BIGINT AS n_dropped_buckets,
+                   0::BIGINT AS n_dropped_memberships,
+                   NULL::DOUBLE AS est_recall
+            UNION ALL
+            SELECT 'embedding', n_planes, 0, 0,
+                   round(1.0 - pow(1.0 - pow(1.0 - acos(0.999) / pi(),
+                                             n_planes), 4), 6)
+            FROM geom
         """,
         "text_stats": r"""
             SELECT doc_id,

@@ -54,10 +54,17 @@ def seq_parquet_path(spark, n_rows: int,
 def bench_validation(spark, n_rows: int) -> tuple[float, dict]:
     """North-star job: full validation run over the sequences table."""
     path = seq_parquet_path(spark, n_rows)
-    return bench_validation_df(spark, spark.read.parquet(path), n_rows)
+    # warm on a SMALL parquet table with the identical plan shape —
+    # a limit() warm run compiles different codegen than the real
+    # parquet scan, so the measured run would still pay ~2 s of
+    # whole-stage-codegen compilation (a per-JVM constant, not work)
+    warm = spark.read.parquet(seq_parquet_path(spark, max(n_rows // 8, 1000)))
+    return bench_validation_df(spark, spark.read.parquet(path), n_rows,
+                               warm_df=warm)
 
 
-def bench_validation_df(spark, df, n_rows: int) -> tuple[float, dict]:
+def bench_validation_df(spark, df, n_rows: int,
+                        warm_df=None) -> tuple[float, dict]:
     """Same north-star job over an explicit DataFrame (scaling harness
     feeds per-executor file shards through here)."""
     from data_validation_spark.plans.runner import run_validation
@@ -65,7 +72,8 @@ def bench_validation_df(spark, df, n_rows: int) -> tuple[float, dict]:
         Component, Constraint, ValidationSuite)
     from data_validation_spark.sources.sequences import allowed_sources_df
 
-    warm_df = df.limit(max(n_rows // 4, 1))
+    if warm_df is None:
+        warm_df = df.limit(max(n_rows // 4, 1))
     suite = ValidationSuite(
         name="bench",
         components=[Component("n_tok", "numeric"),

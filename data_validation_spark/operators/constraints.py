@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_validation_spark.plans.suite import Constraint, ValidationSuite
@@ -70,18 +70,33 @@ def uniqueness_violation_counts(df: DataFrame, keys: list[str],
                                 partition_cols: list[str]) -> dict[str, int]:
     """Per-partition count of rows whose key is duplicated — the
     counts-only sibling of ``uniqueness_violations``: projects only
-    (keys ∪ partition_cols), so the scan never decodes payload columns."""
-    cols = list(dict.fromkeys([*keys, *partition_cols]))
-    slim = df.select(*cols)
-    partial = (slim.select(*keys)
-               .withColumn("__split", F.spark_partition_id())
-               .groupBy(*keys, "__split").agg(F.count(F.lit(1)).alias("__c")))
-    dup_keys = (partial.groupBy(*keys).agg(F.sum("__c").alias("__n"))
-                .filter(F.col("__n") > 1).select(*keys))
-    rows = (slim.join(dup_keys, on=keys, how="left_semi")
-            .groupBy(partition_label_col(partition_cols).alias("partition"))
-            .agg(F.count(F.lit(1)).alias("n")).collect())
-    return {r["partition"]: r["n"] for r in rows}
+    (keys ∪ partition_cols), so the scan never decodes payload columns.
+
+    SINGLE-scan plan (the r2 shape re-scanned the table for a semi-join
+    against the duplicated keys — a whole second pass of the key
+    columns at 100 TB):
+
+    1. partial ``groupBy(keys, partition-label)`` with count — map-side
+       combine; phase-2 group size per key = #labels that key appears
+       under (bounded by the table's logical partitions, so a hot key
+       never concentrates its ROWS on one reducer, only its per-label
+       count rows);
+    2. per-key total via ``sum() over (partition by keys)`` — rides the
+       same key-hash exchange, no extra shuffle;
+    3. filter total > 1, re-aggregate the surviving narrow count rows
+       by label (tiny: only duplicated keys).
+    """
+    label = partition_label_col(partition_cols).alias("__label")
+    per_key_label = (df.select(*keys, label)
+                     .groupBy(*keys, "__label")
+                     .agg(F.count(F.lit(1)).alias("__c")))
+    w = Window.partitionBy(*keys)
+    rows = (per_key_label
+            .withColumn("__n", F.sum("__c").over(w))
+            .where(F.col("__n") > 1)
+            .groupBy(F.col("__label").alias("partition"))
+            .agg(F.sum("__c").alias("n")).collect())
+    return {r["partition"]: int(r["n"]) for r in rows}
 
 
 def referential_violation_counts(df: DataFrame, column: str, dim: DataFrame,

@@ -253,6 +253,24 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             stats_out: dict | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash_a, simhash_b) ≤ max_hamming.
 
+    Kernel (``simhash_signatures``) + pair stage
+    (``simhash_pairs_from_signatures``) — split so the pair stage can
+    run over a MATERIALIZED signature table, which is also how the
+    driver oracle checks it (both engines derive pairs from the same
+    parquet signatures; the kernel itself stays pytest/recall-gated
+    since SipHash isn't replayable in SQL)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    return simhash_pairs_from_signatures(sig, id_col, max_hamming,
+                                         max_bucket, stats_out)
+
+
+def simhash_pairs_from_signatures(sig: DataFrame, id_col: str = "doc_id",
+                                  max_hamming: int = 3,
+                                  max_bucket: int = 10000,
+                                  stats_out: dict | None = None
+                                  ) -> DataFrame:
+    """Banded Hamming pair stage over an ``(id, simhash)`` frame.
+
     Candidate generation: split the 64-bit hash into max_hamming+1
     16-bit bands — any pair within the Hamming radius must agree on at
     least one band (pigeonhole), so a band-bucket equi-join finds all of
@@ -260,12 +278,12 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     ``stats_out={}`` adds hot-bucket drop accounting (with the banded
     frame persisted, nearly free).  The banded frame is persisted
     MEMORY_AND_DISK for the same three-branch reason as
-    ``lsh_candidate_pairs`` — it saves re-running the Arrow simhash
-    kernel once per branch.
+    ``lsh_candidate_pairs`` — it saves re-running the signature subplan
+    (the Arrow kernel, when fed from ``simhash_near_duplicates``) once
+    per branch.
     """
     from pyspark import StorageLevel
     n_bands = 4
-    sig = simhash_signatures(df, text_col, id_col)
     banded = sig.select(
         id_col, "simhash",
         F.posexplode(F.array(*[

@@ -163,6 +163,33 @@ def _hist_specs(df: DataFrame, components: list[Component],
     return specs
 
 
+def single_job_limit_collect(df: DataFrame, n: int) -> list:
+    """``df.limit(n).collect()`` as ONE Spark job.
+
+    CollectLimit normally executes incrementally (1 partition, then
+    scale up ×4, ...) — good for interactive ``take``, but each round
+    is a separate job, and job count is driver-serial time at scale.
+    Guard probes here WANT one early-stopping pass over all partitions:
+    every task stops at its local ``n+1``-th row, so in the
+    non-overflow case the driver receives at most the true row count,
+    and in the (pathological, discarded-anyway) overflow case at most
+    ``#partitions × (n+1)`` narrow rows transiently."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    try:
+        old = spark.conf.get(key)
+    except Exception:
+        old = None
+    spark.conf.set(key, str(2**31 - 1))
+    try:
+        return df.limit(n).collect()
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
 def _topk_count_rows(counts: DataFrame, partition_cols: list[str],
                      val_col: str, k: int) -> list:
     """Deterministic per-partition top-k over a (pcols, value, count)
@@ -226,26 +253,41 @@ def _catalyst_records(df: DataFrame, components: list[Component],
         forced = {n for n in hist
                   if next(c.quantile_strategy for c in numericish
                           if c.name == n) == "hist"}
-        # The guard stays TWO actions on a persisted counts frame, not
-        # one self-joined action: a broadcast of the per-comp sizes agg
-        # executes the melt subplan a second time (no exchange reuse
-        # across the broadcast boundary — measured slower at sf0.1),
-        # while the second action on the persisted frame is a
-        # milliseconds-scale count at any data size.
-        if hist.keys() - forced:  # any component still subject to the guard
-            hist_counts.persist()
-            per_comp = {r["comp"]: r["cnt"] for r in
-                        hist_counts.groupBy("comp")
-                        .agg(F.count(F.lit(1)).alias("cnt")).collect()}
-            too_big = {n for n, c in per_comp.items()
-                       if c > HIST_MAX_GROUPS and n not in forced}
+        guarded = hist.keys() - forced
+        if len(hist) == 1 and guarded:
+            # Common case (one integral component under guard): the
+            # guard IS the collect — pull at most HIST_MAX_GROUPS+1
+            # rows in ONE action; an overflowing probe is discarded
+            # and the component falls back to the in-pass sketch.
+            # Driver memory stays bounded by the limit either way.
+            probe = single_job_limit_collect(hist_counts,
+                                             HIST_MAX_GROUPS + 1)
+            if len(probe) > HIST_MAX_GROUPS:
+                hist_rows, hist = [], {}
+            else:
+                hist_rows = probe
         else:
-            too_big = set()
-        keep = set(hist) - too_big
-        hist_rows = (hist_counts.where(F.col("comp").isin(list(keep)))
-                     .collect() if keep else [])
-        hist_counts.unpersist()
-        hist = {n: c for n, c in hist.items() if n in keep}
+            # Multi-component (or all-forced) path: per-comp sizes
+            # guard as TWO actions on a persisted counts frame, not
+            # one self-joined action — a broadcast of the sizes agg
+            # executes the melt subplan a second time (no exchange
+            # reuse across the broadcast boundary — measured slower
+            # at sf0.1), while the second action on the persisted
+            # frame is milliseconds at any data size.
+            if guarded:
+                hist_counts.persist()
+                per_comp = {r["comp"]: r["cnt"] for r in
+                            hist_counts.groupBy("comp")
+                            .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+                too_big = {n for n, c in per_comp.items()
+                           if c > HIST_MAX_GROUPS and n not in forced}
+            else:
+                too_big = set()
+            keep = set(hist) - too_big
+            hist_rows = (hist_counts.where(F.col("comp").isin(list(keep)))
+                         .collect() if keep else [])
+            hist_counts.unpersist()
+            hist = {n: c for n, c in hist.items() if n in keep}
         for r in hist_rows:
             if r["val"] is None:
                 continue
@@ -307,13 +349,21 @@ def _catalyst_records(df: DataFrame, components: list[Component],
             counts = _topk_count_rows(counts_df, partition_cols,
                                       _ccol(comp.name), CATEGORIC_TOP_K)
         else:
-            counts_df.persist()
-            n_groups = counts_df.count()
-            use_topk = n_groups > CATEGORIC_EXACT_MAX
-            counts = (_topk_count_rows(counts_df, partition_cols,
-                                       _ccol(comp.name), CATEGORIC_TOP_K)
-                      if use_topk else counts_df.collect())
-            counts_df.unpersist()
+            # auto: the guard IS the collect — pull at most
+            # CATEGORIC_EXACT_MAX+1 rows in ONE action.  A non-
+            # overflowing probe is already the full exact value map;
+            # only a genuinely high-cardinality component pays the
+            # second (salted top-k) job, on a persisted counts frame.
+            probe = single_job_limit_collect(counts_df,
+                                             CATEGORIC_EXACT_MAX + 1)
+            use_topk = len(probe) > CATEGORIC_EXACT_MAX
+            if use_topk:
+                counts_df.persist()
+                counts = _topk_count_rows(counts_df, partition_cols,
+                                          _ccol(comp.name), CATEGORIC_TOP_K)
+                counts_df.unpersist()
+            else:
+                counts = probe
         freq_by_part: dict[str, dict[str, int]] = {}
         for r in counts:
             part = partition_label(partition_cols, [r[c] for c in partition_cols])

@@ -242,6 +242,112 @@ def ivf_topk(index: DataFrame, centroids: np.ndarray, query_vec,
     return brute_force_topk(cand, query_vec, k, vec_col, id_col)
 
 
+def ivf_assign_queries(queries: DataFrame, centroids: np.ndarray,
+                       n_probe: int = 4, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Explode each query row to its ``n_probe`` nearest centroid cells
+    — ``(query_id, cell, qvec)``, one row per probe.  Same Arrow kernel
+    shape as ``ivf_index``; ties in centroid similarity break by cell
+    id (stable argsort) so the probe set is deterministic."""
+    c = centroids.copy()
+    n_probe = min(n_probe, len(c))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cu = _unit(c)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _unit(mat) @ cu.T
+            probes = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "cell": probes.astype(np.int64).ravel(),
+                "qvec": np.repeat(pdf[vec_col].to_numpy(), n_probe)})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        assign, schema="query_id long, cell long, qvec array<float>")
+
+
+#: query rows scored per matrix block inside the kNN-join kernel —
+#: bounds kernel memory to ~block × |cell| doubles even in a hot cell
+_KNN_QUERY_BLOCK = 4096
+
+
+def ivf_knn_join(queries: DataFrame, index: DataFrame,
+                 centroids: np.ndarray, k: int = 10, n_probe: int = 4,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Batch kNN join — for EVERY query row, the k nearest (cosine)
+    index vectors among its ``n_probe`` probed IVF cells.  The shape a
+    training-data pipeline actually runs ("for each of M new docs, find
+    the k nearest corpus docs"), where the single-query ``ivf_topk``
+    would schedule M jobs.
+
+    Returns ``(query_id, vec_id, cosine)``, ≤ k rows per query,
+    deterministic order ties broken by ``vec_id``.
+
+    Distributed shape (no all-pairs anywhere):
+
+    1. queries explode to ``(query_id, cell)`` probes — M × n_probe
+       narrow rows;
+    2. ONE cogrouped shuffle keyed by ``cell`` brings each cell's
+       queries and index vectors to the same task —
+       ``applyInPandas``-over-cogroup, so the per-cell work is a dense
+       matrix product (queries blocked ``_KNN_QUERY_BLOCK`` at a time to
+       bound memory) and only each query's LOCAL top-k leaves the task;
+    3. a final narrow shuffle keyed by ``query_id`` merges each query's
+       ≤ n_probe × k candidates and keeps the global top-k
+       (``row_number`` window — input is tiny, k rows per probe).
+
+    With ``n_probe = len(centroids)`` every cell is probed and the
+    result is EXACT kNN — the correctness gate; production uses small
+    ``n_probe`` for ~n_probe/n_centroids scan cost.  Group sizes are
+    whole cells, so kernel matrix shapes — and therefore the float
+    geometry of every cosine — are run-invariant."""
+    from pyspark.sql import Window
+
+    probes = ivf_assign_queries(queries, centroids, n_probe, vec_col, id_col)
+
+    def score(qpdf: pd.DataFrame, xpdf: pd.DataFrame) -> pd.DataFrame:
+        if qpdf.empty or xpdf.empty:
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        xmat = _unit(np.stack(xpdf[vec_col].to_numpy()).astype(np.float64))
+        xids = xpdf[id_col].to_numpy()
+        # stable order inside the cell so ties keep the smallest vec_id
+        xorder = np.argsort(xids, kind="stable")
+        xmat, xids = xmat[xorder], xids[xorder]
+        kk = min(k, len(xids))
+        outs = []
+        for s in range(0, len(qpdf), _KNN_QUERY_BLOCK):
+            qb = qpdf.iloc[s:s + _KNN_QUERY_BLOCK]
+            qmat = _unit(np.stack(qb["qvec"].to_numpy()).astype(np.float64))
+            cos = qmat @ xmat.T
+            # local top-k per query: STABLE sort on -cosine over the
+            # vec_id-ascending cell, so boundary ties always keep the
+            # smallest vec_id (exactly the oracle's ORDER BY).  The
+            # sort is not the hot loop — the matmul above does
+            # dim/log(n) times more work per candidate.
+            rows = np.arange(len(qb))[:, None]
+            sel = np.argsort(-cos, kind="stable", axis=1)[:, :kk]
+            outs.append(pd.DataFrame({
+                "query_id": np.repeat(qb["query_id"].to_numpy(), kk),
+                "vec_id": xids[sel].ravel(),
+                "cosine": cos[rows, sel].ravel()}))
+        return pd.concat(outs, ignore_index=True)
+
+    cand = (probes.groupBy("cell")
+            .cogroup(index.groupBy("cell"))
+            .applyInPandas(score,
+                           schema="query_id long, vec_id long, cosine double"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select("query_id", "vec_id", "cosine"))
+
+
 #: cap on oversized-(table, bucket) ids collected to the driver per
 #: split round; past this the split stops and the remainder is counted
 #: as dropped (the cap itself bounds driver memory to a few MB)

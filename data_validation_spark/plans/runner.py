@@ -34,6 +34,7 @@ from data_validation_spark.operators.contrast import DriftReport, contrast
 from data_validation_spark.operators.profile import (
     build_profile,
     build_profile_and_counts,
+    single_job_limit_collect,
 )
 from data_validation_spark.plans.manifest import (
     completed_partitions,
@@ -130,12 +131,18 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     lineage = dict(lineage or {})
 
     # -- plan: partition worklist, minus completed (resume, J3) ----------
+    # The up-front distinct+collect worklist job only exists to serve
+    # resume (filter completed partitions, detect nothing-to-do).  A
+    # run that cannot resume (no sink to hold a manifest, or
+    # resume=False) skips it entirely — ``todo`` is derived from the
+    # partitions the fused stats pass OBSERVED, saving one full-scan
+    # action per run (job count is driver-serial time at scale).
     skipped: list[str] = []
-    if pcols:
+    todo: list[str] | None = None     # None = derive after the fused pass
+    if pcols and sink is not None and resume:
         all_parts = [partition_lbl(r, pcols) for r in
                      df.select(*pcols).distinct().collect()]
-        done = (completed_partitions(sink, suite.name)
-                if (sink is not None and resume) else set())
+        done = completed_partitions(sink, suite.name)
         skipped = sorted(set(all_parts) & done)
         if skipped:
             # partition-label anti-filter; with directory-partitioned
@@ -144,11 +151,11 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
             # join against the manifest (same result, one extra shuffle).
             df = df.filter(~partition_label_col(pcols).isin(skipped))
         todo = sorted(set(all_parts) - done)
-    else:
+        if not todo:
+            return RunResult(run_id=run_id, profile=Profile(name=suite.name),
+                             drift=None, skipped_partitions=skipped)
+    elif not pcols:
         todo = ["<global>"]
-    if not todo:
-        return RunResult(run_id=run_id, profile=Profile(name=suite.name),
-                         drift=None, skipped_partitions=skipped)
 
     # -- the single vectorized pass: stats + row-level verdict counts ----
     # (BASELINE.json:6 — one grouped agg over one scan computes every
@@ -175,10 +182,10 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
             # zeroing the violation count.  A NULL dim key also can't
             # legitimise a NULL fact value — the anti-join path agrees.
             vals = (list(p["values"]) if "values" in p else
-                    [r[0] for r in _resolve_dim(spark, p, dims)
-                     .select(dim_col).where(F.col(dim_col).isNotNull())
-                     .distinct()
-                     .limit(_REF_INLINE_MAX + 1).collect()])
+                    [r[0] for r in single_job_limit_collect(
+                        _resolve_dim(spark, p, dims)
+                        .select(dim_col).where(F.col(dim_col).isNotNull())
+                        .distinct(), _REF_INLINE_MAX + 1)])
             vals = [v for v in vals if v is not None]
             if len(vals) <= _REF_INLINE_MAX:
                 col = F.col(p["column"])
@@ -245,6 +252,8 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                        | set(profile.partitions)
                        | {p for d in set_counts.values() for p in d}) \
         or ["<global>"]
+    if todo is None:                  # non-resume run: observed = worked
+        todo = all_parts
     verdicts = []
     fused_names = [c.name for c in row_cs] + sorted(inline_ref)
     for part in all_parts:

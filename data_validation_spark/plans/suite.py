@@ -275,6 +275,18 @@ class ValidationSuite:
                         f"in_domain constraint {c.name!r}: no 'values' given "
                         f"and the suite's reference profile has no built "
                         f"categoric domain for component {comp!r}")
+                if OTHER_KEY in (stats.frequencies or {}):
+                    # The profile was built past the exact-cardinality
+                    # guard, so `frequencies` holds only the top-k values
+                    # plus __other__ remainder mass — defaulting to that
+                    # TRUNCATED domain would flag every legitimate tail
+                    # value as a violation.
+                    raise ValueError(
+                        f"in_domain constraint {c.name!r}: the reference "
+                        f"domain for component {comp!r} is top-k truncated "
+                        f"({OTHER_KEY} mass present) — pass explicit "
+                        f"'values', or build the reference profile with "
+                        f"freq_strategy='exact'")
                 c = Constraint(name=c.name, kind=c.kind,
                                params={**c.params, "values": list(domain)})
             out.append(c)

@@ -10,6 +10,7 @@ builder only fills in what is unset.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
 
@@ -75,6 +76,18 @@ def get_spark(app_name: str = "data-validation-spark",
     conf = dict(ENGINE_DEFAULTS)
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    elif master.startswith("local"):
+        # Spark's default of 200 shuffle partitions is sized for a
+        # cluster; in local mode it triples small-shuffle wall time
+        # (200-way shuffle-writer fan-out per map task + 200 reduce
+        # tasks — measured 2.07 s vs 0.60 s for a 400k-row groupBy at
+        # local[32]).  Default to the local core count; AQE coalescing
+        # still shrinks small exchanges below that.  On a cluster
+        # (master unset / spark-submit) nothing is overridden.
+        m = re.fullmatch(r"local\[(\d+|\*)\]", master)
+        n = (os.cpu_count() or 8) if (not m or m.group(1) == "*") \
+            else int(m.group(1))
+        conf["spark.sql.shuffle.partitions"] = str(max(n, 4))
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -54,3 +54,51 @@ def test_single_shuffle(events):
     plan = session_summary(events)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_tz_aware_timestamps_sessionize_on_absolute_instants(spark):
+    """TIMESTAMP (non-NTZ) inputs carry absolute instants: two
+    encodings of the SAME instants in different zones must produce
+    identical sessions, regardless of the engine's UTC session tz."""
+    from datetime import timedelta, timezone
+
+    est = timezone(timedelta(hours=-5))
+    cet = timezone(timedelta(hours=+1))
+    utc = timezone.utc
+    instants = [datetime(2026, 1, 10, 12, 0, tzinfo=utc),
+                datetime(2026, 1, 10, 12, 20, tzinfo=utc),
+                datetime(2026, 1, 10, 13, 30, tzinfo=utc)]
+    frames = {}
+    for name, tz in [("utc", utc), ("est", est), ("cet", cet)]:
+        rows = [(i, t.astimezone(tz), 1, 1.0)
+                for i, t in enumerate(instants)]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double")
+        frames[name] = sorted(
+            (r["event_id"], r["session_seq"])
+            for r in sessionize(df, gap_minutes=30).collect())
+    assert frames["utc"] == frames["est"] == frames["cet"]
+    # gap rule on absolute time: 20-min gap joins, 70-min gap splits
+    assert frames["utc"] == [(0, 1), (1, 1), (2, 2)]
+
+
+def test_dst_spring_forward_gap_uses_absolute_time(spark):
+    """Across a DST spring-forward, wall clocks jump an hour — the gap
+    rule must use the absolute gap (59 min here), not the apparent
+    2-hour wall-clock difference: split at gap=30, joined at gap=60."""
+    from zoneinfo import ZoneInfo
+
+    ny = ZoneInfo("America/New_York")
+    rows = [(0, datetime(2026, 3, 8, 1, 30, tzinfo=ny), 1, 1.0),
+            (1, datetime(2026, 3, 8, 3, 29, tzinfo=ny), 1, 1.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double")
+    tight = {r["event_id"]: r["session_seq"]
+             for r in sessionize(df, gap_minutes=30).collect()}
+    loose = {r["event_id"]: r["session_seq"]
+             for r in sessionize(df, gap_minutes=60).collect()}
+    assert tight == {0: 1, 1: 2}
+    assert loose == {0: 1, 1: 1}
+    # and the summary's micros bounds reflect the 59-min absolute span
+    s = session_summary(df, gap_minutes=60).collect()[0]
+    assert s["end_us"] - s["start_us"] == 59 * 60 * 1_000_000

@@ -200,3 +200,60 @@ def test_ivf_planted_query_found_and_partial_probe_recall(emb, vectors):
                  for r in similarity.brute_force_topk(emb, q, 10).collect()}
     recall = len(exact_ids & {r["vec_id"] for r in got}) / 10
     assert recall >= 0.7  # deterministic given the fixed seed/data
+
+
+def test_knn_join_exact_matches_per_query_brute_force(emb, vectors):
+    """ivf_knn_join with every cell probed = exact batch kNN: each
+    query's rows equal its single-query brute-force answer."""
+    cents = similarity.ivf_centroids(emb, DIM, n_centroids=8)
+    idx = similarity.ivf_index(emb, cents).cache()
+    queries = emb.where(F.col("vec_id") < 12)
+    out = similarity.ivf_knn_join(queries, idx, cents, k=5,
+                                  n_probe=8).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(12))
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: (-r["cosine"], r["vec_id"]))
+        want = similarity.brute_force_topk(
+            emb, vectors[qid].astype(np.float64), 5).collect()
+        assert [r["vec_id"] for r in rows] == [w["vec_id"] for w in want]
+        for r, w in zip(rows, want):
+            assert r["cosine"] == pytest.approx(w["cosine"], abs=1e-9)
+
+
+def test_knn_join_partial_probe_self_recall(emb):
+    """Queries drawn from the corpus always find themselves at rank 1
+    under partial probing — the query's own cell is its nearest
+    centroid, so it is probed by construction."""
+    cents = similarity.ivf_centroids(emb, DIM, n_centroids=8)
+    idx = similarity.ivf_index(emb, cents).cache()
+    out = similarity.ivf_knn_join(emb, idx, cents, k=1, n_probe=2).collect()
+    assert len(out) == N
+    for r in out:
+        # rank-1 is the query itself, or a colinear twin at cosine 1
+        assert r["vec_id"] == r["query_id"] or r["cosine"] > 0.999999
+
+
+def test_knn_join_deterministic(emb):
+    cents = similarity.ivf_centroids(emb, DIM, n_centroids=8)
+    idx = similarity.ivf_index(emb, cents).cache()
+    queries = emb.where(F.col("vec_id") % 29 == 0)
+    a = sorted(map(tuple, similarity.ivf_knn_join(
+        queries, idx, cents, k=4, n_probe=3).collect()))
+    b = sorted(map(tuple, similarity.ivf_knn_join(
+        queries, idx, cents, k=4, n_probe=3).collect()))
+    assert a == b
+
+
+def test_knn_join_k_larger_than_cells(emb):
+    """k above the probed candidate count returns what exists, no
+    crash, no padding."""
+    cents = similarity.ivf_centroids(emb, DIM, n_centroids=8)
+    idx = similarity.ivf_index(emb, cents).cache()
+    one = emb.where(F.col("vec_id") == 0)
+    out = similarity.ivf_knn_join(one, idx, cents, k=10_000,
+                                  n_probe=1).collect()
+    assert 0 < len(out) < N          # one cell's worth
+    assert all(r["query_id"] == 0 for r in out)
