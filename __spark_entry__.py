@@ -475,6 +475,73 @@ def q_embedding_near_dups(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_pack_plan(spark, sf_dir):
+    """Sequence-packing plan (GPT-style concat-and-chunk) over the
+    documents table — per-doc stream offset, pack id, in-pack offset
+    and straddle count at context 1000, streams keyed by source.  Pure
+    window-cumsum arithmetic, replayed exactly in DuckDB."""
+    from data_validation_spark.operators.packing import pack_assignments
+    df = _t(spark, sf_dir, "documents")
+    return pack_assignments(df, context_len=1000, n_tok_col="n_chars",
+                            order_col="doc_id", stream_col="source") \
+        .select("doc_id", "source", "stream_offset", "pack_id",
+                "pack_offset", "n_packs_spanned")
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-global paragraph dedup (C4/Dolma span-dedup shape) over
+    engine-identical derived pseudo-lines: every repeated line survives
+    only at its first (doc_id, pos) occurrence; docs rebuild in
+    original order.  Output is per-doc fingerprint + surviving length
+    so DuckDB replays the whole keep/rebuild decision byte-for-byte."""
+    from data_validation_spark.operators.cleaning import dedup_paragraphs
+    df = _t(spark, sf_dir, "documents")
+    lined = df.select("doc_id", _pseudo_lines_col().alias("text"))
+    out = dedup_paragraphs(lined)
+    return out.select("doc_id", F.md5(F.col("text")).alias("fp"),
+                      F.length("text").alias("n_chars_kept"))
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub pass: deterministic PII is injected into a slice of
+    the corpus (both engines apply the same injection expression), the
+    detector counts each class, and the redacted text is fingerprinted
+    — so DuckDB replays detection AND redaction (portable regex
+    subset, RE2/Java-agreeing)."""
+    from data_validation_spark.operators.redact import (
+        pii_count_cols, redacted_col)
+    df = _t(spark, sf_dir, "documents")
+    injected = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 7 == 0,
+              F.concat(F.col("text"), F.lit(" from 192.168."),
+                       (F.col("doc_id") % 256).cast("string"),
+                       F.lit(".1 ssn 123-45-6789 tel +1 555 867 5309")))
+        .otherwise(F.col("text")))
+    base = df.select("doc_id", injected.alias("text"))
+    return base.select(
+        "doc_id", *pii_count_cols("text"),
+        F.md5(redacted_col("text")).alias("fp_redacted"))
+
+
+def _pseudo_lines_col():
+    """The synthetic corpus is single-line; both engines derive the
+    same 5-word pseudo-lines first (same trick as
+    ``q_boilerplate_lines``) so multi-line operators have real
+    structure to work on."""
+    from data_validation_spark.functions.text import words_col
+    w = words_col("text")
+    n_lines = F.ceil(F.array_size(w) / F.lit(5)).cast("int")
+    return F.array_join(
+        F.transform(F.sequence(F.lit(1), F.greatest(n_lines, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(w, (i - 1) * 5 + 1,
+                                                       5))),
+        "\n")
+
+
 def q_dedup_drop_accounting(spark, sf_dir):
     """The near-dup pipelines' drop accounting as a driver-checked
     surface: hot-bucket caps may EXCLUDE work, and "0 near-dups found"
@@ -877,6 +944,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_ivf": q_knn_join_ivf,
         "knn_join_recall": q_knn_join_recall,
         "dedup_drop_accounting": q_dedup_drop_accounting,
+        "pack_plan": q_pack_plan,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "pii_scrub": q_pii_scrub,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "events_by_type": q_events_by_type,
@@ -1068,6 +1138,89 @@ def oracle_sql() -> dict[str, str]:
         """,
         "knn_join_recall": """
             SELECT vec_id AS query_id, true AS self_hit FROM embeddings
+        """,
+        "pack_plan": """
+            WITH a AS (
+              SELECT doc_id, source,
+                     greatest(coalesce(n_chars, 0), 0) AS n,
+                     sum(greatest(coalesce(n_chars, 0), 0)) OVER (
+                         PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            SELECT doc_id, source,
+                   CAST(cum - n AS BIGINT) AS stream_offset,
+                   CAST(floor((cum - n) / 1000.0) AS BIGINT) AS pack_id,
+                   CAST((cum - n) % 1000 AS BIGINT) AS pack_offset,
+                   CASE WHEN n = 0 THEN 0
+                        ELSE CAST(floor((cum - 1) / 1000.0) AS BIGINT)
+                             - CAST(floor((cum - n) / 1000.0) AS BIGINT) + 1
+                   END AS n_packs_spanned
+            FROM a
+        """,
+        "dedup_paragraphs": r"""
+            WITH w AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                         AS words
+              FROM documents),
+            lined AS (
+              SELECT doc_id,
+                     [array_to_string(words[(i-1)*5+1 : (i-1)*5+5], ' ')
+                      for i in generate_series(
+                        1, greatest(ceil(len(words) / 5.0)::BIGINT, 1))]
+                         AS ls0
+              FROM w),
+            lines AS (
+              SELECT doc_id,
+                     list_filter([trim(x) for x in ls0],
+                                 x -> length(x) > 0) AS ls
+              FROM lined),
+            ex AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) - 1 AS pos
+              FROM lines),
+            win AS (
+              SELECT doc_id, line, pos,
+                     row_number() OVER (PARTITION BY line
+                                        ORDER BY doc_id, pos) AS rk
+              FROM ex),
+            rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS txt
+              FROM win WHERE rk = 1 GROUP BY doc_id)
+            SELECT d.doc_id, md5(coalesce(r.txt, '')) AS fp,
+                   length(coalesce(r.txt, '')) AS n_chars_kept
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+        """,
+        "pii_scrub": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN text || ' contact user' || doc_id
+                               || '@example.com now'
+                          WHEN doc_id % 7 = 0
+                          THEN text || ' from 192.168.' || (doc_id % 256)
+                               || '.1 ssn 123-45-6789 tel +1 555 867 5309'
+                          ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS n_email,
+                   len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+                   len(regexp_extract_all(text,
+                     '\+\d[\d \-]{7,}\d')) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\+\d[\d \-]{7,}\d', '<PHONE>', 'g'))
+                       AS fp_redacted
+            FROM base
         """,
         "simhash_near_dups": """
             WITH s AS (

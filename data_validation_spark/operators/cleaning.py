@@ -100,3 +100,54 @@ def strip_boilerplate(df: DataFrame, boilerplate: DataFrame,
     return (df.join(rebuilt, id_col, "left")
             .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
             .drop("__clean"))
+
+
+def dedup_paragraphs(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", line_sep: str = "\n",
+                     min_chars: int = 1) -> DataFrame:
+    """Corpus-GLOBAL paragraph/line dedup (the C4/Dolma span-dedup
+    shape): every line that appears in more than one place survives
+    only at its FIRST occurrence — ordered by (doc id, position) — and
+    is removed everywhere else; surviving lines keep their original
+    in-document order.
+
+    ``min_chars`` exempts short lines (below it they are kept
+    everywhere): global dedup of one-word lines would strip legitimate
+    repeated structure corpus-wide.
+
+    Scale shape (no window over the line key — a viral paragraph
+    repeated 10^9 times must never sort on one task):
+
+    1. posexplode each doc's lines;
+    2. first occurrence per line via ``min(struct(id, pos))`` hash agg
+       — MAP-SIDE partial mins tame hot lines before the shuffle;
+    3. one equi-join of the exploded lines with their winner (AQE skew
+       join splits any remaining hot key), keep the row iff it IS the
+       winner;
+    4. rebuild per doc with the order-preserving sorted collect_list.
+    """
+    eligible = F.length("__line") >= min_chars
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode_outer(doc_lines_col(text_col, line_sep))
+        .alias("__pos", "__line"))
+    first = (exploded.where(eligible)
+             .groupBy("__line")
+             .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                 F.col("__pos").alias("p")))
+                  .alias("__first")))
+    kept = (exploded.join(first, "__line", "left")
+            .where((~eligible)
+                   | ((F.col("__first.i") == F.col(id_col))
+                      & (F.col("__first.p") == F.col("__pos"))))
+            .select(id_col, "__pos", "__line"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__line"))),
+                       lambda s: s["__line"]),
+                   line_sep).alias("__clean")))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
+            .drop("__clean"))

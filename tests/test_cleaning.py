@@ -73,3 +73,34 @@ def test_strip_broadcast_limit_none_skips_count(pages):
     assert out.count() == 5
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "strategy=broadcast" in analyzed
+
+
+def test_dedup_paragraphs_keeps_first_occurrence_only(spark):
+    from data_validation_spark.operators.cleaning import dedup_paragraphs
+    SHARED = "this exact paragraph went viral"
+    rows = [
+        (1, f"{SHARED}\nunique one"),
+        (2, f"intro two\n{SHARED}\noutro two"),
+        (3, f"{SHARED}\n{SHARED}"),            # dup within one doc too
+        (4, "untouched document"),
+        (5, f"{SHARED}"),                       # reduced to empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    assert out[1] == f"{SHARED}\nunique one"    # first occurrence survives
+    assert out[2] == "intro two\noutro two"
+    assert out[3] == ""                          # both copies later than doc 1
+    assert out[4] == "untouched document"
+    assert out[5] == ""
+    assert len(out) == 5
+
+
+def test_dedup_paragraphs_min_chars_exempts_short_lines(spark):
+    from data_validation_spark.operators.cleaning import dedup_paragraphs
+    rows = [(1, "ok\nlong repeated paragraph here"),
+            (2, "ok\nlong repeated paragraph here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in dedup_paragraphs(df, min_chars=10).collect()}
+    assert out[1] == "ok\nlong repeated paragraph here"
+    assert out[2] == "ok"                        # short line exempt everywhere

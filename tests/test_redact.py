@@ -1,0 +1,59 @@
+"""PII scrub: detection counts, redaction, idempotence, class filter,
+and the no-shuffle plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators.redact import (
+    pii_report,
+    redact_pii,
+)
+
+DOC = ("contact me at jane.doe+spam@example.co.uk or call "
+       "+1 555 867 5309; server at 10.0.0.1 logged ssn 123-45-6789 "
+       "twice: 123-45-6789.")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, DOC), (2, "no pii here at all"), (3, None)],
+        "doc_id long, text string").cache()
+
+
+def test_pii_counts(docs):
+    r = {x["doc_id"]: x for x in pii_report(docs).collect()}
+    assert (r[1]["n_email"], r[1]["n_ipv4"], r[1]["n_ssn"],
+            r[1]["n_phone"]) == (1, 1, 2, 1)
+    assert (r[2]["n_email"], r[2]["n_ipv4"], r[2]["n_ssn"],
+            r[2]["n_phone"]) == (0, 0, 0, 0)
+    assert r[3]["n_email"] is None          # NULL text stays NULL
+
+
+def test_redaction_and_idempotence(docs):
+    once = redact_pii(docs)
+    t = {x["doc_id"]: x["text"] for x in once.collect()}
+    assert "<EMAIL>" in t[1] and "<IP>" in t[1] and "<PHONE>" in t[1]
+    assert t[1].count("<SSN>") == 2
+    assert "example.co.uk" not in t[1] and "867" not in t[1]
+    assert t[2] == "no pii here at all"
+    assert t[3] is None
+    # idempotent: sentinels never re-match any pattern
+    twice = {x["doc_id"]: x["text"] for x in redact_pii(once).collect()}
+    assert twice == t
+    # scrubbed text reports zero PII
+    z = pii_report(once).where(F.col("doc_id") == 1).first()
+    assert (z["n_email"], z["n_ipv4"], z["n_ssn"], z["n_phone"]) \
+        == (0, 0, 0, 0)
+
+
+def test_class_filter(docs):
+    only_email = {x["doc_id"]: x["text"]
+                  for x in redact_pii(docs, classes=["email"]).collect()}
+    assert "<EMAIL>" in only_email[1]
+    assert "10.0.0.1" in only_email[1]      # other classes untouched
+
+
+def test_no_shuffle(docs):
+    plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
