@@ -178,13 +178,14 @@ def q_freq_source(spark, sf_dir):
 
 
 def q_topk_lang(spark, sf_dir):
-    """S9 — deterministic top-3 most frequent lang values."""
-    from pyspark.sql import Window
+    """S9 — deterministic top-3 most frequent lang values.  Ranked via
+    ``global_topk`` (TakeOrderedAndProject + a 3-row rank window), never
+    an unbounded global window."""
+    from data_validation_spark.operators.profile import global_topk
     df = _t(spark, sf_dir, "documents")
     counts = df.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("lang"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 3).select("lang", "cnt", "rank"))
+    return (global_topk(counts, 3, [F.desc("cnt"), F.asc("lang")])
+            .select("lang", "cnt", "rank"))
 
 
 def q_violations_rowlevel(spark, sf_dir):
@@ -821,15 +822,13 @@ def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis (tokenizer QA / Zipf check): explode
     whitespace tokens → count by token — reduce cardinality = vocab
     size, map-side partial agg — then deterministic top-25."""
-    from pyspark.sql import Window
-
     from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.profile import global_topk
     df = _t(spark, sf_dir, "documents")
     counts = (df.select(F.explode(words_col("text")).alias("word"))
               .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")))
-    w = Window.orderBy(F.desc("cnt"), F.asc("word"))
-    return (counts.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= 25).select("word", "cnt", "rank"))
+    return (global_topk(counts, 25, [F.desc("cnt"), F.asc("word")])
+            .select("word", "cnt", "rank"))
 
 
 def q_drift_by_source(spark, sf_dir):

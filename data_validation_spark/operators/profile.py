@@ -212,6 +212,24 @@ def _topk_count_rows(counts: DataFrame, partition_cols: list[str],
             .where(F.col("__rk") <= k).drop("__rk").collect())
 
 
+def global_topk(df: DataFrame, k: int, order: list,
+                rank_col: str = "rank") -> DataFrame:
+    """Deterministic global top-k WITH rank, as a DataFrame, without
+    ever windowing the full frame: ``orderBy(...).limit(k)`` compiles
+    to TakeOrderedAndProject (per-partition bounded heaps + a k-row
+    merge — no full sort, no single task holding the table), and the
+    rank window then runs over exactly k rows.  ``order`` must be a
+    total order (include a tie-break column) or rank is ambiguous.
+
+    Use this instead of ``row_number().over(Window.orderBy(...))`` on
+    an unbounded frame — that plan moves EVERY row to one window task
+    (Spark's own WindowExec warning) and is the canonical top-k
+    scale-killer."""
+    survivors = df.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return survivors.withColumn(rank_col, F.row_number().over(w))
+
+
 def _catalyst_records(df: DataFrame, components: list[Component],
                       partition_cols: list[str], accuracy: int,
                       quantile_strategy: str = "auto",

@@ -261,3 +261,27 @@ def test_sink_run_job_count_reduced(spark, sequences, tmp_path):
     # (worklist + guard probes folded), so the allowed sink constant is
     # 6 — still a CONSTANT, which is the property under test.
     assert with_sink <= plain + 6
+
+
+def test_global_topk_plan_and_rank(spark):
+    """global_topk must compile to TakeOrderedAndProject (per-partition
+    heaps), never an unbounded-window full sort, and must rank with a
+    deterministic tie-break."""
+    from data_validation_spark.operators.profile import global_topk
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 97).alias("word"),
+        # ties: two words per count bucket
+        (F.col("id") % 7).alias("cnt"))
+    counts = df.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+    out = global_topk(counts, 5, [F.desc("cnt"), F.asc("word")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4, 5]
+    # matches the naive full-sort answer
+    naive = (counts.orderBy(F.desc("cnt"), F.asc("word")).limit(5)
+             .collect())
+    assert [(r["word"], r["cnt"]) for r in rows] == \
+        [(r["word"], r["cnt"]) for r in naive]
