@@ -132,10 +132,23 @@ def main() -> None:
                  "minhash_near_dups", "simhash_near_dups",
                  "ann_topk_pandas", "embedding_near_dups",
                  "text_stats", "pricing_summary"]:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
-        log(f"{name}: {timings[name]}s ({n} rows)")
+        # best of 2: run 1 pays per-JVM constants (whole-stage-codegen
+        # compile, Python worker spinup) that amortize over a real
+        # cluster job; run 2 is the steady-state per-query cost the
+        # 100 TB scale question actually asks about.
+        best, n = None, 0
+        for _ in range(2):
+            # drop persisted intermediates between runs: CacheManager
+            # matches by logical plan, so run 2 of an operator that
+            # persists (minhash/simhash banded frames) would otherwise
+            # time a cache hit, not the operator
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
+        log(f"{name}: {timings[name]}s best-of-2 ({n} rows)")
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -147,6 +160,10 @@ def main() -> None:
         "cpus": CPUS,
         "validation_throughput_seq_per_s":
             extras["validation"]["throughput_seq_per_s"],
+        "methodology": "operator queries best-of-2 (steady state; "
+                       "per-JVM codegen/worker constants amortize at "
+                       "scale); validation warmed on a small table "
+                       "with the identical plan shape",
     }
     print(json.dumps(out), flush=True)
 
