@@ -149,6 +149,35 @@ def q_profile_per_source(spark, sf_dir):
     return _r6(out, "mean_v", "std_v")
 
 
+def q_profile_merge(spark, sf_dir):
+    """Distributed-profiling invariant as an oracle: profile two
+    disjoint shards of documents INDEPENDENTLY (two Catalyst passes),
+    fold the KB-sized artifacts driver-side (``merge_profiles`` — no
+    data rescan), and emit the exactly-mergeable fields.  The oracle
+    computes the same numbers directly over the WHOLE table, so any
+    defect in the merge math (count sums, bounds, summed value
+    histograms → exact quantiles, categoric count sums) breaks the
+    hash.  This is the shape a 100 TB pipeline actually runs: profile
+    each ingestion batch where it lands, merge artifacts, never rescan."""
+    from data_validation_spark.operators.profile import (
+        build_profile, merge_profiles)
+    df = _t(spark, sf_dir, "documents")
+    comps = [Component("n_chars", "numeric"), Component("lang", "categoric")]
+    shards = [df.filter(F.col("doc_id") % 2 == i) for i in range(2)]
+    merged = merge_profiles([build_profile(s, comps) for s in shards])
+    ns = merged.components["n_chars"].stats
+    cs = merged.components["lang"].stats
+    rows = [("n_chars_n", float(ns.n)),
+            ("n_chars_min", float(ns.min)),
+            ("n_chars_max", float(ns.max)),
+            ("n_chars_p25", float(ns.quantiles[25])),
+            ("n_chars_p50", float(ns.quantiles[50])),
+            ("n_chars_p75", float(ns.quantiles[75]))]
+    rows += [(f"lang_cnt_{k}", float(v))
+             for k, v in sorted((cs.counts or {}).items())]
+    return spark.createDataFrame(rows, "metric string, value double")
+
+
 def q_profile_quantiles(spark, sf_dir):
     """S3 — exact interpolated percentiles of n_chars (the 101-point
     vector's oracle-checkable slice; the engine's sketch path is
@@ -938,6 +967,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "profile_numeric": q_profile_numeric,
+        "profile_merge": q_profile_merge,
         "profile_per_source": q_profile_per_source,
         "profile_quantiles": q_profile_quantiles,
         "freq_source": q_freq_source,
@@ -1004,6 +1034,22 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(n_chars), 6) AS mean_v,
                    round(stddev_samp(n_chars), 6) AS std_v
             FROM documents
+        """,
+        "profile_merge": """
+            SELECT 'n_chars_n' AS metric,
+                   CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'n_chars_min', CAST(min(n_chars) AS DOUBLE)
+              FROM documents
+            UNION ALL SELECT 'n_chars_max', CAST(max(n_chars) AS DOUBLE)
+              FROM documents
+            UNION ALL SELECT 'n_chars_p25', quantile_cont(n_chars, 0.25)
+              FROM documents
+            UNION ALL SELECT 'n_chars_p50', quantile_cont(n_chars, 0.50)
+              FROM documents
+            UNION ALL SELECT 'n_chars_p75', quantile_cont(n_chars, 0.75)
+              FROM documents
+            UNION ALL SELECT 'lang_cnt_' || lang, CAST(count(*) AS DOUBLE)
+              FROM documents GROUP BY lang
         """,
         "profile_per_source": """
             SELECT source, count(*) AS n,

@@ -512,10 +512,20 @@ def _stats_from_record(rec: dict):
         freqs = {k: v / tot for k, v in counts.items()} if tot else {}
         return CategoricStats(frequencies=freqs, counts=counts, pinv=pinv, n=n)
     qs = rec.get("quantiles")
+    hist = rec.get("hist")
     return NumericStats(
         min=rec["min"], max=rec["max"], mean=rec["mean"], std=rec["std"],
         pinv=pinv, quantiles=list(qs) if qs is not None else None, n=n,
-        elem_min=rec.get("elem_min"), elem_max=rec.get("elem_max"))
+        elem_min=rec.get("elem_min"), elem_max=rec.get("elem_max"),
+        hist={_hist_key(k): int(v) for k, v in hist.items()}
+        if hist else None)
+
+
+def _hist_key(v) -> str:
+    """Canonical JSON key for a histogram value: '230', not '230.0' —
+    keeps directly-built and merged profiles byte-identical in JCR."""
+    f = float(v)
+    return str(int(f)) if f.is_integer() else repr(f)
 
 
 def _merge_records(recs: list[dict]) -> dict:
@@ -531,14 +541,17 @@ def _merge_records(recs: list[dict]) -> dict:
                 "n_invalid": sum(r["n_invalid"] for r in recs),
                 "freq": counts}
     merged = merge_numeric_partials(recs)
+    merged["hist"] = None  # never inherit a single shard's hist via **first
     if all(r.get("hist") is not None for r in recs):
         # exact global quantiles from the summed value histogram —
         # supersedes the mixture-ECDF approximation for hist components
-        total: dict[int, int] = {}
+        total: dict[float, int] = {}
         for r in recs:
             for v, c in r["hist"].items():
-                total[v] = total.get(v, 0) + c
+                v = float(v)  # str keys after a JCR round-trip
+                total[v] = total.get(v, 0) + int(c)
         if total:
+            merged["hist"] = total
             merged["quantiles"] = exact_quantiles_from_counts(
                 np.fromiter(total.keys(), dtype=float, count=len(total)),
                 np.fromiter(total.values(), dtype=np.int64,
@@ -548,6 +561,88 @@ def _merge_records(recs: list[dict]) -> dict:
     return {**first, **merged,
             "elem_min": min(elem_mins) if elem_mins else None,
             "elem_max": max(elem_maxs) if elem_maxs else None}
+
+
+def _record_from_stats(name: str, comp: Component) -> dict:
+    """Invert ``_stats_from_record``: turn a built Component back into
+    the partial-record shape ``_merge_records`` consumes."""
+    s = comp.stats
+    n = int(s.n or 0)
+    # pinv is stored as n_invalid/n; multiplying back and rounding
+    # recovers the exact integer for any n < 2^52
+    n_inv = int(round((s.pinv or 0.0) * n)) if n else 0
+    if isinstance(s, CategoricStats):
+        return {"component": name, "ctype": "categoric", "n": n,
+                "n_invalid": n_inv, "freq": dict(s.counts or {})}
+    return {"component": name, "ctype": "numeric", "n": n,
+            "n_invalid": n_inv, "min": s.min, "max": s.max,
+            "mean": s.mean, "std": s.std, "quantiles": s.quantiles,
+            "hist": {float(k): int(v) for k, v in s.hist.items()}
+            if s.hist else None,
+            "elem_min": s.elem_min, "elem_max": s.elem_max}
+
+
+def merge_profiles(profiles: list[Profile], name: str = "merged") -> Profile:
+    """Merge independently-built Profiles into one, WITHOUT rescanning
+    data — the distributed-profiling primitive: profile each shard /
+    ingestion batch / day where it lands, merge the small artifacts.
+
+    Exactness: n / n_invalid / min / max / elem bounds / categoric
+    counts are exact; mean/std merge via the pairwise (Chan) update
+    (exact in real arithmetic, ~1 ulp in float); quantiles are EXACT
+    for components that retained their value histogram
+    (``NumericStats.hist`` — integral domains like n_tok), else the
+    n-weighted mixture-ECDF approximation.  Categoric maps containing
+    ``OTHER_KEY`` (top-k-truncated shards) merge by summing what each
+    shard kept — per-value counts can undercount, so the result keeps
+    ``OTHER_KEY`` and downstream ``in_domain`` defaulting still rejects
+    it.  Same-label partition profiles merge recursively; disjoint
+    labels union.
+
+    Scale note: this is a driver-side fold over profile artifacts
+    (KBs each) — merging a year of daily profiles of a 100 TB table
+    touches no data.
+    """
+    built = [p for p in profiles if p.components]
+    if not built:
+        raise ValueError("merge_profiles: no built profiles given")
+    for p in built:
+        p.require_built()
+    names = [list(p.components) for p in built]
+    if any(set(ns) != set(names[0]) for ns in names[1:]):
+        raise ValueError(
+            f"merge_profiles: component sets differ: {names}")
+
+    out = Profile(name=name)
+    for cname in names[0]:
+        comps = [p.components[cname] for p in built]
+        ctypes = {c.ctype for c in comps}
+        if len(ctypes) > 1:
+            raise ValueError(
+                f"merge_profiles: component {cname!r} has mixed ctypes "
+                f"{sorted(ctypes)}")
+        recs = [_record_from_stats(cname, c) for c in comps]
+        merged = recs[0] if len(recs) == 1 else _merge_records(recs)
+        out.components[cname] = Component(
+            name=cname, ctype=comps[0].ctype,
+            extractor=comps[0].extractor,
+            stats=_stats_from_record(merged))
+
+    by_label: dict[str, dict[str, list[Component]]] = {}
+    for p in built:
+        for label, comp_map in p.partitions.items():
+            for cname, comp in comp_map.items():
+                by_label.setdefault(label, {}).setdefault(
+                    cname, []).append(comp)
+    for label, comp_lists in by_label.items():
+        for cname, comps in comp_lists.items():
+            recs = [_record_from_stats(cname, c) for c in comps]
+            merged = recs[0] if len(recs) == 1 else _merge_records(recs)
+            out.partitions.setdefault(label, {})[cname] = Component(
+                name=cname, ctype=comps[0].ctype,
+                extractor=comps[0].extractor,
+                stats=_stats_from_record(merged))
+    return out
 
 
 def build_profile(df: DataFrame, components: list[Component],

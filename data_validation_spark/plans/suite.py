@@ -51,9 +51,14 @@ class NumericStats:
     # tokens-array components only: element-value range (vocab bounds)
     elem_min: int | None = None
     elem_max: int | None = None
+    # exact value histogram (str(value) -> count), kept for integral
+    # components so profiles stay EXACTLY mergeable: merge_profiles sums
+    # shard histograms and recomputes exact quantiles instead of the
+    # mixture-ECDF approximation.  None for sketch-quantile components.
+    hist: dict[str, int] | None = None
 
     _FIELDS = ("min", "max", "mean", "std", "pinv", "quantiles", "n",
-               "elem_min", "elem_max")
+               "elem_min", "elem_max", "hist")
 
     def is_built(self) -> bool:
         return self.n is not None
