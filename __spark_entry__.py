@@ -280,6 +280,46 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return _r6(pairs, "jaccard")
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER assignment — the step after pair generation
+    that every LSH dedup pipeline needs, because similarity is not
+    transitive.  Construction forces real transitive closure: for each
+    of 80 docs build A = full text, B = 3/4-prefix of A, C = 3/4-prefix
+    of B; 3-shingle Jaccard gives J(A,B) ≈ J(B,C) ≈ 0.75 ≥ 0.7 but
+    J(A,C) ≈ 0.56 < 0.7 — so {A,B,C} is a PATH, and only a correct
+    connected-components pass (alternating large/small-star,
+    operators/graph.py) merges all three into one cluster.  The oracle
+    replays the identical variant construction + exact pair predicate,
+    then closes the graph with a recursive CTE.  Integer-exact prefix
+    length floor((3n+3)/4) = ceil(3n/4) avoids float-rounding parity
+    traps between engines."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.graph import dedup_clusters
+
+    def prefix(w):
+        n = F.array_size(w)
+        k = F.least(n, F.greatest(
+            F.lit(3), F.floor((3 * n + 3) / F.lit(4)).cast("int")))
+        return F.slice(w, 1, k)
+
+    base = (_t(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+            .select("doc_id", words_col("text").alias("w")))
+    b = base.select((F.col("doc_id") + 100000).alias("doc_id"),
+                    prefix(F.col("w")).alias("w"))
+    c = b.select((F.col("doc_id") + 100000).alias("doc_id"),
+                 prefix(F.col("w")).alias("w"))
+    docs = base.unionByName(b).unionByName(c)
+    sh = docs.select(
+        "doc_id",
+        word_shingles_col(F.concat_ws(" ", "w"), 3).alias("sh"))
+    a_ = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b_ = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (a_.crossJoin(b_).filter(F.col("id_a") < F.col("id_b"))
+             .filter(jaccard_col(F.col("sh_a"), F.col("sh_b")) >= 0.7)
+             .select("id_a", "id_b"))
+    return dedup_clusters(docs, pairs)
+
+
 def q_ann_topk(spark, sf_dir):
     """Similarity search — exact cosine top-10 against a fixed literal
     query vector, pure Catalyst (zip_with/aggregate + TakeOrdered)."""
@@ -978,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_orders": q_referential_orders,
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "ann_topk": q_ann_topk,
         "ann_topk_pandas": q_ann_topk_pandas,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1137,6 +1178,54 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE v0 AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id < 80),
+            vb AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     w[1:least(len(w), greatest(3,
+                        floor((3*len(w)+3)/4)::BIGINT))] AS w
+              FROM v0),
+            vc AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     w[1:least(len(w), greatest(3,
+                        floor((3*len(w)+3)/4)::BIGINT))] AS w
+              FROM vb),
+            docs AS (
+              SELECT * FROM v0 UNION ALL
+              SELECT * FROM vb UNION ALL
+              SELECT * FROM vc),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(w)-2, 1))])
+                         AS sh
+              FROM docs),
+            pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            edges AS (
+              SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT d.doc_id AS doc_id,
+                     least(d.doc_id,
+                           coalesce(min(r.b), d.doc_id)) AS cluster_id
+              FROM docs d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   doc_id = cluster_id AS is_canonical
+            FROM comp
         """,
         "ann_topk": f"""
             SELECT vec_id,

@@ -1,0 +1,106 @@
+"""connected_components / dedup_clusters — verified against a pure
+union-find on adversarial shapes (path graphs are the O(diameter)
+killer for naive label propagation; large/small-star must converge in
+~log2(n) rounds) and on hypothesis-generated random graphs."""
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators.graph import (
+    connected_components, dedup_clusters)
+
+
+def union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def spark_cc(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    rows = connected_components(df, **kw).collect()
+    got = {r["node"]: r["component"] for r in rows}
+    assert len(rows) == len(got), "duplicate node rows"
+    return got
+
+
+def test_path_graph_converges_fast(spark):
+    # 64-node path: naive propagation needs 63 rounds; star algorithm
+    # must finish well inside the default budget
+    edges = [(i, i + 1) for i in range(63)]
+    got = spark_cc(spark, edges)
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_two_components_and_isolated_absent(spark):
+    edges = [(5, 9), (9, 7), (20, 30)]
+    got = spark_cc(spark, edges)
+    assert got == {5: 5, 9: 5, 7: 5, 20: 20, 30: 20}
+
+
+def test_empty_edges(spark):
+    assert spark_cc(spark, []) == {}
+
+
+def test_duplicate_and_reversed_edges(spark):
+    edges = [(1, 2), (2, 1), (1, 2), (3, 3)]  # self-loop ignored
+    got = spark_cc(spark, edges)
+    assert got == {1: 1, 2: 1}
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.tuples(st.integers(0, 40), st.integers(0, 40)),
+                min_size=1, max_size=120))
+def test_random_graphs_match_union_find(spark, edges):
+    expect = {n: c for n, c in union_find(edges).items()
+              if any(a != b for a, b in edges if n in (a, b))}
+    # union_find registers self-loop-only nodes too; CC drops them
+    expect = union_find([(a, b) for a, b in edges if a != b])
+    assert spark_cc(spark, edges) == expect
+
+
+def test_string_ids(spark):
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_dedup_clusters_singletons_and_canonical(spark):
+    docs = spark.range(10).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame(
+        [(0, 3), (3, 7), (4, 5)], "id_a bigint, id_b bigint")
+    out = {r["doc_id"]: r for r in dedup_clusters(docs, pairs).collect()}
+    assert len(out) == 10
+    assert all(out[i]["cluster_id"] == 0 for i in (0, 3, 7))
+    assert all(out[i]["cluster_id"] == 4 for i in (4, 5))
+    assert out[0]["cluster_size"] == 3 and out[4]["cluster_size"] == 2
+    singles = [i for i in range(10) if i not in (0, 3, 7, 4, 5)]
+    assert all(out[i]["cluster_id"] == i and out[i]["cluster_size"] == 1
+               for i in singles)
+    canon = {i for i, r in out.items() if r["is_canonical"]}
+    assert canon == {0, 4} | set(singles)
+    # keeping canonical rows IS the dedup: one survivor per cluster
+    assert len(canon) == 2 + len(singles)
+
+
+def test_max_rounds_raises(spark):
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(df, max_rounds=1)
