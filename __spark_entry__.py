@@ -855,6 +855,38 @@ def q_json_props(spark, sf_dir):
     return out
 
 
+def q_lm_scores(spark, sf_dir):
+    """Corpus unigram-LM scoring (the CCNet/DCLM perplexity-filter
+    stand-in): fit top-500 unigram counts on the documents corpus
+    itself (explode → hash-groupBy, vocab-cardinality shuffle;
+    TakeOrdered head with a (cnt desc, word) TOTAL order so boundary
+    ties are engine-deterministic), then score every doc by one
+    explode → broadcast-join → map-side-collapsing groupBy.  The
+    oracle-checked surface is integer-exact (token / OOV / summed
+    corpus-count tallies) plus one exact-division mean — the ln-based
+    mean_logp rides the same plan but is pytest-verified (cross-engine
+    ln ulp differences would make its hash a coin flip)."""
+    from data_validation_spark.operators.lm import doc_lm_scores, unigram_model
+    df = _t(spark, sf_dir, "documents")
+    model = unigram_model(df, top_v=500)
+    out = doc_lm_scores(df, model).select(
+        "doc_id", "n_tokens", "n_oov", "sum_cnt", "mean_cnt")
+    return _r6(out, "mean_cnt")
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Quality-weighted acceptance sampling — keep each doc with
+    probability proportional to a per-row score (here
+    least(1, n_chars/500): longer docs likelier to survive), decided by
+    the engine-portable md5 key hash so the exact row SET is the
+    contract: reproducible across runs/retries/engines, monotone in the
+    weight.  Pure projection+filter — no shuffle, no RNG."""
+    from data_validation_spark.operators.sampling import weighted_hash_sample
+    df = _t(spark, sf_dir, "documents")
+    w = F.least(F.lit(1.0), F.col("n_chars") / F.lit(500.0))
+    return weighted_hash_sample(df, w).select("doc_id", "n_chars")
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic stratified hash sampling (reproducible across
     engines/retries — `df.sample`'s task-attempt RNG is neither): keep
@@ -1041,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_tags": q_validation_tags,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
+        "lm_scores": q_lm_scores,
+        "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
         "contamination": q_contamination,
@@ -1574,6 +1608,40 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'error', 'domain_lang', lang, 'documents'
             FROM documents WHERE {domain_pred}
+        """,
+        "lm_scores": r"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS word
+              FROM documents WHERE length(trim(text)) > 0),
+            counts AS (
+              SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+            vocab AS (
+              SELECT word, cnt FROM counts
+              ORDER BY cnt DESC, word LIMIT 500),
+            per AS (
+              SELECT t.doc_id,
+                     count(*) AS n_tokens,
+                     sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END)
+                         AS n_oov,
+                     coalesce(sum(v.cnt), 0) AS sum_cnt
+              FROM tok t LEFT JOIN vocab v USING (word)
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(coalesce(sum_cnt, 0) AS BIGINT) AS sum_cnt,
+                   round(CASE WHEN n_tokens > n_oov
+                         THEN sum_cnt::DOUBLE / (n_tokens - n_oov)
+                         END, 6) AS mean_cnt
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        "weighted_sample": """
+            SELECT doc_id, n_chars FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || ''), 1, 8))
+                      ::BIGINT::DOUBLE
+                  < least(1.0, n_chars / 500.0) * 4294967296.0
         """,
         "stratified_sample": """
             SELECT doc_id, source FROM documents

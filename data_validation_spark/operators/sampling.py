@@ -143,3 +143,25 @@ def mix_to_proportions(df: DataFrame, strata_col: str,
     return stratified_hash_sample(df, strata_col, fractions,
                                   key_col=key_col, salt=salt,
                                   default_fraction=0.0, on_null=on_null)
+
+
+def weighted_hash_sample(df: DataFrame, weight: Column,
+                         key_col: str = "doc_id", salt: str = "",
+                         on_null: str = "error") -> DataFrame:
+    """Per-row acceptance sampling with probability ``weight`` ∈ [0, 1]
+    (quality-weighted retention: keep good docs with high probability,
+    bad docs rarely — the DCLM/FineWeb "soft filter" shape), decided by
+    the same engine-portable key hash as ``hash_sample`` so the row set
+    is reproducible, auditable, and nested: raising a row's weight can
+    only ADD it to the sample, never rotate membership.
+
+    ``weight`` is any deterministic Column (a quality score, a cluster
+    1/size correction, a per-domain multiplier...).  Values are clamped
+    to [0, 1].  Same pure projection+filter plan as ``hash_sample`` —
+    no shuffle, no RNG, whole-stage codegen; an oracle replays the
+    selection exactly when it reproduces the weight expression.
+    """
+    w = F.least(F.greatest(weight.cast("double"), F.lit(0.0)), F.lit(1.0))
+    return df.where(
+        hash_bucket_col(_sample_key(F.col(key_col), on_null), salt)
+        .cast("double") < w * F.lit(float(_BUCKETS)))

@@ -120,3 +120,28 @@ def test_mix_deterministic_and_pinnable(docs):
         docs, "source", {"web": 0.5, "wiki": 0.5}, salt="m",
         counts={"web": 1000, "wiki": 1000}).collect()}
     assert a == b                    # pinned counts reproduce exactly
+
+
+def test_weighted_sample_semantics(spark, docs):
+    from data_validation_spark.operators.sampling import (
+        hash_bucket_col, weighted_hash_sample)
+    # weight 1 keeps everything, weight 0 nothing
+    assert weighted_hash_sample(docs, F.lit(1.0)).count() == 3000
+    assert weighted_hash_sample(docs, F.lit(0.0)).count() == 0
+    # per-row weight: acceptance iff bucket < w * 2^32, replayed exactly
+    w = (F.col("doc_id") % 100) / 100.0
+    got = {r["doc_id"] for r in
+           weighted_hash_sample(docs, w).collect()}
+    buckets = {r["doc_id"]: r["b"] for r in docs.select(
+        "doc_id", hash_bucket_col(F.col("doc_id").cast("string")).alias("b")
+    ).collect()}
+    expect = {i for i in range(3000)
+              if buckets[i] < (i % 100) / 100.0 * (1 << 32)}
+    assert got == expect
+    # monotone: raising weights only ADDS rows
+    more = {r["doc_id"] for r in weighted_hash_sample(
+        docs, F.least(w + 0.2, F.lit(1.0))).collect()}
+    assert got <= more
+    # out-of-range weights clamp instead of misbehaving
+    assert weighted_hash_sample(docs, F.lit(7.5)).count() == 3000
+    assert weighted_hash_sample(docs, F.lit(-3.0)).count() == 0
