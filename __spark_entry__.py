@@ -855,6 +855,21 @@ def q_json_props(spark, sf_dir):
     return out
 
 
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle — exact global rank under
+    (md5(doc_id ⊕ salt), doc_id) WITHOUT an unbounded window:
+    repartitionByRange on the shuffle key, per-partition local
+    row_number (partitioned window), per-partition counts → offsets
+    broadcast (numPartitions driver rows), position = offset + local
+    rank.  Positions are a pure function of the total order, not of
+    where the range sampler cut — the oracle's plain
+    ``row_number() OVER (ORDER BY ...)`` replays them exactly."""
+    from data_validation_spark.operators.ordering import shuffle_corpus
+    df = _t(spark, sf_dir, "documents")
+    return shuffle_corpus(df, salt="ep1",
+                          num_partitions=8).select("doc_id", "position")
+
+
 def q_lm_scores(spark, sf_dir):
     """Corpus unigram-LM scoring (the CCNet/DCLM perplexity-filter
     stand-in): fit top-500 unigram counts on the documents corpus
@@ -1073,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validation_tags": q_validation_tags,
         "sessionize": q_sessionize,
         "json_props": q_json_props,
+        "corpus_shuffle": q_corpus_shuffle,
         "lm_scores": q_lm_scores,
         "weighted_sample": q_weighted_sample,
         "stratified_sample": q_stratified_sample,
@@ -1608,6 +1624,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'error', 'domain_lang', lang, 'documents'
             FROM documents WHERE {domain_pred}
+        """,
+        "corpus_shuffle": """
+            SELECT doc_id,
+                   row_number() OVER (
+                     ORDER BY md5(doc_id::VARCHAR || 'ep1'), doc_id) - 1
+                       AS position
+            FROM documents
         """,
         "lm_scores": r"""
             WITH tok AS (

@@ -294,7 +294,8 @@ def main() -> None:
         "\"N→4N executors\" — four independent taskset-pinned 4-core "
         "JVMs over disjoint shards, each with its own heap/GC/memory "
         "arbitration, exactly a cluster's granularity — measures "
-        "**efficiency ≥ 1.0** (see Executor emulation).  The "
+        "**efficiency above the 0.8 target** (see Executor "
+        "emulation for this run's number).  The "
         "single-JVM thread ladders land below that only because one "
         "box cannot hand 4× memory bandwidth to 4× threads; the "
         "calibrated hardware-ceiling column quantifies exactly how "
