@@ -293,8 +293,16 @@ def q_dedup_clusters(spark, sf_dir):
     then closes the graph with a recursive CTE.  Integer-exact prefix
     length floor((3n+3)/4) = ceil(3n/4) avoids float-rounding parity
     traps between engines."""
-    from data_validation_spark.functions.text import words_col
     from data_validation_spark.operators.graph import dedup_clusters
+    docs, pairs = _chain_variant_pairs(spark, sf_dir)
+    return dedup_clusters(docs, pairs)
+
+
+def _chain_variant_pairs(spark, sf_dir):
+    """Shared construction for the cluster queries: per-doc prefix
+    chain A ⊃ B ⊃ C where only adjacent pairs pass Jaccard 0.7, plus
+    the exact all-pairs pair set over the 240 variants."""
+    from data_validation_spark.functions.text import words_col
 
     def prefix(w):
         n = F.array_size(w)
@@ -317,7 +325,21 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = (a_.crossJoin(b_).filter(F.col("id_a") < F.col("id_b"))
              .filter(jaccard_col(F.col("sh_a"), F.col("sh_b")) >= 0.7)
              .select("id_a", "id_b"))
-    return dedup_clusters(docs, pairs)
+    return docs, pairs
+
+
+def q_soft_dedup(spark, sf_dir):
+    """Soft dedup — keep each doc with probability 1/cluster_size over
+    the same chain-variant cluster graph as q_dedup_clusters (in
+    expectation one survivor per near-dup cluster, drawn uniformly
+    rather than always the canonical minimum).  Fully deterministic:
+    min-labeled components + portable md5 acceptance, so the oracle
+    replays the EXACT surviving row set (recursive-CTE closure + the
+    same hash predicate)."""
+    from data_validation_spark.operators.graph import soft_dedup_sample
+    docs, pairs = _chain_variant_pairs(spark, sf_dir)
+    return soft_dedup_sample(docs, pairs, salt="sd").select(
+        "doc_id", "cluster_id", "cluster_size")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1066,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "soft_dedup": q_soft_dedup,
         "ann_topk": q_ann_topk,
         "ann_topk_pandas": q_ann_topk_pandas,
         "ann_topk_ivf": q_ann_topk_ivf,
@@ -1276,6 +1299,60 @@ def oracle_sql() -> dict[str, str]:
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                    doc_id = cluster_id AS is_canonical
             FROM comp
+        """,
+        "soft_dedup": r"""
+            WITH RECURSIVE v0 AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(text), '\s+') AS w
+              FROM documents WHERE doc_id < 80),
+            vb AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     w[1:least(len(w), greatest(3,
+                        floor((3*len(w)+3)/4)::BIGINT))] AS w
+              FROM v0),
+            vc AS (
+              SELECT doc_id + 100000 AS doc_id,
+                     w[1:least(len(w), greatest(3,
+                        floor((3*len(w)+3)/4)::BIGINT))] AS w
+              FROM vb),
+            docs AS (
+              SELECT * FROM v0 UNION ALL
+              SELECT * FROM vb UNION ALL
+              SELECT * FROM vc),
+            sh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(w[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(w)-2, 1))])
+                         AS sh
+              FROM docs),
+            pairs AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+                    len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            edges AS (
+              SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT d.doc_id AS doc_id,
+                     least(d.doc_id,
+                           coalesce(min(r.b), d.doc_id)) AS cluster_id
+              FROM docs d LEFT JOIN reach r ON r.a = d.doc_id
+              GROUP BY d.doc_id),
+            sized AS (
+              SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id)
+                         AS cluster_size
+              FROM comp)
+            SELECT doc_id, cluster_id, cluster_size
+            FROM sized
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR || 'sd'), 1, 8))
+                      ::BIGINT::DOUBLE
+                  < least(1.0, 1.0 / cluster_size) * 4294967296.0
         """,
         "ann_topk": f"""
             SELECT vec_id,

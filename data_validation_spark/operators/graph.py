@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["connected_components", "dedup_clusters"]
+__all__ = ["connected_components", "dedup_clusters", "soft_dedup_sample"]
 
 # a path graph of n nodes needs ~log2(n) large/small rounds; 30 rounds
 # covers any graph that could ever fit in storage (2^30+ diameter)
@@ -139,3 +139,30 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
             .select(id_col, "cluster_id", "cluster_size",
                     (F.col(id_col) == F.col("cluster_id"))
                     .alias("is_canonical")))
+
+
+def soft_dedup_sample(df: DataFrame, pairs: DataFrame,
+                      id_col: str = "doc_id",
+                      pair_cols: tuple[str, str] = ("id_a", "id_b"),
+                      salt: str = "", target_per_cluster: float = 1.0,
+                      on_null: str = "error") -> DataFrame:
+    """Dedup without deleting: keep every doc with probability
+    ``target_per_cluster / cluster_size`` — in expectation
+    ``target_per_cluster`` survivors per near-dup cluster, drawn
+    uniformly across the cluster instead of always the canonical doc
+    (which biases toward whatever happens to sort first), with
+    singletons kept outright for targets ≥ 1.  The SemDeDup-style soft
+    alternative to hard canonical-keep.
+
+    Deterministic end to end: cluster ids come from
+    ``connected_components`` (min-based, tie-free) and retention from
+    the portable md5 hash (``weighted_hash_sample``), so the surviving
+    row SET is reproducible on any cluster and replayable by an
+    oracle.  Returns the cluster-annotated rows that survive.
+    """
+    from data_validation_spark.operators.sampling import weighted_hash_sample
+    clusters = dedup_clusters(df, pairs, id_col, pair_cols)
+    w = F.least(F.lit(1.0),
+                F.lit(float(target_per_cluster)) / F.col("cluster_size"))
+    return weighted_hash_sample(clusters, w, key_col=id_col, salt=salt,
+                                on_null=on_null)

@@ -33,6 +33,15 @@ def snapshot_diff(a: DataFrame, b: DataFrame, tokens: str | Column,
     which is the cheap invariant a migration gate asserts."""
     ca = snapshot_checksums(a, tokens, partition_cols)
     cb = snapshot_checksums(b, tokens, partition_cols)
+    return checksum_diff(ca, cb, partition_cols, include_matching)
+
+
+def checksum_diff(ca: DataFrame, cb: DataFrame, partition_cols: list[str],
+                  include_matching: bool = False) -> DataFrame:
+    """``snapshot_diff`` over two already-computed ``snapshot_checksums``
+    frames — the shape an incremental pipeline uses, where each run
+    persists its (KB-sized) checksum frame and the next run diffs
+    against it without touching the previous snapshot's data."""
     renames_a = {c: f"{c}_a" for c in
                  ("checksum_sum", "n_rows_with_tokens", "n_tokens")}
     renames_b = {c: f"{c}_b" for c in renames_a}

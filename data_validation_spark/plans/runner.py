@@ -353,3 +353,70 @@ def _violation_rows(spark: SparkSession, df: DataFrame,
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out
+
+
+@dataclass
+class IncrementalResult:
+    """``validate_incremental`` outcome: the inner run (over changed
+    partitions only), which partitions were revalidated, and the new
+    checksum frame the caller persists for the next cycle."""
+    run: RunResult
+    changed_partitions: list[str]
+    checksums: DataFrame
+
+
+def validate_incremental(spark: SparkSession, df: DataFrame,
+                         suite: ValidationSuite,
+                         baseline_checksums: DataFrame | None,
+                         tokens_col: str = "tokens",
+                         sink: TableProvider | None = None,
+                         dims: dict[str, DataFrame] | None = None,
+                         run_id: str | None = None,
+                         method: str = "catalyst",
+                         lineage: dict | None = None) -> IncrementalResult:
+    """Daily-revalidation shape for a 100 TB table: revalidate ONLY the
+    partitions whose CONTENT changed since the last run, detected by
+    the order-insensitive per-partition Rabin checksum — one pruned
+    aggregate scan over the current snapshot, a KB-sized full-outer
+    join against the persisted baseline frame, then a normal
+    ``run_validation`` over the changed slice (with directory-
+    partitioned input the label filter folds into partition pruning, so
+    unchanged partitions are never read again by the validation pass).
+
+    ``baseline_checksums`` is the frame a previous cycle returned
+    (persist it anywhere — it is numPartitions rows); ``None`` means
+    first run: everything is "changed".  New partitions diff as changed
+    (NULL baseline side); deleted partitions appear in
+    ``changed_partitions`` but contribute no rows.
+
+    Unlike manifest ``resume`` (which skips partitions a crashed run
+    already COMPLETED), this skips partitions whose bytes did not
+    change — the two compose: resume within a cycle, checksums across
+    cycles.
+    """
+    from data_validation_spark.operators.parity import (
+        checksum_diff, snapshot_checksums)
+    pcols = suite.partition_cols
+    if not pcols:
+        raise ValueError("validate_incremental needs suite.partition_cols")
+    cur = snapshot_checksums(df, tokens_col, pcols).localCheckpoint(
+        eager=True)  # one scan; reused for diff and returned to caller
+    if baseline_checksums is None:
+        changed_rows = cur.select(*pcols).collect()
+    else:
+        changed_rows = (checksum_diff(baseline_checksums, cur, pcols)
+                        .select(*pcols).collect())
+    changed = sorted(partition_lbl(r, pcols) for r in changed_rows)
+    if not changed:
+        empty = RunResult(run_id=run_id or "incremental-noop",
+                          profile=Profile(name=suite.name), drift=None)
+        return IncrementalResult(run=empty, changed_partitions=[],
+                                 checksums=cur)
+    sub = df.filter(partition_label_col(pcols).isin(changed))
+    res = run_validation(spark, sub, suite, sink=sink, dims=dims,
+                         run_id=run_id, resume=False, method=method,
+                         lineage={**(lineage or {}),
+                                  "incremental": True,
+                                  "n_changed_partitions": len(changed)})
+    return IncrementalResult(run=res, changed_partitions=changed,
+                             checksums=cur)
