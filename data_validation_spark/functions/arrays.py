@@ -24,6 +24,40 @@ def word_shingles_col(text: str | Column = "text", k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+def word_shingle_hashes_col(text: str | Column = "text",
+                            k: int = 3) -> Column:
+    """Distinct 64-bit hashes of the word k-gram shingles — the
+    MinHash-side replacement for ``word_shingles_col`` that never
+    materializes shingle STRINGS: each word is xxhash64'd ONCE, then
+    every shingle is a fixed-width ``xxhash64(hw[i..i+k-1])`` remix of
+    the k word hashes.  Byte cost is one hash pass over the document
+    plus O(n_words) 8-byte remixes, vs concat-allocate-then-hash
+    (~2× the bytes plus an allocation per shingle) for the string
+    formulation — and the gap grows with document length.
+
+    Semantics match ``word_shingles_col`` through a 64-bit hash:
+    distinct shingles → distinct hashes (2⁻⁶⁴ collision mass, invisible
+    to the Jaccard estimator); docs shorter than ``k`` words yield one
+    shingle over the words present (``element_at`` past the end is
+    NULL — ``try_element_at``, since ANSI ``element_at`` throws — and
+    Spark's ``xxhash64`` skips NULL inputs, mirroring the string
+    path's full-text fallback).  Use for LSH candidate
+    generation; the exact-Jaccard verify tier keeps real shingle sets.
+    """
+    from data_validation_spark.functions.text import words_col
+    w = words_col(text)
+
+    def hashed(hw: Column) -> Column:
+        n = F.array_size(hw)
+        idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+        grams = F.transform(
+            idx, lambda i: F.xxhash64(*[F.try_element_at(hw, i + j)
+                                        for j in range(k)]))
+        return F.array_distinct(grams)
+
+    return let_col(F.transform(w, lambda x: F.xxhash64(x)), hashed)
+
+
 def jaccard_col(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.array_size(F.array_intersect(a, b)).cast("double")
