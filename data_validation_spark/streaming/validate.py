@@ -323,3 +323,106 @@ def streaming_drift(stream_df: DataFrame, reference,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
+                         ts_col: str = "ts", value_col: str | None = None,
+                         gap_ms: int = 30 * 60 * 1000,
+                         idle_timeout_ms: int | None = None) -> DataFrame:
+    """Online gap sessionization — the batch ``operators.sessions``
+    semantics as a custom stateful streaming operator
+    (``applyInPandasWithState``): per user, events closer than
+    ``gap_ms`` belong to one session; a CLOSED session is emitted the
+    moment an event arrives past the gap, and an idle open session is
+    flushed by a processing-time timeout (default ``2 × gap_ms``).
+
+    State per user is ONE open session (start/end epoch-µs, count,
+    value sum, closed-session counter) — constant bytes per active
+    user regardless of stream length, the property that makes this run
+    forever.  Per batch the user's events are ts-sorted and segmented
+    with one vectorized diff; the Python loop is over SEGMENTS (gap
+    splits in one batch), not rows.
+
+    Ordering contract: intra-batch order is handled (events are
+    sorted); a cross-batch late event that still touches the open
+    session (its segment reaches within ``gap_ms`` of the session end)
+    folds in and may extend the session backwards (start keeps the
+    min).  An event later than that — older than an ALREADY CLOSED
+    session — starts a fresh session rather than reopening history
+    (deliberate: exactly what a watermark upstream is for; replay the
+    batch operator for exact out-of-order reconstruction).
+
+    Emits ``(user, session_seq, start_us, end_us, n_events,
+    sum_value)`` — closed sessions only, ``outputMode("update")``.
+    """
+    gap_us = int(gap_ms) * 1000
+    idle = int(idle_timeout_ms if idle_timeout_ms is not None
+               else 2 * gap_ms)
+    val = (F.col(value_col) if value_col else F.lit(0.0))
+    keyed = stream_df.select(
+        F.col(user_col).cast("string").alias("user"),
+        F.col(ts_col).cast("timestamp").alias("ts"),
+        val.cast("double").alias("val"))
+
+    out_schema = ("user string, session_seq long, start_us long, "
+                  "end_us long, n_events long, sum_value double")
+
+    def row(user, seq, s, e, n, v):
+        return {"user": user, "session_seq": seq, "start_us": s,
+                "end_us": e, "n_events": n, "sum_value": v}
+
+    def sessionize(key, pdfs: Iterator[pd.DataFrame],
+                   state: GroupState) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        user = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, v, seq = state.get
+                state.remove()
+                if n > 0:
+                    yield pd.DataFrame([row(user, seq + 1, s, e, n, v)])
+            else:
+                state.remove()
+            return
+        parts = [p for p in pdfs]
+        pdf = (pd.concat(parts, ignore_index=True) if parts
+               else pd.DataFrame(columns=["ts", "val"]))
+        if not len(pdf):
+            state.setTimeoutDuration(idle)
+            return
+        ts = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        order = np.argsort(ts, kind="stable")
+        ts = ts[order]
+        vals = pdf["val"].to_numpy("float64")[order]
+
+        if state.exists:
+            cs, ce, cn, cv, seq = state.get
+        else:
+            cs = ce = 0
+            cn, cv, seq = 0, 0.0, 0
+        closed = []
+        bounds = np.nonzero(np.diff(ts) > gap_us)[0] + 1
+        for idx in np.split(np.arange(len(ts)), bounds):
+            ss, se = int(ts[idx[0]]), int(ts[idx[-1]])
+            sn, sv = len(idx), float(vals[idx].sum())
+            if cn > 0 and ss - ce <= gap_us:
+                cs, ce = min(cs, ss), max(ce, se)
+                cn, cv = cn + sn, cv + sv
+            else:
+                if cn > 0:
+                    seq += 1
+                    closed.append(row(user, seq, cs, ce, cn, cv))
+                cs, ce, cn, cv = ss, se, sn, sv
+        state.update((int(cs), int(ce), int(cn), float(cv), int(seq)))
+        state.setTimeoutDuration(idle)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return (keyed.groupBy("user").applyInPandasWithState(
+        sessionize,
+        outputStructType=out_schema,
+        stateStructType=("start_us long, end_us long, n long, "
+                        "sum double, seq long"),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))

@@ -217,3 +217,55 @@ def test_streaming_drift_detects_shifted_batch(spark, tmp_path):
     assert drifted_rows and clean_rows  # one batch drifts, one does not
     small = [r for r in rows if r["n_rows"] == 50]
     assert small and all(r["test"] == "skipped_small_batch" for r in small)
+
+
+def test_streaming_sessionize_cross_batch(spark, tmp_path):
+    """A session spanning two micro-batches closes with the combined
+    event set when a past-gap event arrives; the open tail session is
+    never emitted; a within-batch gap closes immediately."""
+    import time as _time
+
+    from data_validation_spark.streaming.validate import streaming_sessionize
+    path = str(tmp_path / "ev")
+
+    def write(rows):
+        spark.createDataFrame(rows, "user_id string, ts timestamp, "
+                                    "value double") \
+            .coalesce(1).write.mode("append").parquet(path)
+        _time.sleep(1.1)   # distinct mtimes → deterministic batch order
+
+    from datetime import datetime, timezone
+
+    def t(sec):
+        return datetime.fromtimestamp(sec, tz=timezone.utc) \
+            .replace(tzinfo=None)
+
+    # batch 1: A has two events 10s apart; C has a within-batch gap
+    write([("A", t(0), 1.0), ("A", t(10), 2.0),
+           ("C", t(0), 5.0), ("C", t(5000), 7.0)])
+    # batch 2: A continues (20s), then jumps past the gap → session 1
+    # closes with n=3 spanning both batches
+    write([("A", t(20), 4.0), ("A", t(5000), 8.0)])
+
+    stream = (spark.readStream
+              .schema("user_id string, ts timestamp, value double")
+              .option("maxFilesPerTrigger", "1").parquet(path))
+    sess = streaming_sessionize(stream, value_col="value",
+                                gap_ms=30 * 60 * 1000)
+    q = (sess.writeStream.format("memory").queryName("sess_stream")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {(r["user"], r["session_seq"]): r for r in
+            spark.sql("select * from sess_stream").collect()}
+    # C's first session closed within batch 1
+    c1 = rows[("C", 1)]
+    assert (c1["start_us"], c1["end_us"], c1["n_events"],
+            c1["sum_value"]) == (0, 0, 1, 5.0)
+    # A's first session closed in batch 2 with events from BOTH batches
+    a1 = rows[("A", 1)]
+    assert (a1["start_us"], a1["end_us"], a1["n_events"]) == \
+        (0, 20_000_000, 3)
+    assert a1["sum_value"] == 7.0
+    # open tails (A@5000s, C@5000s) are not emitted
+    assert set(rows) == {("C", 1), ("A", 1)}
