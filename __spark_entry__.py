@@ -237,10 +237,12 @@ def q_verdicts_per_source(spark, sf_dir):
 
 def q_unique_violation_keys(spark, sf_dir):
     """S8 — salted two-phase uniqueness on lineitem.l_orderkey: keys
-    occurring more than once, with their multiplicity."""
+    occurring more than once, with their multiplicity
+    (``duplicate_key_counts`` — phase 2's sum IS the multiplicity, so
+    no row-retrieval semi-join + recount pass)."""
+    from data_validation_spark.operators.constraints import duplicate_key_counts
     df = _t(spark, sf_dir, "lineitem")
-    v = uniqueness_violations(df, ["l_orderkey"], [])
-    return v.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    return duplicate_key_counts(df, ["l_orderkey"])
 
 
 def q_referential_orders(spark, sf_dir):

@@ -149,6 +149,22 @@ def uniqueness_violations(df: DataFrame, keys: list[str],
             .withColumn("partition", partition_label_col(partition_cols)))
 
 
+def duplicate_key_counts(df: DataFrame, keys: list[str]) -> DataFrame:
+    """Key-level uniqueness report: ``(keys..., n_rows)`` for every key
+    occurring more than once — the same salted two-phase plan as
+    ``uniqueness_violations`` but WITHOUT the row-retrieval semi-join:
+    phase 2 already holds each key's total multiplicity, so recounting
+    via a join back is a full extra pass over the table.  At 10^12
+    rows the key-level report is the thing you look at first; fetch
+    actual rows (``uniqueness_violations``) only for keys you will act
+    on."""
+    partial = (df.select(*keys)
+               .withColumn("__split", F.spark_partition_id())
+               .groupBy(*keys, "__split").agg(F.count(F.lit(1)).alias("__c")))
+    return (partial.groupBy(*keys).agg(F.sum("__c").alias("n_rows"))
+            .filter(F.col("n_rows") > 1))
+
+
 def referential_violations(df: DataFrame, column: str, dim: DataFrame,
                            partition_cols: list[str],
                            dim_column: str | None = None,

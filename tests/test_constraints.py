@@ -132,3 +132,18 @@ def test_validation_tags_shape(sequences, suite, expected_ids):
     # a clean row has no error tags
     clean = tagged.filter(F.col("doc_id") == doc(1)).select("tags").first()
     assert all(t["type"] == "feature" for t in clean["tags"])
+
+
+def test_duplicate_key_counts_matches_row_retrieval(spark, sequences):
+    """Key-level report == groupBy of the row-retrieval operator."""
+    from data_validation_spark.operators.constraints import (
+        duplicate_key_counts, uniqueness_violations)
+    from pyspark.sql import functions as F
+    dup = sequences.unionByName(sequences.limit(37))
+    a = {(r["doc_id"], r["n_rows"]) for r in
+         duplicate_key_counts(dup, ["doc_id"]).collect()}
+    b = {(r["doc_id"], r["n"]) for r in
+         uniqueness_violations(dup, ["doc_id"], [])
+         .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # sequences already carries i%97 dup pairs; the union adds 37 more
+    assert a == b and len(a) >= 37
