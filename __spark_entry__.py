@@ -969,6 +969,21 @@ def q_contamination(spark, sf_dir):
     return ngram_contamination(df, bench, min_hits=3)
 
 
+def q_token_contamination(spark, sf_dir):
+    """Decontamination on the PRE-TOKENIZED payload (input_hint shape):
+    token-id 8-gram overlap against a benchmark set, run directly on
+    ``array<int>`` — no detokenization.  The token arrays here derive
+    deterministically from documents (per-word char lengths) so DuckDB
+    rebuilds the identical int sequences, gram sets, and hit counts."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.dedup import token_ngram_contamination
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.transform(words_col("text"), F.length).alias("tokens")))
+    bench = df.filter(F.col("doc_id") < 10)
+    return token_ngram_contamination(df, bench, k=8, min_hits=3)
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis (tokenizer QA / Zipf check): explode
     whitespace tokens → count by token — reduce cardinality = vocab
@@ -1119,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "source_mix": q_source_mix,
         "contamination": q_contamination,
+        "token_contamination": q_token_contamination,
         "vocab_topk": q_vocab_topk,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
@@ -1940,6 +1956,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'source=' || source AS partition,
                    round(sum((o - e) * (o - e) / e), 6) AS statistic
             FROM grid GROUP BY source
+        """,
+        "token_contamination": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       w -> length(w)) AS tokens
+              FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(tokens[i:i+7], ',')
+                       for i in generate_series(
+                           1, greatest(len(tokens)-7, 1))]) AS gs
+              FROM toks),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams
+              WHERE doc_id < 10),
+            docg AS (SELECT doc_id, unnest(gs) AS g FROM grams)
+            SELECT d.doc_id, count(*) AS n_hits
+            FROM docg d JOIN bench USING (g)
+            GROUP BY d.doc_id
+            HAVING count(*) >= 3
         """,
         "contamination": r"""
             WITH w AS (

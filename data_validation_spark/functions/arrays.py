@@ -58,6 +58,20 @@ def word_shingle_hashes_col(text: str | Column = "text",
     return let_col(F.transform(w, lambda x: F.xxhash64(x)), hashed)
 
 
+def array_kgrams_col(arr: Column, k: int) -> Column:
+    """Distinct contiguous k-grams of ANY array column, serialized as
+    comma-joined strings — the gram unit for PRE-TOKENIZED corpora
+    (token-id sequences), engine-portable so an oracle can rebuild the
+    identical gram set.  Arrays shorter than ``k`` yield one gram over
+    the elements present (mirrors ``word_shingles_col``)."""
+    n = F.array_size(arr)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(",", F.transform(
+            F.slice(arr, i, k), lambda x: x.cast("string"))))
+    return F.array_distinct(grams)
+
+
 def jaccard_col(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.array_size(F.array_intersect(a, b)).cast("double")

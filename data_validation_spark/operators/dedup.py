@@ -358,3 +358,36 @@ def ngram_contamination(df: DataFrame, benchmark: DataFrame,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .filter(F.col("n_hits") >= min_hits))
+
+
+def token_ngram_contamination(df: DataFrame, benchmark: DataFrame,
+                              tokens_col: str = "tokens",
+                              id_col: str = "doc_id", k: int = 8,
+                              min_hits: int = 1,
+                              broadcast_benchmark: bool = True) -> DataFrame:
+    """``ngram_contamination`` for PRE-TOKENIZED corpora (the
+    input_hint table shape): flag training sequences sharing ≥
+    ``min_hits`` distinct ``k``-grams of TOKEN IDS with a benchmark
+    set — decontamination that runs directly on the stored
+    ``array<int>`` payload, no detokenization needed.  Token-id k-grams
+    are stricter than word shingles (a benchmark sentence tokenizes one
+    way), so ``k`` defaults higher.
+
+    Same scale shape as the text screen: the benchmark's distinct gram
+    set broadcasts, the corpus side is one scan + map-side join, and
+    only matching (doc, gram) rows reach the per-doc count shuffle.
+    """
+    from data_validation_spark.functions.arrays import array_kgrams_col
+    doc_sh = df.select(
+        F.col(id_col),
+        F.explode(array_kgrams_col(F.col(tokens_col), k)).alias("__sh"))
+    bench_sh = (benchmark
+                .select(F.explode(array_kgrams_col(F.col(tokens_col), k))
+                        .alias("__sh"))
+                .distinct())
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (doc_sh.join(bench_sh, "__sh")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .filter(F.col("n_hits") >= min_hits))

@@ -154,3 +154,25 @@ def test_ngram_contamination_broadcast_plan(spark):
     plan = dedup.ngram_contamination(corpus, bench) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_token_ngram_contamination_on_real_token_arrays(spark, sequences):
+    """The pre-tokenized screen over actual array<int> payloads: a
+    benchmark of one stored sequence flags that sequence (full-array
+    overlap) and a constructed 20-token-prefix copy (exactly 13
+    distinct 8-grams), and nothing else — seed-42 random token ids
+    make an accidental 8-gram collision across docs ~impossible."""
+    from pyspark.sql import functions as F
+
+    from data_validation_spark.operators.dedup import token_ngram_contamination
+    bench = sequences.filter(F.col("doc_id") == "doc-00000100") \
+        .select("doc_id", "tokens")
+    partial = bench.select(F.lit("prefix-copy").alias("doc_id"),
+                           F.slice("tokens", 1, 20).alias("tokens"))
+    corpus = sequences.select("doc_id", "tokens") \
+        .filter(F.col("tokens").isNotNull()).unionByName(partial)
+    hits = {r["doc_id"]: r["n_hits"] for r in token_ngram_contamination(
+        corpus, bench, k=8, min_hits=3).collect()}
+    assert set(hits) == {"doc-00000100", "prefix-copy"}
+    assert hits["prefix-copy"] == 20 - 8 + 1
+    assert hits["doc-00000100"] >= hits["prefix-copy"]
