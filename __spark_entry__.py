@@ -984,6 +984,27 @@ def q_token_contamination(spark, sf_dir):
     return token_ngram_contamination(df, bench, k=8, min_hits=3)
 
 
+def q_chunk_tokens(spark, sf_dir):
+    """Token-window chunking (embedding/RAG prep): overlapping
+    32-token windows every 16 tokens over deterministic token arrays
+    (per-word char lengths — rebuildable in DuckDB), tails < 8 tokens
+    dropped.  Pure projection + posexplode — the plan has NO Exchange;
+    chunk boundaries are pure functions of the array length.  Oracle
+    surface: integer (chunk_id, start, len, id-sum) per chunk."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.packing import chunk_tokens
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.transform(words_col("text"), F.length).alias("tokens")))
+    out = chunk_tokens(df, chunk_size=32, stride=16, min_chunk=8)
+    return (out.withColumn(
+        "chunk_sum",
+        F.aggregate("chunk_tokens", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x))
+        .select("doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+                "chunk_start", "chunk_len", "chunk_sum"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis (tokenizer QA / Zipf check): explode
     whitespace tokens → count by token — reduce cardinality = vocab
@@ -1135,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mix": q_source_mix,
         "contamination": q_contamination,
         "token_contamination": q_token_contamination,
+        "chunk_tokens": q_chunk_tokens,
         "vocab_topk": q_vocab_topk,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
@@ -1956,6 +1978,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'source=' || source AS partition,
                    round(sum((o - e) * (o - e) / e), 6) AS statistic
             FROM grid GROUP BY source
+        """,
+        "chunk_tokens": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       w -> length(w)) AS tokens
+              FROM documents)
+            SELECT doc_id,
+                   CAST((s - 1) // 16 AS BIGINT) AS chunk_id,
+                   CAST(s - 1 AS BIGINT) AS chunk_start,
+                   CAST(len(tokens[s:s+31]) AS BIGINT) AS chunk_len,
+                   CAST(list_sum(tokens[s:s+31]) AS BIGINT) AS chunk_sum
+            FROM toks, unnest(generate_series(1, len(tokens), 16))
+                           AS t(s)
+            WHERE len(tokens) >= 1 AND len(tokens[s:s+31]) >= 8
         """,
         "token_contamination": r"""
             WITH toks AS (

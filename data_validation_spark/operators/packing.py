@@ -86,3 +86,43 @@ def pack_stats(df: DataFrame, context_len: int,
                  F.ceil(tot / c).alias("n_packs"),
                  F.when(tot % c == 0, F.lit(1.0))
                  .otherwise((tot % c) / c).alias("tail_fill")))
+
+
+def chunk_tokens(df: DataFrame, chunk_size: int, stride: int | None = None,
+                 tokens_col: str = "tokens", id_col: str = "doc_id",
+                 min_chunk: int = 1, keep_tokens: bool = True) -> DataFrame:
+    """Split every sequence into (optionally overlapping) token
+    windows — the embedding/RAG prep step: ``chunk_size``-token windows
+    every ``stride`` tokens (default ``stride = chunk_size`` →
+    non-overlapping).  Emits one row per chunk: ``(id, chunk_id,
+    chunk_start, chunk_len, [chunk_tokens])`` with ``chunk_start``
+    0-based and windows shorter than ``min_chunk`` (the tail, when
+    ``stride < chunk_size`` duplicates would make it redundant)
+    dropped.  NULL/empty token arrays produce no chunks.
+
+    Scale shape: pure projection + ``posexplode`` — NO shuffle at all;
+    the chunk rows land in their parent's partition, ready for a
+    downstream embed/``mapInPandas`` stage.  Chunk ids and boundaries
+    are pure functions of the array length, so any engine reproduces
+    them.
+    """
+    stride = stride or chunk_size
+    if chunk_size <= 0 or stride <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = F.col(tokens_col)
+    n = F.array_size(toks)
+    # starts: 1, 1+stride, ... while start <= n (1-based for slice)
+    starts = F.when(n >= 1, F.sequence(F.lit(1), n, F.lit(stride))) \
+        .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.slice(toks, s, chunk_size))
+    out = (df.select(F.col(id_col),
+                     F.posexplode(chunks).alias("chunk_id", "chunk_tokens"))
+           .withColumn("chunk_start",
+                       (F.col("chunk_id") * stride).cast("long"))
+           .withColumn("chunk_len",
+                       F.array_size("chunk_tokens").cast("long"))
+           .filter(F.col("chunk_len") >= min_chunk))
+    cols = [id_col, "chunk_id", "chunk_start", "chunk_len"]
+    if keep_tokens:
+        cols.append("chunk_tokens")
+    return out.select(*cols)

@@ -72,3 +72,33 @@ def test_single_shuffle_plan(docs):
 def test_context_len_validation(docs):
     with pytest.raises(ValueError):
         pack_assignments(docs, 0)
+
+
+def test_chunk_tokens_windows(spark):
+    from pyspark.sql import functions as F
+
+    from data_validation_spark.operators.packing import chunk_tokens
+    df = spark.createDataFrame(
+        [("a", list(range(10))), ("b", list(range(3))), ("c", []),
+         ("d", None)],
+        "doc_id string, tokens array<int>")
+    # non-overlapping size 4: a -> [0..3][4..7][8..9]; b -> [0..2]
+    out = chunk_tokens(df, chunk_size=4)
+    rows = {(r["doc_id"], r["chunk_id"]):
+            (r["chunk_start"], r["chunk_len"], r["chunk_tokens"])
+            for r in out.collect()}
+    assert rows[("a", 0)] == (0, 4, [0, 1, 2, 3])
+    assert rows[("a", 2)] == (8, 2, [8, 9])
+    assert rows[("b", 0)] == (0, 3, [0, 1, 2])
+    assert set(r[0] for r in rows) == {"a", "b"}  # empty/NULL: no chunks
+    # overlapping stride 2: starts 0,2,4,6,8; min_chunk trims dup tails
+    ov = chunk_tokens(df.filter("doc_id = 'a'"), chunk_size=4, stride=2,
+                      min_chunk=3)
+    got = [(r["chunk_start"], r["chunk_tokens"]) for r in
+           ov.orderBy("chunk_id").collect()]
+    assert got == [(0, [0, 1, 2, 3]), (2, [2, 3, 4, 5]),
+                   (4, [4, 5, 6, 7]), (6, [6, 7, 8, 9])]
+    # no shuffle in the plan — chunking is a pure projection
+    plan = chunk_tokens(df, chunk_size=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
