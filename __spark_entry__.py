@@ -1005,6 +1005,45 @@ def q_chunk_tokens(spark, sf_dir):
                 "chunk_start", "chunk_len", "chunk_sum"))
 
 
+def q_dup_token_spans(spark, sf_dir):
+    """Exact duplicate-SPAN accounting (Lee-et-al. substring dedup,
+    Spark-shaped): every token 8-gram occurring ≥2 times corpus-wide
+    is a duplicated span at all but its first (doc,pos) occurrence;
+    per doc report (n_tok, n_dup_spans, dup_covered_tokens) where
+    coverage is the exact interval union.  Runs the PRODUCTION path —
+    64-bit hashed-gram postings (8 B shuffled per corpus position) —
+    while DuckDB replays literal string grams; the counts agree unless
+    two distinct grams collide in 64 bits (~n²·2⁻⁶⁵).  Token arrays
+    derive deterministically from documents (per-word char lengths)."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.spans import duplicate_span_report
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.transform(words_col("text"), F.length).alias("tokens")))
+    out = duplicate_span_report(df, k=8, hashed=True)
+    return out.select("doc_id", "n_tok", "n_dup_spans",
+                      "dup_covered_tokens")
+
+
+def q_scrub_token_spans(spark, sf_dir):
+    """The scrubbing half of exact-substring dedup: remove every token
+    covered by a non-first duplicated 8-gram window, keep-one
+    semantics, order preserved.  Oracle surface is the integer
+    (survivor count, survivor id-sum) per doc — any wrong index kept
+    or dropped breaks the sum."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.spans import scrub_duplicate_spans
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.transform(words_col("text"), F.length).alias("tokens")))
+    out = scrub_duplicate_spans(df, k=8, hashed=True)
+    return out.select(
+        "doc_id",
+        F.array_size("tokens").cast("long").alias("scrub_len"),
+        F.aggregate("tokens", F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("scrub_sum"))
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis (tokenizer QA / Zipf check): explode
     whitespace tokens → count by token — reduce cardinality = vocab
@@ -1157,6 +1196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "token_contamination": q_token_contamination,
         "chunk_tokens": q_chunk_tokens,
+        "dup_token_spans": q_dup_token_spans,
+        "scrub_token_spans": q_scrub_token_spans,
         "vocab_topk": q_vocab_topk,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
@@ -1994,6 +2035,85 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, unnest(generate_series(1, len(tokens), 16))
                            AS t(s)
             WHERE len(tokens) >= 1 AND len(tokens[s:s+31]) >= 8
+        """,
+        "dup_token_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       w -> length(w)) AS tokens
+              FROM documents),
+            post AS (
+              SELECT doc_id, s - 1 AS pos,
+                     array_to_string(tokens[s:s+7], ',') AS g
+              FROM toks, unnest(generate_series(1, len(tokens) - 7))
+                             AS t(s)
+              WHERE len(tokens) >= 8),
+            dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY g) AS n,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, pos) AS rn
+                FROM post)
+              WHERE n > 1 AND rn > 1),
+            cov AS (
+              SELECT doc_id,
+                     count(DISTINCT pos) AS n_dup_spans,
+                     count(DISTINCT ti) AS covered
+              FROM (SELECT doc_id, pos,
+                           unnest(generate_series(pos, pos + 7)) AS ti
+                    FROM dup)
+              GROUP BY doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(len(t.tokens), 0) AS BIGINT) AS n_tok,
+                   CAST(coalesce(c.n_dup_spans, 0) AS BIGINT)
+                       AS n_dup_spans,
+                   CAST(coalesce(c.covered, 0) AS BIGINT)
+                       AS dup_covered_tokens
+            FROM toks t LEFT JOIN cov c USING (doc_id)
+        """,
+        "scrub_token_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       w -> length(w)) AS tokens
+              FROM documents),
+            post AS (
+              SELECT doc_id, s - 1 AS pos,
+                     array_to_string(tokens[s:s+7], ',') AS g
+              FROM toks, unnest(generate_series(1, len(tokens) - 7))
+                             AS t(s)
+              WHERE len(tokens) >= 8),
+            dup AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       count(*) OVER (PARTITION BY g) AS n,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, pos) AS rn
+                FROM post)
+              WHERE n > 1 AND rn > 1),
+            covidx AS (
+              SELECT DISTINCT doc_id, ti FROM (
+                SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS ti
+                FROM dup)),
+            tokpos AS (
+              SELECT doc_id, i - 1 AS idx, tokens[i] AS tok
+              FROM toks, unnest(generate_series(1, len(tokens))) AS u(i)),
+            kept AS (
+              SELECT tp.doc_id,
+                     count(*) AS scrub_len,
+                     CAST(sum(tp.tok) AS BIGINT) AS scrub_sum
+              FROM tokpos tp
+              WHERE NOT EXISTS (SELECT 1 FROM covidx c
+                                WHERE c.doc_id = tp.doc_id
+                                  AND c.ti = tp.idx)
+              GROUP BY tp.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(k.scrub_len, 0) AS BIGINT) AS scrub_len,
+                   CAST(coalesce(k.scrub_sum, 0) AS BIGINT) AS scrub_sum
+            FROM toks t LEFT JOIN kept k USING (doc_id)
         """,
         "token_contamination": r"""
             WITH toks AS (

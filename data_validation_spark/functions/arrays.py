@@ -72,6 +72,25 @@ def array_kgrams_col(arr: Column, k: int) -> Column:
     return F.array_distinct(grams)
 
 
+def array_kgram_postings_col(arr: Column, k: int) -> Column:
+    """ALL contiguous k-grams of an array column in POSITION order
+    (non-distinct), serialized as comma-joined strings — the posting
+    unit for exact-substring span dedup, where position 0-based ``i``
+    of the output is the gram covering elements ``[i, i+k)``.  Arrays
+    shorter than ``k`` yield NO postings (a span that does not exist
+    cannot be duplicated) — unlike ``array_kgrams_col``'s short-doc
+    fallback, which exists for whole-doc similarity.  Engine-portable:
+    an oracle rebuilds identical gram strings with list slicing."""
+    n = F.array_size(arr)
+    idx = F.sequence(F.lit(1), n - k + 1)
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(",", F.transform(
+            F.slice(arr, i, k), lambda x: x.cast("string"))))
+    # ANSI sequence(1, n-k+1) with n < k would count DOWN — guard to empty
+    return F.when(n >= k, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
 def jaccard_col(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two (distinct-element) arrays."""
     inter = F.array_size(F.array_intersect(a, b)).cast("double")
