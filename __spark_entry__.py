@@ -1044,6 +1044,46 @@ def q_scrub_token_spans(spark, sf_dir):
                     lambda acc, x: acc + x).alias("scrub_sum"))
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Vocabulary-level drift between two snapshots (even- vs odd-id
+    docs as the deterministic stand-in for week-over-week): one-row
+    summary with EXACT integer surface — joint vocab size, per-side
+    token totals, and the scaled total-variation numerator
+    Σ|(2cₐ+1)(2Nᵦ+V) − (2cᵦ+1)(2Nₐ+V)| summed as DECIMAL(38,0), plus
+    tv itself (one exact-int division — engine-stable).  KL (ln-based)
+    stays pytest-verified.  Distributed end to end: two vocab-
+    cardinality count shuffles, one full-outer join, two aggregate
+    jobs — no token reaches the driver."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.vocab import vocab_drift_summary
+    df = _t(spark, sf_dir, "documents")
+    cur = df.filter(F.col("doc_id") % 2 == 0)
+    ref = df.filter(F.col("doc_id") % 2 == 1)
+    out = vocab_drift_summary(cur, ref, words_col("text"))
+    return out.select("vocab_joint", "n_tokens_a", "n_tokens_b",
+                      "tv_num4", "tv")
+
+
+def q_vocab_movers(spark, sf_dir):
+    """Top-25 drift-driving TOKEN IDS between the even/odd snapshot
+    halves of the pre-tokenized payload (per-word char-length token
+    ids — DuckDB-rebuildable), ranked by the exact integer
+    cross-product |cₐ·Nᵦ − cᵦ·Nₐ| with token-id tie-break.
+    TakeOrdered heaps via global_topk — never a window over the
+    vocabulary."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.vocab import vocab_top_movers
+    df = (_t(spark, sf_dir, "documents")
+          .select("doc_id",
+                  F.transform(words_col("text"), F.length).alias("tokens")))
+    cur = df.filter(F.col("doc_id") % 2 == 0)
+    ref = df.filter(F.col("doc_id") % 2 == 1)
+    out = vocab_top_movers(cur, ref, F.col("tokens"), k=25)
+    return out.select(F.col("rank").cast("long").alias("rank"),
+                      F.col("token").cast("long").alias("token"),
+                      "cnt_a", "cnt_b", "shift_num")
+
+
 def q_vocab_topk(spark, sf_dir):
     """Corpus vocabulary analysis (tokenizer QA / Zipf check): explode
     whitespace tokens → count by token — reduce cardinality = vocab
@@ -1198,6 +1238,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_tokens": q_chunk_tokens,
         "dup_token_spans": q_dup_token_spans,
         "scrub_token_spans": q_scrub_token_spans,
+        "vocab_drift": q_vocab_drift,
+        "vocab_movers": q_vocab_movers,
         "vocab_topk": q_vocab_topk,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
@@ -2035,6 +2077,68 @@ def oracle_sql() -> dict[str, str]:
             FROM toks, unnest(generate_series(1, len(tokens), 16))
                            AS t(s)
             WHERE len(tokens) >= 1 AND len(tokens[s:s+31]) >= 8
+        """,
+        "vocab_drift": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS token
+              FROM documents),
+            a AS (SELECT token, count(*) AS ca FROM w
+                  WHERE doc_id % 2 = 0 GROUP BY token),
+            b AS (SELECT token, count(*) AS cb FROM w
+                  WHERE doc_id % 2 = 1 GROUP BY token),
+            j AS (SELECT token,
+                         coalesce(a.ca, 0) AS ca,
+                         coalesce(b.cb, 0) AS cb
+                  FROM a FULL JOIN b USING (token)),
+            t AS (SELECT count(*)::BIGINT AS v,
+                         CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb FROM j),
+            s AS (SELECT any_value(v) AS v, any_value(na) AS na,
+                         any_value(nb) AS nb,
+                         sum(abs((2*ca+1)::HUGEINT * (2*nb+v)
+                                 - (2*cb+1)::HUGEINT * (2*na+v)))
+                             AS tvn
+                  FROM j, t)
+            SELECT v AS vocab_joint, na AS n_tokens_a, nb AS n_tokens_b,
+                   tvn AS tv_num4,
+                   tvn::DOUBLE
+                     / CAST(2*(2*na+v)*(2*nb+v) AS DOUBLE) AS tv
+            FROM s
+        """,
+        "vocab_movers": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> length(x))) AS token
+              FROM documents),
+            a AS (SELECT token, count(*) AS ca FROM toks
+                  WHERE doc_id % 2 = 0 GROUP BY token),
+            b AS (SELECT token, count(*) AS cb FROM toks
+                  WHERE doc_id % 2 = 1 GROUP BY token),
+            j AS (SELECT token,
+                         coalesce(a.ca, 0) AS ca,
+                         coalesce(b.cb, 0) AS cb
+                  FROM a FULL JOIN b USING (token)),
+            t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                         CAST(sum(cb) AS BIGINT) AS nb FROM j),
+            scored AS (
+              SELECT token, ca, cb,
+                     abs(ca::HUGEINT * nb - cb::HUGEINT * na)
+                         AS shift_num
+              FROM j, t)
+            SELECT CAST(row_number() OVER
+                          (ORDER BY shift_num DESC, token) AS BIGINT)
+                       AS rank,
+                   CAST(token AS BIGINT) AS token,
+                   CAST(ca AS BIGINT) AS cnt_a,
+                   CAST(cb AS BIGINT) AS cnt_b,
+                   shift_num
+            FROM scored
+            ORDER BY shift_num DESC, token
+            LIMIT 25
         """,
         "dup_token_spans": r"""
             WITH toks AS (

@@ -1,0 +1,137 @@
+"""Vocabulary-level distribution drift between two corpus snapshots.
+
+The drift family in functions/drift.py (chi², KS, PSI) operates on
+LOW-cardinality collected histograms — source labels, quantile
+vectors.  The tokens payload needs the same check at VOCABULARY
+cardinality: "did the unigram token distribution move between last
+week's snapshot and this one?" catches tokenizer changes, a source
+flipping language, template spam flooding in — before any model
+trains on it.  At 10⁵–10⁷ distinct tokens the histogram must never
+sit on the driver, so this is the distributed counterpart: everything
+up to the final one-row summary stays in DataFrames.
+
+Scale shape (10^12 tokens per snapshot):
+
+* one ``explode → groupBy(token)`` count per snapshot — the shuffle
+  reduces corpus cardinality to vocab size, and Zipfian heads collapse
+  map-side exactly as in ``unigram_model``,
+* ONE full-outer equi-join on token builds the contingency frame
+  (vocab-sized, persisted — it feeds the totals agg and the final
+  stats agg),
+* totals ride a broadcast crossJoin back onto the frame, so the whole
+  summary is two aggregate jobs over a vocab-sized frame — no token
+  ever reaches the driver.
+
+Determinism contract: total-variation distance is emitted both as a
+double and as an EXACT integer numerator — with add-½ smoothing,
+4·|p−q|·N′ₐN′ᵦ per token is ``|(2cₐ+1)(2Nᵦ+V) − (2cᵦ+1)(2Nₐ+V)|``,
+an integer summed as DECIMAL(38,0), so an oracle can replay the whole
+statistic exactly; KL (ln-based doubles) is pytest-verified against
+numpy instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["unit_counts", "vocab_drift_frame", "vocab_drift_summary",
+           "vocab_top_movers"]
+
+
+def unit_counts(df: DataFrame, unit: Column) -> DataFrame:
+    """(token, cnt) for an array-valued unit expression (``F.col
+    ("tokens")`` for pre-tokenized corpora, ``words_col("text")`` for
+    raw text).  One explode → hash-groupBy; map-side partials collapse
+    the Zipf head before the vocab-cardinality shuffle."""
+    return (df.select(F.explode(unit).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def vocab_drift_frame(cur: DataFrame, ref: DataFrame,
+                      unit) -> DataFrame:
+    """Per-token contingency frame ``(token, cnt_a, cnt_b)`` over the
+    JOINT vocabulary (full-outer join of the two count frames; a token
+    absent from one snapshot counts 0 there).  ``unit`` is a Column or
+    a callable DataFrame→Column applied to each side."""
+    ua = unit(cur) if callable(unit) else unit
+    ub = unit(ref) if callable(unit) else unit
+    a = unit_counts(cur, ua).withColumnRenamed("cnt", "cnt_a")
+    b = unit_counts(ref, ub).withColumnRenamed("cnt", "cnt_b")
+    return (a.join(b, "token", "full_outer")
+            .select("token",
+                    F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+                    F.coalesce("cnt_b", F.lit(0)).alias("cnt_b")))
+
+
+def vocab_drift_summary(cur: DataFrame, ref: DataFrame, unit,
+                        tv_threshold: float = 0.1) -> DataFrame:
+    """One-row drift summary between two snapshots' unigram
+    distributions (add-½ smoothing over the joint vocabulary):
+
+      ``vocab_joint, n_tokens_a, n_tokens_b`` — exact integers,
+      ``tv_num4``  — Σ|(2cₐ+1)(2Nᵦ+V) − (2cᵦ+1)(2Nₐ+V)| as
+                     DECIMAL(38,0): the EXACT scaled TV numerator
+                     (engine-replayable; summation-order-proof),
+      ``tv``       — total variation ∈ [0,1]: tv_num4 / (2·(2Nₐ+V)·(2Nᵦ+V)),
+      ``kl_ab``    — KL(current ‖ reference) in nats over the smoothed
+                     distributions (double — verified by pytest, not
+                     oracle-hashed),
+      ``drifted``  — tv > tv_threshold.
+
+    Two aggregate jobs over the persisted vocab-sized frame; the
+    totals row rides back via broadcast crossJoin so no statistic is
+    driver-computed.
+    """
+    from pyspark import StorageLevel
+    frame = vocab_drift_frame(cur, ref, unit) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    totals = frame.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("cnt_a").alias("na"),
+        F.sum("cnt_b").alias("nb"))
+    t = frame.crossJoin(F.broadcast(totals))
+    dec = "decimal(38,0)"
+    term_a = (2 * F.col("cnt_a") + 1).cast(dec) \
+        * (2 * F.col("nb") + F.col("v")).cast(dec)
+    term_b = (2 * F.col("cnt_b") + 1).cast(dec) \
+        * (2 * F.col("na") + F.col("v")).cast(dec)
+    # smoothed probabilities for KL: p = (2c_a+1)/(2N_a+V) etc.
+    p = (2 * F.col("cnt_a") + 1).cast("double") \
+        / (2 * F.col("na") + F.col("v")).cast("double")
+    q = (2 * F.col("cnt_b") + 1).cast("double") \
+        / (2 * F.col("nb") + F.col("v")).cast("double")
+    out = t.agg(
+        F.first("v").alias("vocab_joint"),
+        F.first("na").alias("n_tokens_a"),
+        F.first("nb").alias("n_tokens_b"),
+        F.sum(F.abs(term_a - term_b)).alias("tv_num4"),
+        F.sum(p * F.log(p / q)).alias("kl_ab"))
+    denom = (2 * (2 * F.col("n_tokens_a") + F.col("vocab_joint"))
+             * (2 * F.col("n_tokens_b") + F.col("vocab_joint")))
+    return out.select(
+        "vocab_joint", "n_tokens_a", "n_tokens_b", "tv_num4",
+        (F.col("tv_num4").cast("double") / denom.cast("double"))
+        .alias("tv"),
+        "kl_ab").withColumn("drifted", F.col("tv") > tv_threshold)
+
+
+def vocab_top_movers(cur: DataFrame, ref: DataFrame, unit,
+                     k: int = 20) -> DataFrame:
+    """The ``k`` tokens contributing most to the distribution shift,
+    ranked by the EXACT integer cross-product |cₐ·Nᵦ − cᵦ·Nₐ|
+    (∝ |p−q| unsmoothed — ranking needs no smoothing) with token as
+    tie-break; ``(rank, token, cnt_a, cnt_b)``.  TakeOrdered heaps via
+    ``global_topk`` — never a window over the vocabulary."""
+    from data_validation_spark.operators.profile import global_topk
+    frame = vocab_drift_frame(cur, ref, unit)
+    totals = frame.agg(F.sum("cnt_a").alias("na"),
+                       F.sum("cnt_b").alias("nb"))
+    dec = "decimal(38,0)"
+    scored = (frame.crossJoin(F.broadcast(totals))
+              .withColumn("shift_num",
+                          F.abs(F.col("cnt_a").cast(dec) * F.col("nb")
+                                - F.col("cnt_b").cast(dec) * F.col("na"))))
+    top = global_topk(scored, k,
+                      [F.desc("shift_num"), F.asc("token")])
+    return top.select("rank", "token", "cnt_a", "cnt_b", "shift_num")

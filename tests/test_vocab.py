@@ -1,0 +1,115 @@
+"""Vocabulary drift between snapshots (operators/vocab.py)."""
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_validation_spark.operators.vocab import (
+    unit_counts,
+    vocab_drift_frame,
+    vocab_drift_summary,
+    vocab_top_movers,
+)
+
+
+def _docs(spark, texts, start_id=0):
+    return spark.createDataFrame(
+        [(start_id + i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string")
+
+
+def _unit():
+    from data_validation_spark.functions.text import words_col
+    return words_col("text")
+
+
+def test_unit_counts(spark):
+    df = _docs(spark, ["a a b", "b c"])
+    got = {r["token"]: r["cnt"] for r in unit_counts(df, _unit()).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+
+
+def test_identical_snapshots_zero_drift(spark):
+    df = _docs(spark, ["a a b c", "d e f a"])
+    row = vocab_drift_summary(df, df, _unit()).collect()[0]
+    assert int(row["tv_num4"]) == 0
+    assert row["tv"] == 0.0
+    assert row["kl_ab"] == pytest.approx(0.0, abs=1e-12)
+    assert not row["drifted"]
+
+
+def test_known_small_example(spark):
+    # cur = {a:2, b:1}, ref = {a:1, b:2}; V=2, Na=Nb=3
+    # smoothed p=(5/8,3/8), q=(3/8,5/8)
+    cur, ref = _docs(spark, ["a a b"]), _docs(spark, ["a b b"])
+    row = vocab_drift_summary(cur, ref, _unit()).collect()[0]
+    assert (row["vocab_joint"], row["n_tokens_a"], row["n_tokens_b"]) \
+        == (2, 3, 3)
+    # per token |(2ca+1)(2Nb+V) − (2cb+1)(2Na+V)| = |5·8 − 3·8| = 16
+    assert int(row["tv_num4"]) == 32
+    assert row["tv"] == pytest.approx(32 / (2 * 8 * 8))
+    exp_kl = 5 / 8 * math.log((5 / 8) / (3 / 8)) \
+        + 3 / 8 * math.log((3 / 8) / (5 / 8))
+    assert row["kl_ab"] == pytest.approx(exp_kl, rel=1e-12)
+    assert row["drifted"]  # tv = 0.25 > 0.1
+
+
+def test_disjoint_vocab(spark):
+    cur, ref = _docs(spark, ["a a"]), _docs(spark, ["b b"])
+    row = vocab_drift_summary(cur, ref, _unit()).collect()[0]
+    # V=2, Na=Nb=2; smoothed p=(5/6,1/6), q=(1/6,5/6) → tv = 2/3
+    assert row["tv"] == pytest.approx(2 / 3)
+    assert row["drifted"]
+
+
+def test_kl_matches_numpy_on_random_counts(spark):
+    import numpy as np
+    rng = np.random.default_rng(11)
+    toks = list("abcdefghij")
+    cur = _docs(spark, [" ".join(rng.choice(toks, size=40))
+                        for _ in range(20)])
+    ref = _docs(spark, [" ".join(rng.choice(toks[2:], size=35))
+                        for _ in range(20)], start_id=100)
+    row = vocab_drift_summary(cur, ref, _unit()).collect()[0]
+    ca = {r["token"]: r["cnt"] for r in
+          unit_counts(cur, _unit()).collect()}
+    cb = {r["token"]: r["cnt"] for r in
+          unit_counts(ref, _unit()).collect()}
+    vocab = sorted(set(ca) | set(cb))
+    v = len(vocab)
+    na, nb = sum(ca.values()), sum(cb.values())
+    p = np.array([(2 * ca.get(t, 0) + 1) / (2 * na + v) for t in vocab])
+    q = np.array([(2 * cb.get(t, 0) + 1) / (2 * nb + v) for t in vocab])
+    assert row["kl_ab"] == pytest.approx(float(np.sum(p * np.log(p / q))),
+                                         rel=1e-9)
+    assert row["tv"] == pytest.approx(0.5 * float(np.abs(p - q).sum()),
+                                      rel=1e-9)
+
+
+def test_top_movers_ranking_and_ties(spark):
+    # Na = Nb = 6 → shift_num = 6·|ca − cb|; c moves most, then b;
+    # a and d tie at 0 → token asc breaks the tie
+    cur = _docs(spark, ["a a b b b c"])            # a2 b3 c1, Na=6
+    ref = _docs(spark, ["a a b c c c"])            # a2 b1 c3, Nb=6
+    rows = vocab_top_movers(cur, ref, _unit(), k=3).collect()
+    assert [(r["rank"], r["token"]) for r in rows] == \
+        [(1, "b"), (2, "c"), (3, "a")]
+    assert [int(r["shift_num"]) for r in rows] == [12, 12, 0]
+    # b vs c tie on |shift| = 12 → 'b' < 'c'
+
+
+def test_token_id_unit(spark):
+    cur = spark.createDataFrame([(0, [1, 1, 2])],
+                                "doc_id long, tokens array<int>")
+    ref = spark.createDataFrame([(0, [1, 2, 2])],
+                                "doc_id long, tokens array<int>")
+    row = vocab_drift_summary(cur, ref, F.col("tokens")).collect()[0]
+    assert int(row["tv_num4"]) == 32 and row["tv"] == pytest.approx(0.25)
+
+
+def test_plan_has_no_window_over_vocab(spark):
+    cur = _docs(spark, ["a b c"] * 4)
+    plan = vocab_top_movers(cur, cur, _unit(), k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
