@@ -1,0 +1,68 @@
+"""Bucketed-table seam: co-located joins/aggs with ZERO Exchange
+(sources/table_provider.py write_bucketed/read_bucketed)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from data_validation_spark.sources.table_provider import TableProvider
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture()
+def provider(spark, tmp_path):
+    p = TableProvider(spark, str(tmp_path))
+    yield p
+    for t in ("b_seq", "b_labels"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_exchange(spark, provider, sequences):
+    # fixture contains intentional duplicate doc_ids (dedup-test rows);
+    # bucket over the distinct keyset so the join is 1:1
+    uniq = sequences.dropDuplicates(["doc_id"])
+    n = uniq.count()
+    labels = uniq.select("doc_id", (F.col("n_tok") % 5).alias("label"))
+    provider.write_bucketed(uniq.select("doc_id", "n_tok", "source"),
+                            "b_seq", ["doc_id"], 8, sort_cols=["doc_id"])
+    provider.write_bucketed(labels, "b_labels", ["doc_id"], 8,
+                            sort_cols=["doc_id"])
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = provider.read_bucketed("b_seq")
+        b = provider.read_bucketed("b_labels")
+        joined = a.join(b, "doc_id")
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # control: the same join over PATH reads (no bucket metadata)
+        # must shuffle — proves the assertion above is meaningful
+        ap = spark.read.parquet(str(provider.root) + "/b_seq")
+        bp = spark.read.parquet(str(provider.root) + "/b_labels")
+        assert "Exchange" in _plan(ap.join(bp, "doc_id"))
+        # correctness: identical result either way
+        assert joined.count() == ap.join(bp, "doc_id").count() == n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_groupby_has_no_exchange(spark, provider, sequences):
+    provider.write_bucketed(sequences.select("doc_id", "n_tok"),
+                            "b_seq", ["doc_id"], 8)
+    agg = (provider.read_bucketed("b_seq")
+           .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    assert "Exchange" not in _plan(agg), _plan(agg)
+    # the doc_id-keyed uniqueness check is exactly this shape: over a
+    # bucket(doc_id) table the whole pass is shuffle-free
+    assert agg.filter(F.col("n") > 1).count() >= 0
+
+
+def test_bucketed_read_column_prunes(spark, provider, sequences):
+    provider.write_bucketed(sequences.select("doc_id", "n_tok", "source"),
+                            "b_seq", ["doc_id"], 4)
+    df = provider.read_bucketed("b_seq", columns=["doc_id"])
+    assert df.columns == ["doc_id"]
+    plan = _plan(df)
+    assert "n_tok" not in plan.split("ReadSchema")[-1][:200]
