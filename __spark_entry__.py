@@ -1180,6 +1180,109 @@ def q_filter_report(spark, sf_dir):
     return acceptance_report(df, preds, ["source"])
 
 
+def _increment_frames(spark, sf_dir):
+    """Shared construction for the incremental-dedup queries: corpus =
+    even doc_ids, batch = odd doc_ids plus an id-shifted copy of every
+    odd doc (so each batch content occurs ≥2× in-batch, and any odd
+    text also present in the even half is a corpus re-crawl)."""
+    from data_validation_spark.operators.dedup import corpus_fingerprints
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    odds = docs.filter(F.col("doc_id") % 2 == 1)
+    batch = odds.unionAll(
+        odds.withColumn("doc_id", F.col("doc_id") + F.lit(100000)))
+    return batch, corpus_fingerprints(corpus)
+
+
+def q_dedup_increment(spark, sf_dir):
+    """Incremental ingest survivors — batch rows new vs BOTH the corpus
+    fingerprint state and the batch itself (min-id first occurrence).
+    The steady-state shape of a web-crawl pipeline: the corpus is 16 B
+    of state per doc, never rescanned."""
+    from data_validation_spark.operators.dedup import dedup_increment
+    batch, fps = _increment_frames(spark, sf_dir)
+    return (dedup_increment(batch, fps)
+            .select("doc_id", fingerprint_col("text").alias("fingerprint")))
+
+
+def q_increment_report(spark, sf_dir):
+    """Incremental ingest accounting — ONE row (n_batch, n_distinct,
+    n_seen_in_corpus, n_survivors); a pipeline owner cannot trust
+    "ingested N docs" without it."""
+    from data_validation_spark.operators.dedup import increment_report
+    batch, fps = _increment_frames(spark, sf_dir)
+    return increment_report(batch, fps)
+
+
+def q_source_overlap(spark, sf_dir):
+    """Inter-source duplicate overlap matrix — distinct shared contents
+    per source pair, computed from per-fingerprint source SETS (state
+    bounded by source cardinality), never a fingerprint self-join.
+    A mirror of every 5th doc under source 'mirror-<source>' guarantees
+    known-by-construction overlap."""
+    from data_validation_spark.operators.dedup import source_overlap
+    docs = _t(spark, sf_dir, "documents")
+    mirrored = (docs.filter(F.col("doc_id") % 5 == 0)
+                .withColumn("source", F.concat(F.lit("mirror-"),
+                                               F.col("source"))))
+    return source_overlap(docs.unionAll(mirrored))
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup — semantic-duplicate cluster labels over embedding
+    cells (cluster col = label; production uses ivf_index cells).  The
+    corpus is tripled with exactly-scaled copies (×2, ×4 — lossless in
+    float, so cosine is EXACTLY preserved): every vector belongs to a
+    3-member component whose closure needs real transitive chaining."""
+    from data_validation_spark.operators.semantic import semantic_dedup
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def scaled(shift, factor):
+        return emb.select(
+            (F.col("vec_id") + F.lit(shift)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(factor))
+            .cast("array<float>").alias("embedding"),
+            "label")
+
+    d = (emb.select("vec_id", "embedding", "label")
+         .unionByName(scaled(100000, 2.0))
+         .unionByName(scaled(200000, 4.0)))
+    return semantic_dedup(d, "label", vec_col="embedding",
+                          id_col="vec_id", threshold=0.999)
+
+
+def _synth_url_col():
+    """Deterministic raw-URL synthesis from doc_id — replayed verbatim
+    in the oracle so both engines canonicalize the SAME 500 messy
+    inputs (mixed-case authority, www, default ports, tracking params,
+    fragments, trailing slashes)."""
+    did = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    scheme = F.when(did % 2 == 0, F.lit("HTTP://WWW.")) \
+              .otherwise(F.lit("https://"))
+    host = F.concat(F.lit("Site-"), s(did % 7), F.lit(".COM"))
+    port = F.when(did % 2 == 0, F.lit(":80")).otherwise(F.lit(":443"))
+    path = F.concat(F.lit("/Dir"), s(did % 3), F.lit("/page"),
+                    s(did % 50))
+    deco = (F.when(did % 4 == 0, F.lit("/?utm_source=feed&b=2&a=1"))
+            .when(did % 4 == 1, F.lit("?b=2&utm_campaign=x&a=1#frag"))
+            .when(did % 4 == 2, F.lit("/"))
+            .otherwise(F.lit("")))
+    return F.concat(scheme, host, port, path, deco)
+
+
+def q_url_canonical(spark, sf_dir):
+    """URL canonicalization — (doc_id, url, canonical_url) over 500
+    synthesized messy URLs; the canonical form is the URL-dedup KEY, so
+    it must be bit-identical across engines (pure Catalyst projection,
+    RE2-compatible regexes only)."""
+    from data_validation_spark.functions.urls import canonical_url_col
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.select("doc_id", _synth_url_col().alias("url"))
+            .select("doc_id", "url",
+                    canonical_url_col("url").alias("canonical_url")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1241,6 +1344,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_drift": q_vocab_drift,
         "vocab_movers": q_vocab_movers,
         "vocab_topk": q_vocab_topk,
+        "dedup_increment": q_dedup_increment,
+        "increment_report": q_increment_report,
+        "source_overlap": q_source_overlap,
+        "semantic_dedup": q_semantic_dedup,
+        "url_canonical": q_url_canonical,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -1983,6 +2091,164 @@ def oracle_sql() -> dict[str, str]:
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
                   len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7
+        """,
+        "dedup_increment": r"""
+            WITH corpus AS (
+              SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g')) AS fp
+              FROM documents WHERE doc_id % 2 = 0),
+            batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 2 = 1),
+            fps AS (
+              SELECT doc_id, md5(regexp_replace(lower(trim(text)),
+                                                '\s+', ' ', 'g'))
+                         AS fingerprint
+              FROM batch),
+            first AS (
+              SELECT fingerprint, min(doc_id) AS doc_id
+              FROM fps GROUP BY 1)
+            SELECT f.doc_id, f.fingerprint
+            FROM first f LEFT JOIN corpus c ON c.fp = f.fingerprint
+            WHERE c.fp IS NULL
+        """,
+        "increment_report": r"""
+            WITH corpus AS (
+              SELECT DISTINCT md5(regexp_replace(lower(trim(text)),
+                                                 '\s+', ' ', 'g')) AS fp
+              FROM documents WHERE doc_id % 2 = 0),
+            batch AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 100000, text FROM documents
+              WHERE doc_id % 2 = 1),
+            fps AS (
+              SELECT md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fingerprint,
+                     count(*) AS n
+              FROM batch GROUP BY 1),
+            marked AS (
+              SELECT f.n,
+                     CASE WHEN c.fp IS NULL THEN 0 ELSE 1 END AS seen
+              FROM fps f LEFT JOIN corpus c ON c.fp = f.fingerprint)
+            SELECT sum(n)::BIGINT AS n_batch,
+                   count(*) AS n_distinct,
+                   sum(seen)::BIGINT AS n_seen_in_corpus,
+                   sum(1 - seen)::BIGINT AS n_survivors
+            FROM marked
+        """,
+        "source_overlap": r"""
+            WITH d AS (
+              SELECT text, source FROM documents
+              UNION ALL
+              SELECT text, 'mirror-' || source FROM documents
+              WHERE doc_id % 5 = 0),
+            fps AS (
+              SELECT DISTINCT
+                     md5(regexp_replace(lower(trim(text)),
+                                        '\s+', ' ', 'g')) AS fp,
+                     source
+              FROM d)
+            SELECT a.source AS source_a, b.source AS source_b,
+                   count(*) AS n_shared
+            FROM fps a JOIN fps b
+              ON a.fp = b.fp AND a.source < b.source
+            GROUP BY 1, 2
+        """,
+        "semantic_dedup": """
+            WITH RECURSIVE d AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding, label
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding::DOUBLE[], x -> x * 2),
+                     label
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 200000,
+                     list_transform(embedding::DOUBLE[], x -> x * 4),
+                     label
+              FROM embeddings),
+            pairs AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM d a JOIN d b
+                ON a.label = b.label AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.999),
+            edges AS (
+              SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT d.vec_id,
+                     least(d.vec_id,
+                           coalesce(min(r.b), d.vec_id)) AS cluster_id
+              FROM d LEFT JOIN reach r ON r.a = d.vec_id
+              GROUP BY d.vec_id)
+            SELECT vec_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id)
+                       AS cluster_size,
+                   vec_id = cluster_id AS is_canonical
+            FROM comp
+        """,
+        "url_canonical": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     (CASE WHEN doc_id % 2 = 0 THEN 'HTTP://WWW.'
+                           ELSE 'https://' END)
+                     || 'Site-' || (doc_id % 7) || '.COM'
+                     || (CASE WHEN doc_id % 2 = 0 THEN ':80'
+                              ELSE ':443' END)
+                     || '/Dir' || (doc_id % 3) || '/page'
+                     || (doc_id % 50)
+                     || (CASE doc_id % 4
+                           WHEN 0 THEN '/?utm_source=feed&b=2&a=1'
+                           WHEN 1 THEN '?b=2&utm_campaign=x&a=1#frag'
+                           WHEN 2 THEN '/'
+                           ELSE '' END) AS url
+              FROM documents),
+            s1 AS (
+              SELECT doc_id, url,
+                     regexp_replace(trim(url), '#.*$', '') AS u
+              FROM raw),
+            s2 AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(u, '^([^/?#]*//[^/?#]*)', 1))
+                     || substr(u, length(regexp_extract(
+                            u, '^([^/?#]*//[^/?#]*)', 1)) + 1) AS u
+              FROM s1),
+            s3 AS (
+              SELECT doc_id, url,
+                     regexp_replace(u,
+                       '^([a-z][a-z0-9+.-]*://)www\.', '\1') AS u
+              FROM s2),
+            s4 AS (
+              SELECT doc_id, url,
+                     regexp_replace(
+                       regexp_replace(u,
+                         '^(http://[^/:?#]+):80([/?].*)?$', '\1\2'),
+                       '^(https://[^/:?#]+):443([/?].*)?$', '\1\2') AS u
+              FROM s3),
+            s5 AS (
+              SELECT doc_id, url,
+                     regexp_replace(regexp_replace(u, '\?.*$', ''),
+                                    '/+$', '') AS base,
+                     coalesce(array_to_string(list_sort(list_filter(
+                       string_split(coalesce(
+                           regexp_extract(u, '\?(.*)$', 1), ''), '&'),
+                       p -> p <> '' AND NOT regexp_matches(p,
+                         '^(utm_[^=]*|fbclid|gclid|msclkid|ref)(=.*)?$')
+                     )), '&'), '') AS q
+              FROM s4)
+            SELECT doc_id, url,
+                   CASE WHEN q = '' THEN base
+                        ELSE base || '?' || q END AS canonical_url
+            FROM s5
         """,
         "snapshot_diff": """
             WITH a AS (

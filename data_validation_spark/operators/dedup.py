@@ -391,3 +391,104 @@ def token_ngram_contamination(df: DataFrame, benchmark: DataFrame,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).alias("n_hits"))
             .filter(F.col("n_hits") >= min_hits))
+
+
+# ---------------------------------------------------------------------------
+# incremental (snapshot-vs-corpus) dedup
+# ---------------------------------------------------------------------------
+
+def corpus_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct content fingerprints of an existing corpus — the compact
+    dedup STATE an incremental ingest joins against.  16 bytes/doc
+    instead of the documents themselves; at 10^12 docs this is the only
+    thing the steady-state pipeline has to keep.  Persist it with
+    ``TableProvider.write_bucketed(..., ["fingerprint"], N)`` and every
+    future increment anti-joins against it with the corpus side
+    SHUFFLE-FREE (the batch side alone re-buckets — the 100 TB table
+    never moves; asserted in tests/test_increment.py)."""
+    return (df.select(fingerprint_col(text_col).alias("fingerprint"))
+            .distinct())
+
+
+def dedup_increment(batch: DataFrame, corpus_fps: DataFrame,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Survivors of an incremental ingest batch: rows whose content is
+    new versus BOTH the accumulated corpus (fingerprint anti-join) and
+    the batch itself (first occurrence by min ``id_col`` wins — a batch
+    routinely carries its own duplicates).
+
+    Steady-state shape of every web-crawl pipeline: yesterday's corpus
+    is fingerprint state, today's snapshot is the batch.  Cost is
+    O(batch) + one probe of the state: min-id groupBy on the batch's
+    fingerprints, anti-join against ``corpus_fps`` (bucketed state ⇒
+    only the batch side shuffles), then an id semi-join back to carry
+    full rows.  Nothing scans the corpus documents.
+
+    Returns ``batch`` rows (all columns) that should be appended; the
+    caller also appends ``corpus_fingerprints(survivors)`` to the state
+    table (or relies on the state table's next rebuild)."""
+    fps = batch.select(F.col(id_col),
+                       fingerprint_col(text_col).alias("fingerprint"))
+    first = (fps.groupBy("fingerprint").agg(F.min(id_col).alias(id_col)))
+    fresh = first.join(corpus_fps.select("fingerprint"),
+                       on="fingerprint", how="left_anti")
+    return batch.join(fresh.select(id_col), on=id_col, how="left_semi")
+
+
+def increment_report(batch: DataFrame, corpus_fps: DataFrame,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """One-row accounting for an incremental ingest: (n_batch,
+    n_distinct, n_seen_in_corpus, n_survivors).  A pipeline owner
+    cannot trust "ingested N docs" without knowing how many were
+    in-batch copies vs corpus re-crawls.  One grouped pass over the
+    batch fingerprints + one left join against the state: the corpus
+    side contributes only matching fingerprints."""
+    fps = (batch.select(fingerprint_col(text_col).alias("fingerprint"))
+           .groupBy("fingerprint").agg(F.count(F.lit(1)).alias("n")))
+    seen = (corpus_fps.select("fingerprint")
+            .withColumn("__seen", F.lit(1)))
+    joined = fps.join(seen, on="fingerprint", how="left")
+    return joined.agg(
+        F.sum("n").cast("long").alias("n_batch"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.when(F.col("__seen").isNotNull(), 1).otherwise(0))
+         .cast("long").alias("n_seen_in_corpus"),
+        F.sum(F.when(F.col("__seen").isNull(), 1).otherwise(0))
+         .cast("long").alias("n_survivors"))
+
+
+# ---------------------------------------------------------------------------
+# inter-source duplicate overlap
+# ---------------------------------------------------------------------------
+
+def source_overlap(df: DataFrame, text_col: str = "text",
+                   source_col: str = "source") -> DataFrame:
+    """Corpus-overlap matrix: for every pair of sources, how many
+    DISTINCT contents appear in both — the "is CommonCrawl already
+    inside my books dump" question asked before mixing corpora.
+
+    Scale shape: one distinct over (fingerprint, source), one
+    hash-groupBy on fingerprint whose per-key state is bounded by the
+    SOURCE CARDINALITY (a handful), never by duplicate count — then the
+    per-fingerprint source set explodes into ordered pairs with a
+    Catalyst comprehension.  No fingerprint self-join: a content
+    duplicated millions of times still contributes one source set."""
+    s = F.col(source_col)
+    sets = (df.select(fingerprint_col(text_col).alias("fp"),
+                      s.alias("__s"))
+            .distinct()
+            .groupBy("fp")
+            .agg(F.array_sort(F.collect_set("__s")).alias("ss"))
+            .filter(F.array_size("ss") > 1))
+    pair_array = F.flatten(F.transform(
+        "ss",
+        lambda x, i: F.transform(
+            F.slice("ss", i + F.lit(2),
+                    F.greatest(F.array_size("ss") - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("source_a"), y.alias("source_b")))))
+    return (sets.select(F.explode(pair_array).alias("p"))
+            .select("p.source_a", "p.source_b")
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_shared")))
