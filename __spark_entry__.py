@@ -1283,6 +1283,26 @@ def q_url_canonical(spark, sf_dir):
                     canonical_url_col("url").alias("canonical_url")))
 
 
+def q_unicode_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization — every doc gets a decomposed
+    ``café`` suffix (e + combining acute); the normalized text,
+    codepoint lengths before/after, and the post-NFC fingerprint must
+    match DuckDB's ``nfc_normalize`` byte-for-byte (the dedup key
+    under mixed normal forms)."""
+    from data_validation_spark.operators.cleaning import (
+        normalize_unicode_col)
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit(" caf"),
+                   F.lit("e\u0301"))
+    base = docs.select("doc_id", raw.alias("raw"))
+    n = base.withColumn("nfc_text", normalize_unicode_col("raw"))
+    return n.select(
+        "doc_id", "nfc_text",
+        F.length("raw").alias("raw_len"),
+        F.length("nfc_text").alias("nfc_len"),
+        fingerprint_col("nfc_text").alias("nfc_fingerprint"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1349,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap": q_source_overlap,
         "semantic_dedup": q_semantic_dedup,
         "url_canonical": q_url_canonical,
+        "unicode_normalize": q_unicode_normalize,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2249,6 +2270,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "unicode_normalize": r"""
+            WITH raw AS (
+              SELECT doc_id,
+                     text || ' caf' || 'e' || chr(769) AS raw
+              FROM documents),
+            n AS (
+              SELECT doc_id, raw, nfc_normalize(raw) AS nfc_text
+              FROM raw)
+            SELECT doc_id, nfc_text,
+                   length(raw) AS raw_len,
+                   length(nfc_text) AS nfc_len,
+                   md5(regexp_replace(lower(trim(nfc_text)),
+                                      '\s+', ' ', 'g'))
+                       AS nfc_fingerprint
+            FROM n
         """,
         "snapshot_diff": """
             WITH a AS (

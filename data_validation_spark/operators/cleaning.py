@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import warnings
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -151,3 +152,34 @@ def dedup_paragraphs(df: DataFrame, text_col: str = "text",
     return (df.join(rebuilt, id_col, "left")
             .withColumn(text_col, F.coalesce(F.col("__clean"), F.lit("")))
             .drop("__clean"))
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization (dedup-key canonicalization)
+# ---------------------------------------------------------------------------
+
+def normalize_unicode_col(text: str | Column = "text",
+                          form: str = "NFC") -> Column:
+    """Unicode-normalize a string column (NFC by default) — the
+    canonicalization that must run BEFORE content fingerprinting:
+    ``é`` composed (U+00E9) and decomposed (``e`` + U+0301) are the
+    same text to a reader but different bytes to ``md5``, so without
+    this an accent-decomposed re-crawl silently escapes every exact
+    and incremental dedup pass.
+
+    Unicode normalization is inherently per-string (stateful
+    codepoint-sequence rewriting — no Catalyst expression exists), so
+    this is the repo's one sanctioned per-string kernel: an
+    Arrow-batched pandas UDF over ``Series.str.normalize`` (C-level
+    loop per batch, NULLs propagate).  Engine-portable: pandas, DuckDB
+    ``nfc_normalize`` and ICU agree on the normal forms by spec.
+    Compose as ``fingerprint_col(normalize_unicode_col(text))`` when
+    ingesting sources that mix normal forms."""
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normal form {form!r}")
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        return s.str.normalize(form)
+
+    return _norm(F.col(text) if isinstance(text, str) else text)

@@ -426,3 +426,74 @@ def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
                         "sum double, seq long"),
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# ------------------------------------------------------- ingest dedup
+INGEST_CORPUS_TABLE = "ingest_corpus"
+INGEST_STATE_TABLE = "ingest_fingerprints"
+INGEST_REPORT_TABLE = "ingest_report"
+
+
+def streaming_ingest_dedup(stream_df: DataFrame, sink: TableProvider,
+                           text_col: str = "text",
+                           id_col: str = "doc_id",
+                           checkpoint_dir: str | None = None,
+                           trigger_available_now: bool = True
+                           ) -> StreamingQuery:
+    """Continuous incremental-ingest dedup: every micro-batch is
+    deduped against the ACCUMULATED corpus fingerprint state (plus
+    itself), survivors are appended to the corpus table, their
+    fingerprints to the state table, and a per-batch accounting row
+    (n_batch / n_distinct / n_seen_in_corpus / n_survivors + batch_id)
+    to the report table — the always-on form of ``dedup_increment``.
+
+    Why ``foreachBatch`` and a TABLE for state rather than
+    ``applyInPandasWithState``: the dedup state here is the corpus's
+    full fingerprint set — 16 B × total docs, far beyond what a state
+    store should rewrite per batch, but exactly what a bucketed
+    fingerprint TABLE holds for free (and the anti-join against it
+    shuffles only the batch side).  ``streaming_duplicates`` (Bloom
+    state) is the complementary shape for approximate in-store dedup.
+
+    Exactly-once caveat: with a checkpoint dir Spark will not REPLAY a
+    completed batch, but a crash mid-batch can leave a partial
+    parquet append on retry — on a transactional table format
+    (the Iceberg seam) the three appends become atomic commits; with
+    raw parquet, idempotence holds only at batch granularity.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        if sink.exists(INGEST_STATE_TABLE):
+            state = sink.read(INGEST_STATE_TABLE, ["fingerprint"])
+        else:
+            state = spark.createDataFrame([], "fingerprint string")
+        from data_validation_spark.operators.dedup import (
+            corpus_fingerprints, dedup_increment, increment_report)
+        report = (increment_report(batch_df, state, text_col, id_col)
+                  .withColumn("batch_id", F.lit(batch_id)))
+        survivors = dedup_increment(batch_df, state, text_col,
+                                    id_col).persist()
+        try:
+            # ORDER MATTERS: report and survivors are LAZY plans that
+            # re-read the state table when executed — both must run
+            # before the state append below changes what a re-list of
+            # that table returns.  (persist pins survivors at its first
+            # materialization; the report is pinned by writing it now.)
+            sink.append(report, INGEST_REPORT_TABLE)
+            sink.append(survivors, INGEST_CORPUS_TABLE)
+            sink.append(corpus_fingerprints(survivors, text_col),
+                        INGEST_STATE_TABLE)
+        finally:
+            survivors.unpersist()
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process_batch)
+              .outputMode("update"))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

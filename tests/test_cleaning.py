@@ -104,3 +104,35 @@ def test_dedup_paragraphs_min_chars_exempts_short_lines(spark):
            for r in dedup_paragraphs(df, min_chars=10).collect()}
     assert out[1] == "ok\nlong repeated paragraph here"
     assert out[2] == "ok"                        # short line exempt everywhere
+
+
+def test_normalize_unicode_composes_decomposed(spark):
+    from data_validation_spark.operators.cleaning import (
+        normalize_unicode_col)
+    from data_validation_spark.functions.text import fingerprint_col
+    composed = "café"            # é as one codepoint
+    decomposed = "café"         # e + combining acute
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, None)],
+        "doc_id long, text string")
+    out = df.select(
+        "doc_id",
+        normalize_unicode_col("text").alias("nfc"),
+        fingerprint_col(normalize_unicode_col("text")).alias("fp"))
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].nfc == rows[2].nfc == composed
+    assert rows[1].fp == rows[2].fp          # dedup key now agrees
+    assert rows[3].nfc is None and rows[3].fp is None
+    # raw fingerprints DISAGREE — the failure mode this op exists for
+    raw = {r.doc_id: r.fp for r in
+           df.select("doc_id",
+                     fingerprint_col("text").alias("fp")).collect()}
+    assert raw[1] != raw[2]
+
+
+def test_normalize_unicode_bad_form(spark):
+    from data_validation_spark.operators.cleaning import (
+        normalize_unicode_col)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="normal form"):
+        normalize_unicode_col("text", form="NFX")

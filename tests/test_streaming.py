@@ -269,3 +269,44 @@ def test_streaming_sessionize_cross_batch(spark, tmp_path):
     assert a1["sum_value"] == 7.0
     # open tails (A@5000s, C@5000s) are not emitted
     assert set(rows) == {("C", 1), ("A", 1)}
+
+
+def test_streaming_ingest_dedup_accumulates_state(spark, tmp_path):
+    """Two drains of a file source: batch 2 must dedup against batch
+    1's accumulated fingerprint state, and the corpus table must end
+    with exactly one row per distinct content."""
+    from data_validation_spark.streaming.validate import (
+        INGEST_CORPUS_TABLE, INGEST_REPORT_TABLE, INGEST_STATE_TABLE,
+        streaming_ingest_dedup)
+    from data_validation_spark.sources.table_provider import TableProvider
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = TableProvider(spark, str(tmp_path / "out"))
+    schema = "doc_id long, text string"
+
+    def drain():
+        stream = (spark.readStream.schema(schema)
+                  .parquet(str(src)))
+        q = streaming_ingest_dedup(stream, sink, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [(1, "content X"), (2, "content Y"), (3, "content  X ")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(
+        [(4, "content Y"), (5, "content Z"), (6, "content Z")],
+        schema).coalesce(1).write.mode("append").parquet(str(src))
+    drain()
+
+    corpus = {(r.doc_id, r.text.strip().split()[-1]) for r in
+              sink.read(INGEST_CORPUS_TABLE).collect()}
+    assert corpus == {(1, "X"), (2, "Y"), (5, "Z")}
+    # state = one fingerprint per distinct surviving content
+    assert sink.read(INGEST_STATE_TABLE).distinct().count() == 3
+    reports = sorted(
+        ((r.n_batch, r.n_distinct, r.n_seen_in_corpus, r.n_survivors)
+         for r in sink.read(INGEST_REPORT_TABLE).collect()))
+    assert reports == [(3, 2, 0, 2), (3, 2, 1, 1)]
