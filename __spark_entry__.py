@@ -1303,6 +1303,18 @@ def q_unicode_normalize(spark, sf_dir):
         fingerprint_col("nfc_text").alias("nfc_fingerprint"))
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split — exactly-disjoint
+    hash-range assignment, stable under corpus growth; the assignment
+    predicate is replayed bit-for-bit in the oracle (no eval example
+    can drift into train on ANY engine)."""
+    from data_validation_spark.operators.sampling import hash_split
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1},
+                      key_col="doc_id", salt="sp1").select(
+        "doc_id", "split")
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1370,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "url_canonical": q_url_canonical,
         "unicode_normalize": q_unicode_normalize,
+        "hash_split": q_hash_split,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2270,6 +2283,16 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "hash_split": """
+            SELECT doc_id,
+                   CASE WHEN b < 3435973836 THEN 'train'
+                        WHEN b < 3865470566 THEN 'val'
+                        WHEN b < 4294967296 THEN 'test' END AS split
+            FROM (SELECT doc_id,
+                         ('0x' || substr(md5(doc_id::VARCHAR || 'sp1'),
+                                         1, 8))::BIGINT AS b
+                  FROM documents)
         """,
         "unicode_normalize": r"""
             WITH raw AS (

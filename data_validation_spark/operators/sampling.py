@@ -165,3 +165,41 @@ def weighted_hash_sample(df: DataFrame, weight: Column,
     return df.where(
         hash_bucket_col(_sample_key(F.col(key_col), on_null), salt)
         .cast("double") < w * F.lit(float(_BUCKETS)))
+
+
+def hash_split(df: DataFrame, fractions: dict[str, float],
+               key_col: str = "doc_id", salt: str = "",
+               label_col: str = "split",
+               on_null: str = "error") -> DataFrame:
+    """Deterministic disjoint train/val/test split: every row gets a
+    ``label_col`` chosen by where its key's hash bucket falls in the
+    cumulative ``fractions`` ranges (insertion order; fractions must
+    sum to ≤ 1, any remainder labels NULL).  The standard "99/0.5/0.5"
+    corpus split, with the properties `df.sample` can never give:
+    partitions are EXACTLY disjoint, every engine/retry reproduces the
+    same assignment, and a row's split never changes as the corpus
+    grows — so no eval example can ever drift into train.
+
+    One CASE projection over the shared bucket hash — no shuffle, no
+    RNG; the assignment predicate is replayable in SQL (the
+    ``hash_split`` oracle)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    bucket = hash_bucket_col(_sample_key(F.col(key_col), on_null), salt)
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    # build the CASE from the last range backwards so evaluation order
+    # is first-range-first
+    bounds = []
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + frac
+        bounds.append((name, lo, hi))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when(
+            (bucket >= F.lit(int(lo * _BUCKETS)))
+            & (bucket < F.lit(int(hi * _BUCKETS))),
+            F.lit(name)).otherwise(expr)
+    return df.withColumn(label_col, expr)

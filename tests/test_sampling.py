@@ -145,3 +145,50 @@ def test_weighted_sample_semantics(spark, docs):
     # out-of-range weights clamp instead of misbehaving
     assert weighted_hash_sample(docs, F.lit(7.5)).count() == 3000
     assert weighted_hash_sample(docs, F.lit(-3.0)).count() == 0
+
+
+# --------------------------------------------------------- hash_split
+
+def test_hash_split_disjoint_exhaustive(spark, sequences):
+    from data_validation_spark.operators.sampling import hash_split
+    out = hash_split(sequences, {"train": 0.8, "val": 0.1, "test": 0.1},
+                     key_col="doc_id", salt="s")
+    n = sequences.count()
+    by = {r["split"]: r["n"] for r in
+          out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(by.values()) == n and None not in by
+    # roughly proportional (hash uniformity)
+    assert abs(by["train"] / n - 0.8) < 0.05
+
+
+def test_hash_split_stable_under_growth(spark, sequences):
+    """A row's split NEVER changes when the corpus grows — the
+    property df.randomSplit cannot give."""
+    from data_validation_spark.operators.sampling import hash_split
+    fr = {"train": 0.5, "val": 0.5}
+    small = sequences.limit(200)
+    a = {r.doc_id: r.split for r in
+         hash_split(small, fr, salt="g").select("doc_id", "split")
+         .collect()}
+    b = {r.doc_id: r.split for r in
+         hash_split(sequences, fr, salt="g").select("doc_id", "split")
+         .collect()}
+    assert all(b[k] == v for k, v in a.items())
+
+
+def test_hash_split_remainder_and_validation(spark, sequences):
+    from data_validation_spark.operators.sampling import hash_split
+    out = hash_split(sequences.limit(100), {"train": 0.5}, salt="r")
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels <= {"train", None}  # remainder rows label NULL
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(sequences, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(sequences, {})
+
+
+def test_hash_split_shuffle_free(spark, sequences):
+    from data_validation_spark.operators.sampling import hash_split
+    plan = (hash_split(sequences, {"train": 0.9}, salt="p")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

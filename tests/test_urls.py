@@ -81,3 +81,35 @@ def test_canonicalization_is_shuffle_free(spark):
     plan = (df.select(canonical_url_col("url").alias("c"))
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_canonical_idempotent_property(spark):
+    """Hypothesis: canonicalization is idempotent on arbitrary
+    URL-shaped strings (canonical(canonical(u)) == canonical(u)) —
+    the defining property of a dedup key function."""
+    from hypothesis import given, settings, strategies as st
+
+    part = st.text(
+        alphabet="abcXYZ09-._~%&=?/#:", min_size=0, max_size=12)
+    urls = st.builds(
+        lambda scheme, host, rest: f"{scheme}://{host}/{rest}",
+        st.sampled_from(["http", "HTTPS", "ftp"]),
+        st.sampled_from(["www.Ex.com", "ex.com:8080", "EX.COM:80",
+                         "a.b.co:443"]),
+        part)
+
+    collected = []
+
+    @settings(max_examples=30, deadline=None)
+    @given(urls)
+    def gen(u):
+        collected.append(u)
+
+    gen()
+    df = spark.createDataFrame([(u,) for u in collected], "url string")
+    once = [r.c for r in
+            df.select(canonical_url_col("url").alias("c")).collect()]
+    df2 = spark.createDataFrame([(u,) for u in once], "url string")
+    twice = [r.c for r in
+             df2.select(canonical_url_col("url").alias("c")).collect()]
+    assert once == twice
