@@ -142,6 +142,74 @@ class TableProvider:
                               else self._ident(name))
         return df.select(*columns) if columns else df
 
+    # -- compaction: the small-files problem ----------------------------
+    def compact(self, name: str, sort_cols: list[str] | None = None,
+                target_rows_per_file: int = 1_000_000,
+                n_files: int | None = None) -> dict:
+        """Rewrite an append-accumulated table into few, optionally
+        range-clustered files.  Streaming/incremental sinks (``append``
+        per micro-batch, one file per task per batch) drown a 100 TB
+        table in small files — every later scan then pays file-open +
+        footer-parse per file and the driver pays O(#files) listing.
+        Compaction is the standing maintenance job: read, repartition to
+        ``n_files`` (default ``ceil(rows / target_rows_per_file)``),
+        optionally ``repartitionByRange + sortWithinPartitions`` on
+        ``sort_cols`` so min/max footer stats turn range predicates into
+        file skips, and atomically swap directories.
+
+        Parquet backend: write to ``{name}__compacting`` then two FS
+        renames (old → trash, new → live; trash removed last) — readers
+        never observe a partial table.  Iceberg backend: the engine-side
+        rewrite is ``CALL <catalog>.system.rewrite_data_files`` (plus
+        its own snapshot atomicity); jar-gated like the rest of the
+        seam.  Returns ``{files_before, files_after, n_rows}``."""
+        if self.backend == "iceberg":
+            catalog = self.root.split(".")[0]
+            self.spark.sql(
+                f"CALL {catalog}.system.rewrite_data_files("
+                f"table => '{self._ident(name)}')")
+            return {}
+        if self.backend != "parquet":
+            raise ValueError("compact requires parquet or iceberg")
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        live = jvm.org.apache.hadoop.fs.Path(self._ident(name))
+        fs = live.getFileSystem(jsc.hadoopConfiguration())
+
+        def _n_files(p) -> int:
+            it, n = fs.listFiles(p, True), 0
+            while it.hasNext():
+                f = it.next()
+                if f.getPath().getName().endswith(".parquet"):
+                    n += 1
+            return n
+
+        files_before = _n_files(live)
+        df = self.read(name)
+        n_rows = df.count()
+        if n_files is None:
+            n_files = max(1, -(-n_rows // target_rows_per_file))
+        if sort_cols:
+            out = (df.repartitionByRange(n_files, *sort_cols)
+                   .sortWithinPartitions(*sort_cols))
+        else:
+            out = df.repartition(n_files)
+        tmp = jvm.org.apache.hadoop.fs.Path(
+            self._ident(name) + "__compacting")
+        trash = jvm.org.apache.hadoop.fs.Path(
+            self._ident(name) + "__old")
+        fs.delete(tmp, True)
+        fs.delete(trash, True)
+        out.write.mode("overwrite").parquet(str(tmp))
+        if not fs.rename(live, trash):
+            raise IOError(f"compact: cannot move live table {live}")
+        if not fs.rename(tmp, live):
+            fs.rename(trash, live)  # roll back
+            raise IOError(f"compact: cannot install compacted {name}")
+        fs.delete(trash, True)
+        return {"files_before": files_before,
+                "files_after": _n_files(live), "n_rows": n_rows}
+
     def exists(self, name: str) -> bool:
         if self.backend != "iceberg":
             # cheap existence probe via the Hadoop FS API (no listing scan)

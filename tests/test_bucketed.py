@@ -66,3 +66,35 @@ def test_bucketed_read_column_prunes(spark, provider, sequences):
     assert df.columns == ["doc_id"]
     plan = _plan(df)
     assert "n_tok" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_compact_reduces_files_and_preserves_rows(spark, tmp_path,
+                                                  sequences):
+    p = TableProvider(spark, str(tmp_path))
+    small = sequences.select("doc_id", "n_tok").limit(500)
+    # simulate 6 micro-batch appends → many small files
+    for _ in range(6):
+        p.append(small.repartition(4), "acc")
+    before = p.read("acc").count()
+    stats = p.compact("acc", sort_cols=["doc_id"],
+                      target_rows_per_file=2000)
+    assert stats["n_rows"] == before == 3000
+    assert stats["files_before"] >= 24
+    assert stats["files_after"] == 2          # ceil(3000/2000)
+    after = p.read("acc")
+    assert after.count() == before
+    # range clustering: each file's doc_id span must not overlap
+    import pyspark.sql.functions as F
+    spans = (after.groupBy(F.input_file_name().alias("f"))
+             .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+             .collect())
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    assert all(spans[i][1] <= spans[i + 1][0]
+               for i in range(len(spans) - 1))
+
+
+def test_compact_no_sort_cols(spark, tmp_path, sequences):
+    p = TableProvider(spark, str(tmp_path))
+    p.append(sequences.select("doc_id").limit(100).repartition(8), "acc2")
+    stats = p.compact("acc2", n_files=1)
+    assert stats["files_after"] == 1 and stats["n_rows"] == 100
