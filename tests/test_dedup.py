@@ -176,3 +176,19 @@ def test_token_ngram_contamination_on_real_token_arrays(spark, sequences):
     assert set(hits) == {"doc-00000100", "prefix-copy"}
     assert hits["prefix-copy"] == 20 - 8 + 1
     assert hits["doc-00000100"] >= hits["prefix-copy"]
+
+
+def test_minhash_prune_verify_same_answer(spark, sequences):
+    """prune_verify (the sparse-candidate production setting) must not
+    change the answer, only the verify tier's scan set."""
+    from data_validation_spark.operators.dedup import (
+        minhash_near_duplicates)
+    docs = sequences.limit(300).select(
+        "doc_id", F.concat_ws(" ", F.transform(
+            "tokens", lambda t: t.cast("string"))).alias("text"))
+    base = {(r.id_a, r.id_b) for r in
+            minhash_near_duplicates(docs, threshold=0.7).collect()}
+    pruned = {(r.id_a, r.id_b) for r in
+              minhash_near_duplicates(docs, threshold=0.7,
+                                      prune_verify=True).collect()}
+    assert base == pruned and len(base) > 0
