@@ -1315,6 +1315,35 @@ def q_hash_split(spark, sf_dir):
         "doc_id", "split")
 
 
+def q_prep_pipeline(spark, sf_dir):
+    """THE COMPOSED PIPELINE — NFC normalize → length filter → PII
+    redaction → exact dedup (min id) → benchmark decontamination →
+    train/val split, in plans/prep.prepare_corpus's fixed stage order;
+    the oracle replays every stage in sequence, so a regression in any
+    stage OR in the composition order breaks this row.  Inputs: every
+    doc gets a decomposed-unicode suffix, every 5th an email."""
+    from data_validation_spark.plans.prep import prepare_corpus
+    docs = _t(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.lit(" contact user"),
+                            F.col("doc_id").cast("string"),
+                            F.lit("@example.com now")))
+             .otherwise(F.lit("")),
+            F.lit(" cafe\u0301")).alias("text"))
+    bench = docs.filter(F.col("doc_id") < 5)
+    out = prepare_corpus(injected,
+                         filters={"len": F.length("text") >= 50},
+                         benchmark=bench,
+                         split_fractions={"train": 0.9, "val": 0.1},
+                         split_salt="pp")
+    return out.select("doc_id", "split",
+                      fingerprint_col("text").alias("fp"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1383,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": q_url_canonical,
         "unicode_normalize": q_unicode_normalize,
         "hash_split": q_hash_split,
+        "prep_pipeline": q_prep_pipeline,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2283,6 +2313,75 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "prep_pipeline": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' contact user' || doc_id
+                                  || '@example.com now'
+                             ELSE '' END
+                     || ' cafe' || chr(769) AS text
+              FROM documents),
+            nfc AS (
+              SELECT doc_id, nfc_normalize(text) AS text FROM base),
+            filt AS (
+              SELECT * FROM nfc WHERE length(text) >= 50),
+            red AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                       '\+\d[\d \-]{7,}\d', '<PHONE>', 'g') AS text
+              FROM filt),
+            keep AS (
+              SELECT min(doc_id) AS doc_id
+              FROM red
+              GROUP BY md5(regexp_replace(lower(trim(text)),
+                                          '\s+', ' ', 'g'))),
+            ded AS (
+              SELECT r.doc_id, r.text FROM red r JOIN keep USING (doc_id)),
+            dw AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                         AS words
+              FROM ded),
+            dsh AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(words[i:i+2], ' ')
+                       for i in generate_series(1, greatest(len(words)-2, 1))])
+                         AS sh
+              FROM dw),
+            bw AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+')
+                         AS words
+              FROM documents WHERE doc_id < 5),
+            bench AS (
+              SELECT DISTINCT unnest(
+                [array_to_string(words[i:i+2], ' ')
+                 for i in generate_series(1, greatest(len(words)-2, 1))])
+                  AS s
+              FROM bw),
+            contaminated AS (
+              SELECT DISTINCT d.doc_id
+              FROM (SELECT doc_id, unnest(sh) AS s FROM dsh) d
+              JOIN bench USING (s)),
+            survivors AS (
+              SELECT d.doc_id, d.text
+              FROM ded d LEFT JOIN contaminated c ON c.doc_id = d.doc_id
+              WHERE c.doc_id IS NULL)
+            SELECT doc_id,
+                   CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || 'pp'),
+                                             1, 8))::BIGINT < 3865470566
+                        THEN 'train'
+                        ELSE 'val' END AS split,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       AS fp
+            FROM survivors
         """,
         "hash_split": """
             SELECT doc_id,

@@ -116,3 +116,17 @@ def test_semantic_dedup_over_ivf_cells(spark):
              if rows[i].cluster_id == rows[i + 40].cluster_id == i)
     assert ok == 40
     assert sum(r.is_canonical for r in rows.values()) == out.count() - 40
+
+
+def test_cluster_col_string_type(spark):
+    """The pair kernel's output schema follows the cluster column's
+    type — exercise a string cluster key (e.g. a source/domain)."""
+    v = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, v, "en"), (1, v, "en"), (2, v, "de")]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, cluster string")
+    pairs = cluster_near_pairs(df, "cluster").collect()
+    assert [(p.cluster, p.id_a, p.id_b) for p in pairs] == [("en", 0, 1)]
+    out = {r.vec_id: r.cluster_id
+           for r in semantic_dedup(df, "cluster").collect()}
+    assert out == {0: 0, 1: 0, 2: 2}
