@@ -1344,6 +1344,17 @@ def q_prep_pipeline(spark, sf_dir):
                       fingerprint_col("text").alias("fp"))
 
 
+def q_corr_matrix(spark, sf_dir):
+    """Column-relationship profile — pairwise Pearson correlation over
+    lineitem's integral key columns from ONE pass of DECIMAL(38,0)
+    moments (summation-order-proof; the float step is the identical op
+    sequence in both engines, so round(...,6) cannot flake)."""
+    from data_validation_spark.functions.stats import pearson_corr_matrix
+    li = _t(spark, sf_dir, "lineitem")
+    return pearson_corr_matrix(
+        li, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1413,6 +1424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unicode_normalize": q_unicode_normalize,
         "hash_split": q_hash_split,
         "prep_pipeline": q_prep_pipeline,
+        "corr_matrix": q_corr_matrix,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2313,6 +2325,51 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "corr_matrix": """
+            WITH m AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum(l_orderkey)::HUGEINT AS s1,
+                     sum(l_partkey)::HUGEINT AS s2,
+                     sum(l_suppkey)::HUGEINT AS s3,
+                     sum(l_linenumber)::HUGEINT AS s4,
+                     sum(l_orderkey::HUGEINT * l_orderkey::HUGEINT) AS p11,
+                     sum(l_partkey::HUGEINT * l_partkey::HUGEINT) AS p22,
+                     sum(l_suppkey::HUGEINT * l_suppkey::HUGEINT) AS p33,
+                     sum(l_linenumber::HUGEINT * l_linenumber::HUGEINT)
+                         AS p44,
+                     sum(l_orderkey::HUGEINT * l_partkey::HUGEINT) AS p12,
+                     sum(l_orderkey::HUGEINT * l_suppkey::HUGEINT) AS p13,
+                     sum(l_orderkey::HUGEINT * l_linenumber::HUGEINT)
+                         AS p14,
+                     sum(l_partkey::HUGEINT * l_suppkey::HUGEINT) AS p23,
+                     sum(l_partkey::HUGEINT * l_linenumber::HUGEINT)
+                         AS p24,
+                     sum(l_suppkey::HUGEINT * l_linenumber::HUGEINT)
+                         AS p34
+              FROM lineitem),
+            pairs AS (
+              SELECT 'l_orderkey' AS col_a, 'l_partkey' AS col_b,
+                     s1 AS sa, s2 AS sb, p12 AS sab, p11 AS saa,
+                     p22 AS sbb, n FROM m
+              UNION ALL SELECT 'l_orderkey', 'l_suppkey',
+                     s1, s3, p13, p11, p33, n FROM m
+              UNION ALL SELECT 'l_orderkey', 'l_linenumber',
+                     s1, s4, p14, p11, p44, n FROM m
+              UNION ALL SELECT 'l_partkey', 'l_suppkey',
+                     s2, s3, p23, p22, p33, n FROM m
+              UNION ALL SELECT 'l_partkey', 'l_linenumber',
+                     s2, s4, p24, p22, p44, n FROM m
+              UNION ALL SELECT 'l_suppkey', 'l_linenumber',
+                     s3, s4, p34, p33, p44, n FROM m)
+            SELECT col_a, col_b,
+                   CASE WHEN n*saa - sa*sa = 0 OR n*sbb - sb*sb = 0
+                        THEN NULL
+                        ELSE round((n*sab - sa*sb)::DOUBLE
+                                   / sqrt((n*saa - sa*sa)::DOUBLE)
+                                   / sqrt((n*sbb - sb*sb)::DOUBLE), 6)
+                   END AS corr
+            FROM pairs
         """,
         "prep_pipeline": r"""
             WITH base AS (

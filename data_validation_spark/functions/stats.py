@@ -232,3 +232,52 @@ def interp_ecdf(quantiles: list[float],
 def topk_by_count(freq: dict[str, int], k: int) -> list[tuple[str, int]]:
     """Deterministic top-k (count desc, value asc) — S9."""
     return sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+
+def pearson_corr_matrix(df, cols: list[str]):
+    """Pairwise Pearson correlation profile over INTEGRAL columns —
+    the deequ-style column-relationship check (is n_tok really
+    len(tokens)?  did a join duplicate rows and decouple keys?) as ONE
+    map-side-combined aggregation pass.
+
+    Exactness contract: every moment (n, Σx, Σx², Σxy) accumulates as
+    DECIMAL(38,0) — integer addition is associative, so the moments are
+    bit-identical regardless of partitioning/summation order, and the
+    final float math (one int→double conversion, one sqrt, one divide
+    per pair, the same op sequence any engine performs) is therefore
+    deterministic — the class of cross-engine rounding flake that a
+    double-sum formulation suffers cannot occur.  ANSI decimal overflow
+    fails the job loudly rather than wrapping (at 38 digits that needs
+    ~10^38 in a single moment — beyond any feasible corpus).
+
+    Driver cost: ONE row of k + k(k+1)/2 decimals; the k² result frame
+    is built driver-side.  Returns (col_a, col_b, corr) for every
+    unordered pair, corr rounded to 6 (NULL when a side has zero
+    variance)."""
+    import math
+
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    d = {c: F.col(c).cast("decimal(19,0)") for c in cols}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).cast("decimal(38,0)").alias(f"s_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.sum((d[a] * d[b]).cast("decimal(38,0)"))
+                        .cast("decimal(38,0)").alias(f"p_{a}_{b}"))
+    r = df.agg(*aggs).first().asDict()
+    n = int(r["n"])
+    rows = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            sa, sb = int(r[f"s_{a}"]), int(r[f"s_{b}"])
+            sab = int(r[f"p_{a}_{b}"])
+            saa, sbb = int(r[f"p_{a}_{a}"]), int(r[f"p_{b}_{b}"])
+            num = n * sab - sa * sb
+            va, vb = n * saa - sa * sa, n * sbb - sb * sb
+            corr = (None if va == 0 or vb == 0 else
+                    round(num / math.sqrt(va) / math.sqrt(vb), 6))
+            rows.append((a, b, corr))
+    return df.sparkSession.createDataFrame(
+        rows, "col_a string, col_b string, corr double")

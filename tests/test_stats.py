@@ -111,3 +111,39 @@ def test_psi_drift():
 def test_topk_deterministic_on_ties():
     freq = {"b": 5, "a": 5, "c": 9, "d": 1}
     assert topk_by_count(freq, 3) == [("c", 9), ("a", 5), ("b", 5)]
+
+
+# ------------------------------------------------- pearson_corr_matrix
+
+def test_corr_matrix_exact_and_numpy_parity(spark):
+    import numpy as np
+    from data_validation_spark.functions.stats import pearson_corr_matrix
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, 1000, 500)
+    y = 3 * x + 7                      # corr exactly 1
+    z = rng.integers(0, 1000, 500)     # ~independent
+    c = np.full(500, 42)               # zero variance
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(e), int(f)) for a, b, e, f in
+         zip(x, y, z, c)], "x long, y long, z long, c long")
+    out = {(r.col_a, r.col_b): r.corr for r in
+           pearson_corr_matrix(df, ["x", "y", "z", "c"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "c")] is None and out[("y", "c")] is None
+    want = round(float(np.corrcoef(x, z)[0, 1]), 6)
+    assert abs(out[("x", "z")] - want) < 2e-6
+
+
+def test_corr_matrix_partition_invariant(spark):
+    """Decimal moments are summation-order-proof: any partitioning
+    gives the BIT-identical result."""
+    import numpy as np
+    from data_validation_spark.functions.stats import pearson_corr_matrix
+    rng = np.random.default_rng(5)
+    rows = [(int(a), int(b)) for a, b in
+            rng.integers(0, 10**6, size=(2000, 2))]
+    a = spark.createDataFrame(rows, "x long, y long").repartition(1)
+    b = spark.createDataFrame(rows, "x long, y long").repartition(32)
+    ra = pearson_corr_matrix(a, ["x", "y"]).collect()[0].corr
+    rb = pearson_corr_matrix(b, ["x", "y"]).collect()[0].corr
+    assert ra == rb
