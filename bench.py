@@ -98,9 +98,16 @@ def bench_validation_df(spark, df, n_rows: int,
     # measured run is steady-state (JIT is a per-JVM constant that a
     # 10^12-row job amortizes away)
     run_validation(spark, warm_df, suite, dims=dims, resume=False)
-    t0 = time.time()
-    res = run_validation(spark, df, suite, dims=dims, resume=False)
-    wall = time.time() - t0
+    # best of 2 full-size runs, like the operator queries: a single
+    # timed run leaves host-load noise (this box's effective cores
+    # wobble run to run) as the dominant term in the headline number
+    wall, res = None, None
+    for _ in range(2):
+        t0 = time.time()
+        r = run_validation(spark, df, suite, dims=dims, resume=False)
+        dt = time.time() - t0
+        if wall is None or dt < wall:
+            wall, res = dt, r
     return wall, {"rows": res.n_rows, "violations": res.n_violations,
                   "throughput_seq_per_s": round(res.n_rows / wall, 1)}
 
@@ -160,7 +167,7 @@ def main() -> None:
         "cpus": CPUS,
         "validation_throughput_seq_per_s":
             extras["validation"]["throughput_seq_per_s"],
-        "methodology": "operator queries best-of-2 (steady state; "
+        "methodology": "all queries best-of-2 (steady state; "
                        "per-JVM codegen/worker constants amortize at "
                        "scale); validation warmed on a small table "
                        "with the identical plan shape",
