@@ -1355,6 +1355,17 @@ def q_corr_matrix(spark, sf_dir):
         li, ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"])
 
 
+def q_vocab_health(spark, sf_dir):
+    """Corpus vocabulary health — one row of vocab_size / n_tokens /
+    n_hapax / Zipf-head mass / hapax fraction / type-token ratio; the
+    vocabulary-sized frame folds to the row cluster-side, exact-integer
+    ratios."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.vocab import vocab_health
+    return vocab_health(_t(spark, sf_dir, "documents"),
+                        words_col("text"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1425,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split": q_hash_split,
         "prep_pipeline": q_prep_pipeline,
         "corr_matrix": q_corr_matrix,
+        "vocab_health": q_vocab_health,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2325,6 +2337,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "vocab_health": r"""
+            WITH w AS (
+              SELECT unnest(regexp_split_to_array(trim(text), '\s+'))
+                         AS token
+              FROM documents),
+            c AS (
+              SELECT token, count(*) AS cnt FROM w GROUP BY token)
+            SELECT count(*) AS vocab_size,
+                   sum(cnt)::BIGINT AS n_tokens,
+                   (count(*) FILTER (WHERE cnt = 1))::BIGINT AS n_hapax,
+                   max(cnt) AS n_top,
+                   round((count(*) FILTER (WHERE cnt = 1))::DOUBLE
+                         / count(*), 6) AS hapax_fraction,
+                   round(count(*)::DOUBLE / sum(cnt)::DOUBLE, 6)
+                       AS type_token_ratio
+            FROM c
         """,
         "corr_matrix": """
             WITH m AS (

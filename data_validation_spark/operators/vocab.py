@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["unit_counts", "vocab_drift_frame", "vocab_drift_summary",
+           "vocab_health",
            "vocab_top_movers"]
 
 
@@ -135,3 +136,30 @@ def vocab_top_movers(cur: DataFrame, ref: DataFrame, unit,
     top = global_topk(scored, k,
                       [F.desc("shift_num"), F.asc("token")])
     return top.select("rank", "token", "cnt_a", "cnt_b", "shift_num")
+
+
+def vocab_health(df: DataFrame, unit) -> DataFrame:
+    """ONE-row corpus vocabulary health summary — the tokenizer/corpus
+    QA numbers read before training: vocab_size, n_tokens, n_hapax
+    (tokens seen exactly once — a swelling hapax share means OCR junk,
+    boilerplate explosion or tokenizer drift), n_top (the modal token's
+    count, Zipf-head mass), hapax_fraction and type_token_ratio.
+
+    Scale shape: ``unit_counts``'s map-side partials collapse the Zipf
+    head before the single vocab-cardinality shuffle, then ONE
+    aggregate job folds the count frame to one row — the vocabulary
+    never reaches the driver.  Ratios divide exact integer counts, so
+    any engine reproduces them bit-for-bit."""
+    c = unit_counts(df, unit if not callable(unit) else unit(df))
+    return c.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long")
+         .alias("n_hapax"),
+        F.max("cnt").alias("n_top"),
+        F.round(F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+                .cast("double") / F.count(F.lit(1)), 6)
+         .alias("hapax_fraction"),
+        F.round(F.count(F.lit(1)).cast("double") /
+                F.sum("cnt").cast("double"), 6)
+         .alias("type_token_ratio"))
