@@ -1366,6 +1366,16 @@ def q_vocab_health(spark, sf_dir):
                         words_col("text"))
 
 
+def q_funnel(spark, sf_dir):
+    """Conversion funnel view→click→purchase — furthest IN-ORDER stage
+    per user via one grouped Catalyst `aggregate` fold over the
+    (ts, event_id)-sorted event sequence; the oracle replays the same
+    greedy fold with DuckDB `list_reduce`."""
+    from data_validation_spark.operators.sessions import funnel_stages
+    ev = _t(spark, sf_dir, "events")
+    return funnel_stages(ev, ["view", "click", "purchase"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1437,6 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prep_pipeline": q_prep_pipeline,
         "corr_matrix": q_corr_matrix,
         "vocab_health": q_vocab_health,
+        "funnel": q_funnel,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2337,6 +2348,23 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "funnel": """
+            WITH o AS (
+              SELECT user_id,
+                     list(event_type ORDER BY ts, event_id) AS types
+              FROM events GROUP BY user_id)
+            SELECT user_id,
+                   list_reduce(
+                     list_prepend(0,
+                       [i for i in generate_series(1, len(types))]),
+                     (acc, i) ->
+                       CASE WHEN acc = 0 AND types[i] = 'view' THEN 1
+                            WHEN acc = 1 AND types[i] = 'click' THEN 2
+                            WHEN acc = 2 AND types[i] = 'purchase'
+                              THEN 3
+                            ELSE acc END) AS stage
+            FROM o
         """,
         "vocab_health": r"""
             WITH w AS (

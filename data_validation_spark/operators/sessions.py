@@ -69,3 +69,42 @@ def session_summary(df: DataFrame, user_col: str = "user_id",
     if value_col is not None:
         aggs.append(F.sum(value_col).alias("sum_value"))
     return s.groupBy(user_col, "session_seq").agg(*aggs)
+
+
+def funnel_stages(events: DataFrame, funnel: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Per-user funnel progress: the furthest ``funnel`` stage each
+    user reached, where stages must occur IN ORDER (a purchase before
+    the first view does not count) — the classic conversion-funnel
+    query, here as a greedy ordered-subsequence match.
+
+    One shuffle keyed by user: events collect per user, sort by
+    ``(ts, id)`` (the same deterministic tie-break as sessionize), and
+    a Catalyst ``aggregate`` fold walks the type sequence advancing a
+    stage counter — no window over the event stream, no UDF, state per
+    user = that user's events (the same bound sessionization already
+    accepts; a user's event list is assumed executor-sized, true for
+    any human-scale actor — cap upstream for bot actors).
+
+    Returns ``(user_col, stage)`` with stage in 0..len(funnel);
+    greedy matching is exactly funnel semantics (matching a stage as
+    early as possible never hurts later stages)."""
+    if not funnel:
+        raise ValueError("funnel must be non-empty")
+    ordered = F.array_sort(F.collect_list(
+        F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                 F.col(type_col).alias("y"))))
+    types = F.transform(ordered, lambda s: s["y"])
+
+    def step(acc, x):
+        e = acc
+        for i, name in reversed(list(enumerate(funnel))):
+            e = F.when((acc == F.lit(i)) & (x == F.lit(name)),
+                       F.lit(i + 1)).otherwise(e)
+        return e
+
+    return (events
+            .groupBy(F.col(user_col))
+            .agg(F.aggregate(types, F.lit(0), step).alias("stage")))

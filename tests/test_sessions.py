@@ -102,3 +102,52 @@ def test_dst_spring_forward_gap_uses_absolute_time(spark):
     # and the summary's micros bounds reflect the 59-min absolute span
     s = session_summary(df, gap_minutes=60).collect()[0]
     assert s["end_us"] - s["start_us"] == 59 * 60 * 1_000_000
+
+
+# ----------------------------------------------------- funnel_stages
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, t, ty) for i, (u, t, ty) in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_order_matters(spark):
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    s = lambda k: t0 + dt.timedelta(seconds=k)  # noqa: E731
+    rows = [
+        # user 1: full ordered funnel (with noise between)
+        (1, s(0), "view"), (1, s(1), "error"), (1, s(2), "click"),
+        (1, s(3), "purchase"),
+        # user 2: purchase BEFORE view/click — only reaches stage 1
+        (2, s(0), "purchase"), (2, s(1), "view"), (2, s(2), "error"),
+        # user 3: view then purchase, no click — stage 1
+        (3, s(0), "view"), (3, s(1), "purchase"),
+        # user 4: never enters
+        (4, s(0), "error"),
+    ]
+    from data_validation_spark.operators.sessions import funnel_stages
+    out = {r.user_id: r.stage for r in
+           funnel_stages(_ev(spark, rows),
+                         ["view", "click", "purchase"]).collect()}
+    assert out == {1: 3, 2: 1, 3: 1, 4: 0}
+
+
+def test_funnel_tie_break_deterministic(spark):
+    """Same-timestamp events order by event_id — the click (lower id)
+    counts before the purchase at the identical instant."""
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, t0, "view"), (1, t0, "click"), (1, t0, "purchase")]
+    from data_validation_spark.operators.sessions import funnel_stages
+    out = funnel_stages(_ev(spark, rows),
+                        ["view", "click", "purchase"]).collect()
+    assert out[0].stage == 3
+
+
+def test_funnel_empty_config(spark):
+    import pytest as _pytest
+    from data_validation_spark.operators.sessions import funnel_stages
+    with _pytest.raises(ValueError):
+        funnel_stages(_ev(spark, []), [])
