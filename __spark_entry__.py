@@ -1376,6 +1376,21 @@ def q_funnel(spark, sf_dir):
     return funnel_stages(ev, ["view", "click", "purchase"])
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join — each purchase matched to the user's latest
+    at-or-before signup (union + ONE keyed window, no range explosion);
+    the oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the composed
+    Spark operator is checked against a first-class engine
+    implementation of the semantics."""
+    from data_validation_spark.operators.asof import asof_join
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts").distinct()
+    return asof_join(left, right, ["user_id"])
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1448,6 +1463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corr_matrix": q_corr_matrix,
         "vocab_health": q_vocab_health,
         "funnel": q_funnel,
+        "asof_join": q_asof_join,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2348,6 +2364,17 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            r AS (
+              SELECT DISTINCT user_id, ts FROM events
+              WHERE event_type = 'signup')
+            SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "funnel": """
             WITH o AS (
