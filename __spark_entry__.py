@@ -1391,6 +1391,26 @@ def q_asof_join(spark, sf_dir):
     return asof_join(left, right, ["user_id"])
 
 
+def q_interval_attribution(spark, sf_dir):
+    """Interval containment join — every click/purchase attributed to
+    each view whose 6-hour window contains it, via the binned equi-join
+    (operators/interval.py: one ordinary shuffle pair, no nested-loop);
+    the oracle replays the identical BETWEEN semantics as a DuckDB
+    inequality join, so bin geometry can't drift from the spec."""
+    from data_validation_spark.operators.interval import interval_join
+    ev = _t(spark, sf_dir, "events")
+    points = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id", "event_type", "user_id", "ts")
+    ivs = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("start"),
+        F.expr("ts + INTERVAL 6 HOURS").alias("end"))
+    out = interval_join(points, ivs, ["user_id"],
+                        bin_width_us=6 * 3_600_000_000)
+    return out.select("event_id", "event_type", "user_id", "ts",
+                      "view_id", F.col("start").alias("view_ts"))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1464,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_health": q_vocab_health,
         "funnel": q_funnel,
         "asof_join": q_asof_join,
+        "interval_attribution": q_interval_attribution,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2364,6 +2385,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "interval_attribution": """
+            WITH p AS (
+              SELECT event_id, event_type, user_id, ts FROM events
+              WHERE event_type IN ('click', 'purchase')),
+            v AS (
+              SELECT event_id AS view_id, user_id, ts AS view_ts
+              FROM events WHERE event_type = 'view')
+            SELECT p.event_id, p.event_type, p.user_id, p.ts,
+                   v.view_id, v.view_ts
+            FROM p JOIN v
+              ON p.user_id = v.user_id
+             AND p.ts >= v.view_ts
+             AND p.ts <= v.view_ts + INTERVAL 6 HOUR
         """,
         "asof_join": """
             WITH l AS (
