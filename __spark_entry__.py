@@ -1411,6 +1411,62 @@ def q_interval_attribution(spark, sf_dir):
                       "view_id", F.col("start").alias("view_ts"))
 
 
+def q_partition_anomalies(spark, sf_dir):
+    """Partition-completeness check with a known-by-construction gap:
+    90% of day-15 clicks are deterministically removed, and the
+    median/MAD robust flag (operators/health.py) must light up for
+    that partition — detection, not just shape, is oracle-replayed."""
+    from data_validation_spark.operators.health import (
+        partition_count_anomalies)
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    ev = ev.filter(~((F.col("event_type") == "click")
+                     & (F.col("day") == F.lit("2024-01-15").cast("date"))
+                     & (F.pmod(F.col("event_id"), 10) != 0)))
+    return partition_count_anomalies(ev, ["event_type", "day"])
+
+
+def q_skew_report(spark, sf_dir):
+    """Join-key skew profile over events.user_id: top-10 heaviest keys
+    with exact integer salt suggestions (one count shuffle + TakeOrdered
+    — the pre-flight a 100 TB join runs before picking a strategy)."""
+    from data_validation_spark.operators.health import key_skew_report
+    ev = _t(spark, sf_dir, "events")
+    return key_skew_report(ev, ["user_id"], top_n=10,
+                           shuffle_partitions=32)
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention matrix over events — ONE map-side-combined
+    user-keyed shuffle carries the table (min period + period set per
+    user in the same agg); cells/ratios are exact-integer arithmetic
+    (operators/retention.py)."""
+    from data_validation_spark.operators.retention import retention_cohorts
+    return retention_cohorts(_t(spark, sf_dir, "events"))
+
+
+def q_quantile_buckets(spark, sf_dir):
+    """Exact decile assignment for every document's n_chars WITHOUT a
+    global sort (operators/bucketize.py: distinct-value collapse +
+    cumsum over |distinct| rows + integer ceil-div bucket formula,
+    broadcast value->bucket map; ties never straddle buckets)."""
+    from data_validation_spark.operators.bucketize import (
+        global_quantile_buckets)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return global_quantile_buckets(docs, "n_chars", n_buckets=10)
+
+
+def q_events_rollup(spark, sf_dir):
+    """Multi-grain rollup — (type, day), (type), () counts and exact
+    DECIMAL sums from ONE pass via Catalyst's native ROLLUP partial
+    aggregation; grouping_id disambiguates NULL group keys."""
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    return (ev.rollup("event_type", "day")
+            .agg(F.grouping_id().alias("gid"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                         .cast("double"), 6).alias("sum_value")))
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 # ---------------------------------------------------------------------------
@@ -1485,6 +1541,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "asof_join": q_asof_join,
         "interval_attribution": q_interval_attribution,
+        "partition_anomalies": q_partition_anomalies,
+        "skew_report": q_skew_report,
+        "retention": q_retention,
+        "quantile_buckets": q_quantile_buckets,
+        "events_rollup": q_events_rollup,
         "snapshot_diff": q_snapshot_diff,
         "boilerplate_lines": q_boilerplate_lines,
         "repetition_stats": q_repetition_stats,
@@ -2385,6 +2446,87 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "retention": """
+            WITH u AS (
+              SELECT DISTINCT user_id,
+                     CAST(floor(date_diff('day', DATE '1970-01-01',
+                                          CAST(ts AS DATE)) / 7.0)
+                          AS BIGINT) AS per
+              FROM events),
+            c AS (SELECT user_id, min(per) AS cohort_period
+                  FROM u GROUP BY 1),
+            act AS (SELECT c.cohort_period,
+                           u.per - c.cohort_period AS period_offset,
+                           count(*) AS n_active
+                    FROM u JOIN c USING (user_id) GROUP BY 1, 2),
+            sz AS (SELECT cohort_period, n_active AS cohort_size
+                   FROM act WHERE period_offset = 0)
+            SELECT act.cohort_period, act.period_offset, act.n_active,
+                   sz.cohort_size,
+                   round(act.n_active / sz.cohort_size, 6) AS retention
+            FROM act JOIN sz USING (cohort_period)
+        """,
+        "quantile_buckets": """
+            WITH vc AS (
+              SELECT n_chars AS v, count(*) AS c FROM documents
+              WHERE n_chars IS NOT NULL GROUP BY 1),
+            cum AS (
+              SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+                     sum(c) OVER () AS n
+              FROM vc),
+            b AS (
+              SELECT v, CAST(floor((10 * cum + n - 1) / n) AS BIGINT)
+                        AS qbucket
+              FROM cum)
+            SELECT d.doc_id, d.n_chars, b.qbucket
+            FROM documents d LEFT JOIN b ON d.n_chars = b.v
+        """,
+        "events_rollup": """
+            WITH e AS (
+              SELECT event_type, CAST(ts AS DATE) AS day, value
+              FROM events)
+            SELECT event_type, day,
+                   CAST(GROUPING(event_type, day) AS BIGINT) AS gid,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                              AS DOUBLE), 6) AS sum_value
+            FROM e GROUP BY ROLLUP (event_type, day)
+        """,
+        "partition_anomalies": """
+            WITH e AS (
+              SELECT event_type, CAST(ts AS DATE) AS day FROM events
+              WHERE NOT (event_type = 'click'
+                         AND CAST(ts AS DATE) = DATE '2024-01-15'
+                         AND event_id % 10 <> 0)),
+            c AS (SELECT event_type, day, count(*) AS n_rows
+                  FROM e GROUP BY 1, 2),
+            m AS (SELECT event_type, CAST(median(n_rows) AS DOUBLE) AS med
+                  FROM c GROUP BY 1),
+            d AS (SELECT c.event_type, c.day, c.n_rows, m.med,
+                         abs(c.n_rows - m.med) AS dev
+                  FROM c JOIN m USING (event_type)),
+            md AS (SELECT event_type, CAST(median(dev) AS DOUBLE) AS mad
+                   FROM d GROUP BY 1)
+            SELECT d.event_type, d.day, d.n_rows, d.med, md.mad, d.dev,
+                   d.dev > greatest(5.0 * md.mad, 10.0) AS is_anomaly
+            FROM d JOIN md USING (event_type)
+        """,
+        "skew_report": """
+            WITH c AS (
+              SELECT user_id, count(*) AS key_rows FROM events GROUP BY 1),
+            t AS (
+              SELECT count(*) AS n_keys,
+                     CAST(sum(key_rows) AS BIGINT) AS total_rows FROM c)
+            SELECT user_id, key_rows, n_keys, total_rows,
+                   round(key_rows / (total_rows / n_keys), 6) AS skew_ratio,
+                   greatest(CAST(1 AS BIGINT),
+                            CAST(floor((key_rows * 32 + total_rows - 1)
+                                       / total_rows) AS BIGINT))
+                     AS suggested_salt
+            FROM c, t
+            ORDER BY key_rows DESC, user_id ASC
+            LIMIT 10
         """,
         "interval_attribution": """
             WITH p AS (

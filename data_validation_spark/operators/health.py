@@ -1,0 +1,108 @@
+"""Table-health diagnostics: partition-completeness anomalies and
+join-key skew — the two checks a 10^12-row validation run performs
+BEFORE trusting (or shuffling) a table.
+
+Both reduce the table in ONE map-side-combined count shuffle; every
+subsequent step runs over at most |partitions| or |top-N keys| rows
+(broadcast-sized by construction), so the operators cost the same as a
+``groupBy().count()`` at any scale.
+
+Determinism: the heavy column is an exact BIGINT count.  ``median``
+over integers is either an integer or an exact ``x.5`` (avg of the two
+middle values — Spark and DuckDB share this definition), so MAD and
+the deviation are exact in double and the anomaly verdict can never
+flake across engines or partitionings.  The one true division
+(``skew_ratio``) is a single IEEE op on exact integers — bit-identical
+everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["partition_count_anomalies", "key_skew_report"]
+
+
+def partition_count_anomalies(df: DataFrame, partition_cols: list[str],
+                              group_cols: list[str] | None = None,
+                              k: float = 5.0,
+                              min_dev: int = 10) -> DataFrame:
+    """Per-partition row counts flagged against their sibling
+    partitions — the completeness check ("did an upstream writer drop
+    a partition's worth of data?") of a validation suite.
+
+    A partition is anomalous when its count deviates from the MEDIAN
+    of its group (default group = all partitions sharing every
+    partition column but the last) by more than
+    ``greatest(k * MAD, min_dev)``.  Median/MAD, not mean/std: one
+    giant or missing partition must not drag the baseline toward
+    itself — robust statistics are the point of the check.
+    ``min_dev`` keeps Poisson noise on small partitions from alarming
+    when MAD is 0 or tiny.
+
+    Output: ``partition_cols..., n_rows, med, mad, dev, is_anomaly``.
+    """
+    if group_cols is None:
+        group_cols = partition_cols[:-1]
+    if not set(group_cols) < set(partition_cols):
+        raise ValueError("group_cols must be a proper subset of "
+                         "partition_cols")
+
+    counts = df.groupBy(*partition_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"))      # the ONE big shuffle
+
+    def _per_group(frame, col, out):
+        agg = (frame.groupBy(*group_cols).agg(F.median(col).alias(out))
+               if group_cols else
+               frame.agg(F.median(col).alias(out)))
+        return (frame.join(F.broadcast(agg), group_cols) if group_cols
+                else frame.crossJoin(F.broadcast(agg)))
+
+    with_med = _per_group(counts, "n_rows", "med").withColumn(
+        "dev", F.abs(F.col("n_rows") - F.col("med")))
+    with_mad = _per_group(with_med, "dev", "mad")
+    return with_mad.select(
+        *partition_cols, "n_rows", "med", "mad", "dev",
+        (F.col("dev") > F.greatest(F.lit(float(k)) * F.col("mad"),
+                                   F.lit(float(min_dev))))
+        .alias("is_anomaly"))
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10,
+                    shuffle_partitions: int = 32) -> DataFrame:
+    """The ``top_n`` heaviest join/groupBy keys with the numbers a
+    pipeline author needs to pick a mitigation: each key's share of the
+    table, its ratio to the average key, and the salt factor that would
+    spread it to ~one shuffle-partition's fair share of rows.
+
+    ``suggested_salt = max(1, ceil(count * P / total))`` in pure
+    integer arithmetic (P = planned shuffle partitions): a key holding
+    3 partitions' fair share of rows needs 3 salts.  Deterministic
+    order: (count DESC, key ASC) — ties can't reorder the result.
+
+    One count shuffle over the table; the top-N select is a
+    TakeOrdered (per-partition heap + driver merge of N*parts rows),
+    never a global sort.
+    """
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("key_rows").alias("total_rows"))
+    p = F.lit(int(shuffle_partitions))
+    top = (counts.crossJoin(F.broadcast(totals))
+           .orderBy(F.col("key_rows").desc(), *[F.asc(c) for c in key_cols])
+           .limit(int(top_n)))
+    return top.select(
+        *key_cols, "key_rows", "n_keys", "total_rows",
+        # two-division form, not key_rows*n_keys/total: the product
+        # overflows BIGINT at 10^12 rows x 10^9 keys; each division is
+        # one IEEE op on exact integers, same sequence on every engine
+        F.round(F.col("key_rows")
+                / (F.col("total_rows") / F.col("n_keys")), 6)
+        .alias("skew_ratio"),
+        F.greatest(F.lit(1).cast("long"),
+                   F.floor((F.col("key_rows") * p
+                            + F.col("total_rows") - F.lit(1))
+                           / F.col("total_rows")).cast("long"))
+        .alias("suggested_salt"))

@@ -1,0 +1,98 @@
+"""Table-health diagnostics (operators/health.py): anomaly detection
+hits exactly the injected gap/spike, robustness of median/MAD vs the
+anomaly itself, skew report ordering/ratios/salt math, and plan cost
+(one wide shuffle, broadcast tail)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_validation_spark.operators.health import (
+    key_skew_report, partition_count_anomalies)
+
+
+@pytest.fixture(scope="module")
+def parts(spark):
+    # 2 sources x 10 buckets x 100 rows, then bucket 7 of src_a loses
+    # 90% and bucket 3 of src_b triples — the known-by-construction
+    # anomalies
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, "src_a").otherwise("src_b")
+        .alias("source"),
+        F.pmod(F.col("id"), 10).alias("bucket"),
+        F.col("id"))
+    return df.filter(~((F.col("source") == "src_a") & (F.col("bucket") == 7)
+                       & (F.col("id") >= 100))) \
+        .unionAll(df.filter((F.col("source") == "src_b")
+                            & (F.col("bucket") == 3)).unionAll(
+            df.filter((F.col("source") == "src_b") & (F.col("bucket") == 3))))
+
+
+def test_detects_exactly_the_injected_anomalies(spark, parts):
+    out = partition_count_anomalies(parts, ["source", "bucket"]).collect()
+    flagged = {(r.source, r.bucket) for r in out if r.is_anomaly}
+    assert flagged == {("src_a", 7), ("src_b", 3)}
+    by = {(r.source, r.bucket): r for r in out}
+    gap = by[("src_a", 7)]
+    assert gap.n_rows == 10 and gap.med == 100.0 and gap.dev == 90.0
+    spike = by[("src_b", 3)]
+    assert spike.n_rows == 300 and spike.med == 100.0
+    # the anomaly itself must not drag the baseline (median, not mean)
+    assert all(r.med == 100.0 for r in out)
+    assert all(r.mad == 0.0 for r in out)
+
+
+def test_min_dev_suppresses_noise(spark):
+    # counts 10/11/9/10 — never anomalous under min_dev=10
+    df = spark.range(40).select(
+        F.lit("s").alias("source"),
+        F.when(F.col("id") < 10, 0).when(F.col("id") < 21, 1)
+        .when(F.col("id") < 30, 2).otherwise(3).alias("bucket"))
+    out = partition_count_anomalies(df, ["source", "bucket"]).collect()
+    assert not any(r.is_anomaly for r in out)
+
+
+def test_group_cols_validation(spark, parts):
+    with pytest.raises(ValueError, match="proper subset"):
+        partition_count_anomalies(parts, ["source"], ["source"])
+
+
+def test_single_partition_col_global_group(spark, parts):
+    out = partition_count_anomalies(
+        parts.withColumn("p", F.concat("source", F.lit("/"),
+                                       F.col("bucket").cast("string"))),
+        ["p"]).collect()
+    assert len(out) == 20 and sum(r.is_anomaly for r in out) == 2
+
+
+def test_skew_report_order_ratio_salt(spark):
+    # key 0: 60 rows, key 1: 30, keys 2..11: 1 each -> total 100, 12 keys
+    rows = [(0,)] * 60 + [(1,)] * 30 + [(k,) for k in range(2, 12)]
+    df = spark.createDataFrame(rows, "k long")
+    out = key_skew_report(df, ["k"], top_n=3,
+                          shuffle_partitions=10).collect()
+    assert [(r.k, r.key_rows) for r in out] == [(0, 60), (1, 30), (2, 1)]
+    r0 = out[0]
+    assert r0.n_keys == 12 and r0.total_rows == 100
+    assert r0.skew_ratio == round(60 / (100 / 12), 6)
+    # 60 rows * 10 partitions / 100 total = 6 fair shares -> salt 6
+    assert r0.suggested_salt == 6
+    assert out[1].suggested_salt == 3
+    assert out[2].suggested_salt == 1   # floor clamps to >= 1
+
+
+def test_skew_ties_break_by_key(spark):
+    df = spark.createDataFrame([(5,), (3,), (9,)] * 4, "k long")
+    out = key_skew_report(df, ["k"], top_n=3).collect()
+    assert [r.k for r in out] == [3, 5, 9]
+
+
+def test_one_wide_shuffle_only(spark, parts):
+    """The table-sized data crosses the wire once; the med/mad tail
+    joins are broadcasts over partition-count-sized frames."""
+    plan = (partition_count_anomalies(parts, ["source", "bucket"])
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastExchange") >= 2
+    import re
+    wide = len(re.findall(r"Exchange hashpartitioning", plan))
+    # counts shuffle + (tiny) group aggregations; no join shuffles
+    assert "SortMergeJoin" not in plan
