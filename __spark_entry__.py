@@ -863,6 +863,20 @@ def q_sessionize(spark, sf_dir):
     return _r6(out, "sum_value")
 
 
+def q_session_window_native(spark, sf_dir):
+    """The SAME session summary through Catalyst's native
+    session_window state operator (the streaming-preferred path, JVM
+    incremental session merge) — oracled against the lag+cumsum
+    formulation, locking the two implementations' boundary semantics
+    together (break only when gap STRICTLY exceeds; pinned by test)."""
+    from data_validation_spark.operators.sessions import (
+        session_window_summary)
+    df = _t(spark, sf_dir, "events").withColumn("value", _dec6("value"))
+    out = session_window_summary(df, gap_minutes=30)
+    out = out.withColumn("sum_value", F.col("sum_value").cast("double"))
+    return _r6(out, "sum_value")
+
+
 def q_json_props(spark, sf_dir):
     """P6 — JSON field extraction in the hot path stays JVM-side:
     ``get_json_object`` pulls ``props.k`` out of the raw JSON string
@@ -1435,6 +1449,35 @@ def q_skew_report(spark, sf_dir):
                            shuffle_partitions=32)
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label embedding outliers from an EXACT centroid: elements
+    quantize to integers once, centroid moments sum as DECIMAL(38,0)
+    (associative — bit-identical under any partitioning), distances
+    fold in pure integers via zip_with (no second exploded shuffle),
+    and only the final dist leaves integer land through the same
+    cast/sqrt/divide/round sequence on both engines
+    (operators/outliers.py)."""
+    from data_validation_spark.operators.outliers import embedding_outliers
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, group_col="label", vec_col="embedding",
+                              id_col="vec_id", top_k=5)
+
+
+def q_coverage_gaps(spark, sf_dir):
+    """Feed-continuity check with injected gaps: all 'error' events on
+    Jan 10-12 are deterministically removed and the calendar-spine
+    anti-join (operators/health.py) must report exactly those missing
+    days per the group's own span — nothing but day-level aggregates
+    shuffle."""
+    from data_validation_spark.operators.health import coverage_gaps
+    ev = _t(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    ev = ev.filter(~((F.col("event_type") == "error")
+                     & day.between(F.lit("2024-01-10").cast("date"),
+                                   F.lit("2024-01-12").cast("date"))))
+    return coverage_gaps(ev, ["event_type"])
+
+
 def q_retention(spark, sf_dir):
     """Weekly retention matrix over events — ONE map-side-combined
     user-keyed shuffle carries the table (min period + period set per
@@ -1543,6 +1586,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_attribution": q_interval_attribution,
         "partition_anomalies": q_partition_anomalies,
         "skew_report": q_skew_report,
+        "embedding_outliers": q_embedding_outliers,
+        "session_window_native": q_session_window_native,
+        "coverage_gaps": q_coverage_gaps,
         "retention": q_retention,
         "quantile_buckets": q_quantile_buckets,
         "events_rollup": q_events_rollup,
@@ -2446,6 +2492,83 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN q = '' THEN base
                         ELSE base || '?' || q END AS canonical_url
             FROM s5
+        """,
+        "session_window_native": """
+            WITH flagged AS (
+              SELECT user_id, event_id, epoch_us(ts) AS us, value,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                          WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000 THEN 1
+                          ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, us, value,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY us, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                         AS session_seq
+              FROM flagged
+            )
+            SELECT user_id,
+                   min(us) AS start_us, max(us) AS end_us,
+                   count(*) AS n_events,
+                   round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE),
+                         6) AS sum_value
+            FROM numbered GROUP BY user_id, session_seq
+        """,
+        "embedding_outliers": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                   AS BIGINT)) AS qv
+              FROM embeddings WHERE embedding IS NOT NULL),
+            ex AS (
+              SELECT vec_id, label, p.pos, qv[p.pos] AS v
+              FROM q, (SELECT unnest(range(1, 65)) AS pos) p),
+            m AS (
+              SELECT label, pos, CAST(sum(v) AS HUGEINT) AS s,
+                     count(*) AS n
+              FROM ex GROUP BY 1, 2),
+            d AS (
+              SELECT ex.label, ex.vec_id, m.n,
+                     sum((CAST(ex.v AS HUGEINT) * m.n - m.s)
+                         * (CAST(ex.v AS HUGEINT) * m.n - m.s)) AS dist2
+              FROM ex JOIN m ON ex.label = m.label AND ex.pos = m.pos
+              GROUP BY 1, 2, 3),
+            r AS (
+              SELECT label, vec_id,
+                     row_number() OVER (PARTITION BY label
+                                        ORDER BY dist2 DESC, vec_id ASC)
+                       AS "rank",
+                     round(sqrt(CAST(dist2 AS DOUBLE))
+                           / (n * 1000000.0), 6) AS dist
+              FROM d)
+            SELECT label, vec_id, "rank", dist FROM r WHERE "rank" <= 5
+        """,
+        "coverage_gaps": """
+            WITH e AS (
+              SELECT event_type, CAST(ts AS DATE) AS d FROM events
+              WHERE NOT (event_type = 'error'
+                         AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
+                                                  AND DATE '2024-01-12')),
+            days AS (SELECT event_type, d FROM e GROUP BY 1, 2),
+            spans AS (SELECT event_type, min(d) AS span_start,
+                             max(d) AS span_end
+                      FROM days GROUP BY 1),
+            spine AS (
+              SELECT event_type, span_start, span_end,
+                     CAST(unnest(generate_series(
+                         CAST(span_start AS TIMESTAMP),
+                         CAST(span_end AS TIMESTAMP),
+                         INTERVAL 1 DAY)) AS DATE) AS gap_day
+              FROM spans)
+            SELECT s.event_type, s.gap_day, s.span_start, s.span_end
+            FROM spine s
+            WHERE NOT EXISTS (SELECT 1 FROM days
+                              WHERE days.event_type = s.event_type
+                                AND days.d = s.gap_day)
         """,
         "retention": """
             WITH u AS (

@@ -21,7 +21,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["partition_count_anomalies", "key_skew_report"]
+__all__ = ["partition_count_anomalies", "key_skew_report",
+           "coverage_gaps"]
+
+
+def coverage_gaps(df: DataFrame, group_cols: list[str],
+                  ts_col: str = "ts") -> DataFrame:
+    """Continuity check: per group, every calendar day inside the
+    group's own [first, last] day span with ZERO rows — "the feed was
+    live but nothing arrived" — plus the span endpoints for context.
+
+    Shape at scale: the table collapses to per-(group, day) counts in
+    one map-side-combined shuffle; the calendar spine is generated
+    per group with ``sequence(first, last, interval 1 day)`` (pure
+    Catalyst, |days| elements — bounded by the time window, not the
+    data) and anti-joined against the observed days.  Nothing but
+    day-level aggregates ever shuffles.
+
+    Output: ``group_cols..., gap_day, span_start, span_end``, one row
+    per missing day, empty when coverage is complete.
+    """
+    days = (df.groupBy(*group_cols,
+                       F.to_date(F.col(ts_col)).alias("__d"))
+            .agg(F.count(F.lit(1)).alias("__n")))
+    spans = days.groupBy(*group_cols).agg(
+        F.min("__d").alias("span_start"), F.max("__d").alias("span_end"))
+    spine = spans.select(
+        *group_cols, "span_start", "span_end",
+        F.explode(F.sequence("span_start", "span_end",
+                             F.expr("interval 1 day"))).alias("gap_day"))
+    observed = days.select(*group_cols, F.col("__d").alias("gap_day"))
+    return (spine.join(observed, [*group_cols, "gap_day"], "left_anti")
+            .select(*group_cols, "gap_day", "span_start", "span_end"))
 
 
 def partition_count_anomalies(df: DataFrame, partition_cols: list[str],

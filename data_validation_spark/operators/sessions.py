@@ -71,6 +71,38 @@ def session_summary(df: DataFrame, user_col: str = "user_id",
     return s.groupBy(user_col, "session_seq").agg(*aggs)
 
 
+def session_window_summary(df: DataFrame, user_col: str = "user_id",
+                           ts_col: str = "ts", gap_minutes: int = 30,
+                           value_col: str | None = "value") -> DataFrame:
+    """The same per-(user, session) summary through Catalyst's NATIVE
+    ``session_window`` operator instead of the composed lag+cumsum —
+    the idiom to prefer when the input is a STREAM: session state lives
+    in the JVM state store (merged incrementally, closed by the
+    watermark), so an always-on pipeline never re-sorts a user's
+    history per batch.  Works identically on batch frames, where it
+    plans as a MergingSessions aggregate.
+
+    Surface parity with ``session_summary`` (same session boundaries —
+    a session breaks when the gap EXCEEDS ``gap_minutes``): start/end
+    come back as the min/max event micros per session so the composed
+    and native paths are row-for-row comparable (Spark's raw
+    session_window.end is last-event + gap, a representation detail
+    this summary normalizes away).  Exact-integer surface except
+    ``sum_value``, which callers cast per the DECIMAL oracle policy.
+    """
+    gap = f"{int(gap_minutes)} minutes"
+    us = _micros(F.col(ts_col))
+    aggs = [F.min(us).alias("start_us"), F.max(us).alias("end_us"),
+            F.count(F.lit(1)).alias("n_events")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("sum_value"))
+    return (df.groupBy(F.session_window(F.col(ts_col).cast("timestamp"),
+                                        gap).alias("__w"),
+                       F.col(user_col))
+            .agg(*aggs)
+            .drop("__w"))
+
+
 def funnel_stages(events: DataFrame, funnel: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",

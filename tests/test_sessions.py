@@ -151,3 +151,29 @@ def test_funnel_empty_config(spark):
     from data_validation_spark.operators.sessions import funnel_stages
     with _pytest.raises(ValueError):
         funnel_stages(_ev(spark, []), [])
+
+
+def test_native_session_window_parity_with_composed(events, spark):
+    """session_window_summary (Catalyst native state op) and
+    session_summary (lag+cumsum composition) must agree row-for-row on
+    bounds/counts/sums — including at the EXACT-gap boundary, where
+    both keep the session open (break only when gap strictly
+    exceeds)."""
+    from datetime import datetime, timedelta
+    from data_validation_spark.operators.sessions import (
+        session_window_summary)
+    t0 = datetime(2024, 6, 1)
+    extra = spark.createDataFrame(
+        [(100, t0, 9, 1.0),
+         (101, t0 + timedelta(minutes=30), 9, 1.0),          # == gap
+         (102, t0 + timedelta(minutes=60, seconds=1), 9, 1.0)],  # > gap
+        "event_id long, ts timestamp, user_id long, value double")
+    df = events.unionByName(extra)
+
+    composed = {(r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
+                for r in session_summary(df, gap_minutes=30).collect()}
+    native = {(r.user_id, r.start_us): (r.end_us, r.n_events, r.sum_value)
+              for r in session_window_summary(df, gap_minutes=30).collect()}
+    assert native == composed
+    # the exact-gap pair merged; the strictly-greater gap split
+    assert sum(1 for (u, _) in native if u == 9) == 2
