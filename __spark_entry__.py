@@ -1463,6 +1463,41 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_fd_violations(spark, sf_dir):
+    """deequ-style functional-dependency check: which parts are
+    supplied by more than one supplier (l_partkey -> l_suppkey
+    violations)?  Two-stage group collapse — the shuffle carries
+    (part, supplier) group cardinality, never rows; NULL dependents
+    count as distinct (constraints.functional_dependency_violations)."""
+    from data_validation_spark.operators.constraints import (
+        functional_dependency_violations)
+    li = _t(spark, sf_dir, "lineitem")
+    return functional_dependency_violations(li, ["l_partkey"], "l_suppkey")
+
+
+def q_fuzzy_pairs(spark, sf_dir):
+    """Edit-distance duplicate pairs over customer names via
+    PassJoin-style pigeonhole segment blocking (operators/fuzzy.py) —
+    the oracle is the EXACT all-pairs levenshtein answer, so the
+    blocking's completeness guarantee is the thing being checked, the
+    same end-to-end gate pattern as minhash_near_dups."""
+    from data_validation_spark.operators.fuzzy import fuzzy_duplicate_strings
+    cust = _t(spark, sf_dir, "customer")
+    return fuzzy_duplicate_strings(cust, "c_name", max_distance=1)
+
+
+def q_events_pivot(spark, sf_dir):
+    """Per-day event-type matrix through Catalyst's native pivot with a
+    PINNED value list (no extra distinct-values job, stable schema);
+    cells coalesce to 0 so the surface matches SQL conditional sums."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    out = (ev.groupBy("day").pivot("event_type", types)
+           .agg(F.count(F.lit(1))))
+    return out.select("day", *[F.coalesce(F.col(t), F.lit(0)).alias(t)
+                               for t in types])
+
+
 def q_coverage_gaps(spark, sf_dir):
     """Feed-continuity check with injected gaps: all 'error' events on
     Jan 10-12 are deterministically removed and the calendar-spine
@@ -1589,6 +1624,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "fd_violations": q_fd_violations,
+        "fuzzy_pairs": q_fuzzy_pairs,
+        "events_pivot": q_events_pivot,
         "retention": q_retention,
         "quantile_buckets": q_quantile_buckets,
         "events_rollup": q_events_rollup,
@@ -2569,6 +2607,38 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "fd_violations": """
+            WITH pairs AS (
+              SELECT l_partkey, l_suppkey, count(*) AS n
+              FROM lineitem GROUP BY 1, 2)
+            SELECT l_partkey,
+                   count(*) AS n_distinct_dependents,
+                   CAST(sum(n) AS BIGINT) AS n_rows
+            FROM pairs GROUP BY 1 HAVING count(*) > 1
+        """,
+        "fuzzy_pairs": """
+            WITH v AS (
+              SELECT DISTINCT c_name AS s FROM customer
+              WHERE c_name IS NOT NULL)
+            SELECT a.s AS s_a, b.s AS s_b,
+                   CAST(levenshtein(a.s, b.s) AS INT) AS dist
+            FROM v a JOIN v b ON a.s < b.s
+            WHERE levenshtein(a.s, b.s) <= 1
+        """,
+        "events_pivot": """
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(sum(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS click,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS error,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+                   CAST(sum(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS "view"
+            FROM events GROUP BY 1
         """,
         "retention": """
             WITH u AS (

@@ -290,3 +290,27 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
         verdicts = verdicts.filter(F.lit(False))
     return ConstraintRun(violations=violations, verdicts=verdicts,
                          constraint_names=names)
+
+
+def functional_dependency_violations(df: DataFrame, determinant: list[str],
+                                     dependent: str) -> DataFrame:
+    """Keys that break the functional dependency ``determinant ->
+    dependent`` (deequ's hasUniqueValueRatio / FD check): one row per
+    violating key with how many distinct dependent values it maps to
+    and its row count.
+
+    Exact and scale-shaped: collapse to (determinant, dependent)
+    groups first (map-side combinable — the shuffle carries group
+    cardinality, not rows), then count groups per key; a second tiny
+    agg keyed by the determinant.  NULL dependents count as a distinct
+    value (a key mapping to both X and NULL is inconsistent — SQL
+    count(distinct) would hide it, so groups are counted, not
+    distinct values).
+    """
+    pairs = (df.groupBy(*determinant,
+                        F.col(dependent).alias("__dep"))
+             .agg(F.count(F.lit(1)).alias("__n")))
+    return (pairs.groupBy(*determinant)
+            .agg(F.count(F.lit(1)).alias("n_distinct_dependents"),
+                 F.sum("__n").alias("n_rows"))
+            .filter(F.col("n_distinct_dependents") > 1))

@@ -147,3 +147,16 @@ def test_duplicate_key_counts_matches_row_retrieval(spark, sequences):
          .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     # sequences already carries i%97 dup pairs; the union adds 37 more
     assert a == b and len(a) >= 37
+
+
+def test_functional_dependency_violations(spark):
+    from data_validation_spark.operators.constraints import (
+        functional_dependency_violations)
+    rows = [(1, "a"), (1, "a"),          # consistent
+            (2, "a"), (2, "b"), (2, "b"),  # violates: 2 dependents
+            (3, None), (3, "c"),          # NULL counts as distinct
+            (4, None), (4, None)]         # consistent (all NULL)
+    df = spark.createDataFrame(rows, "k long, v string")
+    out = {r.k: (r.n_distinct_dependents, r.n_rows) for r in
+           functional_dependency_violations(df, ["k"], "v").collect()}
+    assert out == {2: (2, 3), 3: (2, 2)}
