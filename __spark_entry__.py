@@ -1463,6 +1463,28 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_row_diff(spark, sf_dir):
+    """Row-level snapshot diff with known-by-construction mutations:
+    snapshot B deterministically drops doc_id%97 rows, rewrites lang on
+    doc_id%61, and adds shifted copies of doc_id%113 — the diff
+    (operators/parity.row_diff: ONE full-outer key join + projection)
+    must report exactly those rows with the exact changed column
+    sets."""
+    from data_validation_spark.operators.parity import row_diff
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars")
+    b = docs.filter(F.pmod(F.col("doc_id"), 97) != 0).withColumn(
+        "lang", F.when(F.pmod(F.col("doc_id"), 61) == 0, F.lit("xx"))
+        .otherwise(F.col("lang")))
+    b = b.unionByName(
+        docs.filter(F.pmod(F.col("doc_id"), 113) == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000)))
+    out = row_diff(docs, b, ["doc_id"])
+    return out.select("doc_id", "status",
+                      F.array_join("changed_cols", ",")
+                      .alias("changed_cols"))
+
+
 def q_fd_violations(spark, sf_dir):
     """deequ-style functional-dependency check: which parts are
     supplied by more than one supplier (l_partkey -> l_suppkey
@@ -1624,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "row_diff": q_row_diff,
         "fd_violations": q_fd_violations,
         "fuzzy_pairs": q_fuzzy_pairs,
         "events_pivot": q_events_pivot,
@@ -2607,6 +2630,45 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "row_diff": """
+            WITH a AS (
+              SELECT doc_id, lang, source, n_chars FROM documents),
+            b AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 61 = 0 THEN 'xx' ELSE lang END
+                       AS lang,
+                     source, n_chars
+              FROM documents WHERE doc_id % 97 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, lang, source, n_chars
+              FROM documents WHERE doc_id % 113 = 0),
+            j AS (
+              SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+                     a.doc_id IS NULL AS is_added,
+                     b.doc_id IS NULL AS is_removed,
+                     a.lang AS al, b.lang AS bl,
+                     a.n_chars AS an, b.n_chars AS bn,
+                     a.source AS asrc, b.source AS bsrc
+              FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id),
+            d AS (
+              SELECT doc_id,
+                     CASE WHEN is_added THEN 'added'
+                          WHEN is_removed THEN 'removed'
+                          ELSE 'changed' END AS status,
+                     CASE WHEN is_added OR is_removed THEN ''
+                          ELSE array_to_string(list_filter([
+                            CASE WHEN al IS DISTINCT FROM bl
+                                 THEN 'lang' END,
+                            CASE WHEN an IS DISTINCT FROM bn
+                                 THEN 'n_chars' END,
+                            CASE WHEN asrc IS DISTINCT FROM bsrc
+                                 THEN 'source' END],
+                            x -> x IS NOT NULL), ',') END
+                       AS changed_cols
+              FROM j)
+            SELECT doc_id, status, changed_cols FROM d
+            WHERE status <> 'changed' OR changed_cols <> ''
         """,
         "fd_violations": """
             WITH pairs AS (

@@ -210,6 +210,64 @@ class TableProvider:
         return {"files_before": files_before,
                 "files_after": _n_files(live), "n_rows": n_rows}
 
+    def delete_keys(self, name: str, keys_df: DataFrame,
+                    key_cols: list[str]) -> dict:
+        """Targeted hard delete (GDPR/right-to-be-forgotten): remove
+        every row of ``name`` whose ``key_cols`` tuple appears in
+        ``keys_df``, with an auditable count report.
+
+        Parquet backend: the survivor set is ONE ``left_anti`` join
+        (Catalyst broadcasts a small deletion list on its own; a huge
+        one degrades gracefully to a shuffle join) rewritten through
+        the same atomic two-rename swap as ``compact`` — readers never
+        observe a half-deleted table, and a failed install rolls back
+        to the intact original.  Iceberg backend: a metadata-native
+        ``DELETE FROM ... WHERE EXISTS`` (copy-on-write/merge-on-read
+        per table config), jar-gated like the rest of the seam.
+
+        Returns ``{n_rows_before, n_deleted, n_rows_after}`` — the
+        audit evidence a purge job must retain.  The two counts are
+        deliberate extra scans: a deletion you can't prove is a
+        deletion you can't certify.
+        """
+        keys = keys_df.select(*key_cols).distinct()
+        if self.backend == "iceberg":
+            keys.createOrReplaceTempView("__dvs_delete_keys")
+            pred = " AND ".join(
+                f"t.{c} <=> k.{c}" for c in key_cols)
+            before = self.read(name).count()
+            self.spark.sql(
+                f"DELETE FROM {self._ident(name)} t WHERE EXISTS ("
+                f"SELECT 1 FROM __dvs_delete_keys k WHERE {pred})")
+            after = self.read(name).count()
+            return {"n_rows_before": before, "n_deleted": before - after,
+                    "n_rows_after": after}
+        if self.backend != "parquet":
+            raise ValueError("delete_keys requires parquet or iceberg")
+
+        df = self.read(name)
+        before = df.count()
+        survivors = df.join(keys, key_cols, "left_anti")
+
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        live = jvm.org.apache.hadoop.fs.Path(self._ident(name))
+        fs = live.getFileSystem(jsc.hadoopConfiguration())
+        tmp = jvm.org.apache.hadoop.fs.Path(self._ident(name) + "__deleting")
+        trash = jvm.org.apache.hadoop.fs.Path(self._ident(name) + "__old")
+        fs.delete(tmp, True)
+        fs.delete(trash, True)
+        survivors.write.mode("overwrite").parquet(str(tmp))
+        if not fs.rename(live, trash):
+            raise IOError(f"delete_keys: cannot move live table {live}")
+        if not fs.rename(tmp, live):
+            fs.rename(trash, live)  # roll back
+            raise IOError(f"delete_keys: cannot install purged {name}")
+        fs.delete(trash, True)
+        after = self.read(name).count()
+        return {"n_rows_before": before, "n_deleted": before - after,
+                "n_rows_after": after}
+
     def exists(self, name: str) -> bool:
         if self.backend != "iceberg":
             # cheap existence probe via the Hadoop FS API (no listing scan)

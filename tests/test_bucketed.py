@@ -98,3 +98,30 @@ def test_compact_no_sort_cols(spark, tmp_path, sequences):
     p.append(sequences.select("doc_id").limit(100).repartition(8), "acc2")
     stats = p.compact("acc2", n_files=1)
     assert stats["files_after"] == 1 and stats["n_rows"] == 100
+
+
+def test_delete_keys_purges_exactly_and_audits(spark, tmp_path):
+    """GDPR targeted delete: exactly the listed keys disappear, the
+    audit counts reconcile, and the table survives atomically."""
+    from data_validation_spark.sources.table_provider import TableProvider
+    from pyspark.sql import functions as F
+    tp = TableProvider(spark, str(tmp_path))
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("grp"),
+        F.concat(F.lit("text"), F.col("id").cast("string")).alias("text"))
+    tp.overwrite(df, "corpus")
+    keys = spark.createDataFrame([(k,) for k in (3, 500, 999, 123456)],
+                                 "doc_id long")
+    report = tp.delete_keys("corpus", keys, ["doc_id"])
+    assert report == {"n_rows_before": 1000, "n_deleted": 3,
+                      "n_rows_after": 997}  # 123456 never existed
+    left = tp.read("corpus")
+    assert left.filter(F.col("doc_id").isin(3, 500, 999)).count() == 0
+    assert left.count() == 997
+    # survivors untouched (spot check content column)
+    assert left.filter("doc_id = 4").collect()[0].text == "text4"
+    # second purge of the same keys is a no-op with clean audit
+    again = tp.delete_keys("corpus", keys, ["doc_id"])
+    assert again == {"n_rows_before": 997, "n_deleted": 0,
+                     "n_rows_after": 997}

@@ -46,3 +46,32 @@ def test_row_count_and_new_partition(spark, snap):
 def test_order_insensitive(spark, snap):
     shuffled = snap.orderBy(F.rand(seed=1)).repartition(7)
     assert snapshot_diff(snap, shuffled, "tokens", ["source"]).count() == 0
+
+
+def test_row_diff_statuses_and_columns(spark):
+    from data_validation_spark.operators.parity import row_diff
+    a = spark.createDataFrame(
+        [(1, "en", 10), (2, "de", 20), (3, "fr", 30), (4, None, 40)],
+        "k long, lang string, n long")
+    b = spark.createDataFrame(
+        [(1, "en", 10),            # unchanged -> absent
+         (2, "xx", 25),            # changed: lang + n
+         (4, "it", 40),            # changed: NULL -> value counts
+         (5, "es", 50)],           # added
+        "k long, lang string, n long")
+    out = {r.k: (r.status, list(r.changed_cols))
+           for r in row_diff(a, b, ["k"]).collect()}
+    assert out == {
+        2: ("changed", ["lang", "n"]),
+        3: ("removed", []),
+        4: ("changed", ["lang"]),
+        5: ("added", []),
+    }
+
+
+def test_row_diff_explicit_compare_cols(spark):
+    from data_validation_spark.operators.parity import row_diff
+    a = spark.createDataFrame([(1, "en", 10)], "k long, lang string, n long")
+    b = spark.createDataFrame([(1, "de", 10)], "k long, lang string, n long")
+    # diffing only n -> the lang change is invisible, row is unchanged
+    assert row_diff(a, b, ["k"], compare_cols=["n"]).count() == 0
