@@ -1463,6 +1463,47 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_completeness(spark, sf_dir):
+    """deequ-style completeness for EVERY orders column in one
+    map-side-combined pass (operators/health.completeness_profile);
+    ratios are single divisions of exact integers."""
+    from data_validation_spark.operators.health import completeness_profile
+    return completeness_profile(_t(spark, sf_dir, "orders"))
+
+
+def q_pattern_conformance(spark, sf_dir):
+    """Format checks (match/null/violation counts) for two customer
+    columns from ONE conditional-sum pass; the regex subset is the
+    RE2-portable one shared by Java and DuckDB, anchored for
+    full-value semantics."""
+    from data_validation_spark.operators.health import pattern_conformance
+    return pattern_conformance(
+        _t(spark, sf_dir, "customer"),
+        {"c_name": r"^Customer#[0-9]{9}$", "c_mktsegment": r"^[A-Z]+$"})
+
+
+def q_group_sample_k(spark, sf_dir):
+    """Exactly-5-per-language eval sample over documents: md5-ranked
+    row_number per group (operators/sampling.group_sample_exact_k) —
+    the selection is a pure function of the data, replayed rank-for-
+    rank in DuckDB."""
+    from data_validation_spark.operators.sampling import group_sample_exact_k
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id")
+    return group_sample_exact_k(docs, ["lang"], ["doc_id"], k=5)
+
+
+def q_schema_diff(spark, sf_dir):
+    """Schema-evolution report (metadata-only, driver-built — no jobs):
+    documents vs a simulated next-day schema with a retyped n_chars and
+    an added column (operators/health.schema_diff).  Rows-only: the
+    result is a pure function of two schemas, no SQL analogue."""
+    from data_validation_spark.operators.health import schema_diff
+    docs = _t(spark, sf_dir, "documents")
+    evolved = docs.withColumn("n_chars", F.col("n_chars").cast("int")) \
+        .withColumn("quality", F.lit(0.5))
+    return schema_diff(spark, docs, evolved)
+
+
 def q_row_diff(spark, sf_dir):
     """Row-level snapshot diff with known-by-construction mutations:
     snapshot B deterministically drops doc_id%97 rows, rewrites lang on
@@ -1646,6 +1687,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "completeness": q_completeness,
+        "pattern_conformance": q_pattern_conformance,
+        "group_sample_k": q_group_sample_k,
+        "schema_diff": q_schema_diff,
         "row_diff": q_row_diff,
         "fd_violations": q_fd_violations,
         "fuzzy_pairs": q_fuzzy_pairs,
@@ -2630,6 +2675,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "completeness": """
+            WITH n AS (
+              SELECT count(*) AS n_rows,
+                     count(o_orderkey) AS c0, count(o_custkey) AS c1,
+                     count(o_orderstatus) AS c2, count(o_totalprice) AS c3,
+                     count(o_orderdate) AS c4, count(o_orderpriority) AS c5
+              FROM orders)
+            SELECT t.col AS "column", n.n_rows, t.nn AS n_nonnull,
+                   round(t.nn / n.n_rows, 6) AS completeness
+            FROM n, LATERAL (
+              SELECT 'o_orderkey' AS col, c0 AS nn
+              UNION ALL SELECT 'o_custkey', c1
+              UNION ALL SELECT 'o_orderstatus', c2
+              UNION ALL SELECT 'o_totalprice', c3
+              UNION ALL SELECT 'o_orderdate', c4
+              UNION ALL SELECT 'o_orderpriority', c5) t
+        """,
+        "pattern_conformance": """
+            WITH a AS (
+              SELECT count(*) AS n_rows,
+                     count(c_name) AS nn1,
+                     CAST(sum(CASE WHEN regexp_matches(
+                         c_name, '^Customer#[0-9]{9}$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+                     count(c_mktsegment) AS nn2,
+                     CAST(sum(CASE WHEN regexp_matches(
+                         c_mktsegment, '^[A-Z]+$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS m2
+              FROM customer)
+            SELECT t.col AS "column", t.pat AS pattern, a.n_rows,
+                   a.n_rows - t.nn AS n_null, t.m AS n_match,
+                   t.nn - t.m AS n_violations
+            FROM a, LATERAL (
+              SELECT 'c_mktsegment' AS col, '^[A-Z]+$' AS pat,
+                     nn2 AS nn, m2 AS m
+              UNION ALL
+              SELECT 'c_name', '^Customer#[0-9]{9}$', nn1, m1) t
+        """,
+        "group_sample_k": """
+            WITH r AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(concat_ws(chr(31),
+                                    CAST(doc_id AS VARCHAR), '')),
+                                doc_id) AS sample_rank
+              FROM documents)
+            SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+            FROM r WHERE sample_rank <= 5
         """,
         "row_diff": """
             WITH a AS (

@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["partition_count_anomalies", "key_skew_report",
-           "coverage_gaps"]
+           "coverage_gaps", "completeness_profile",
+           "pattern_conformance", "schema_diff"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -137,3 +138,96 @@ def key_skew_report(df: DataFrame, key_cols: list[str], top_n: int = 10,
                             + F.col("total_rows") - F.lit(1))
                            / F.col("total_rows")).cast("long"))
         .alias("suggested_salt"))
+
+
+def completeness_profile(df: DataFrame,
+                         cols: list[str] | None = None) -> DataFrame:
+    """deequ-style completeness: for every column, row count, non-null
+    count, and the completeness ratio — ALL columns in ONE
+    map-side-combined aggregate pass (a 100 TB table is scanned once,
+    the shuffle carries one partial row per task).  The ratio is the
+    single division of two exact integers, rounded to 6 — deterministic
+    on every engine.
+
+    Output: ``column, n_rows, n_nonnull, completeness`` (one row per
+    column, ordered by the input column order).
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    agg = df.agg(F.count(F.lit(1)).alias("__n"),
+                 *[F.count(F.col(c)).alias(f"__c_{i}")
+                   for i, c in enumerate(cols)])
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column"),
+                 F.col(f"__c_{i}").alias("n_nonnull"))
+        for i, c in enumerate(cols)])
+    return (agg.select(F.col("__n").alias("n_rows"),
+                       F.explode(entries).alias("e"))
+            .select(F.col("e.column").alias("column"), "n_rows",
+                    F.col("e.n_nonnull").alias("n_nonnull"),
+                    F.round(F.col("e.n_nonnull") / F.col("n_rows"), 6)
+                    .alias("completeness")))
+
+
+def pattern_conformance(df: DataFrame,
+                        patterns: dict[str, str]) -> DataFrame:
+    """Format checks: per (column, regex), how many values match, are
+    NULL, or violate — one aggregate pass for ALL patterns (conditional
+    sums, no per-pattern scan).  Patterns use the RE2-compatible
+    syntax subset shared by Java and DuckDB (same policy as
+    functions/urls.py); both engines use SEARCH semantics, so anchor
+    with ^$ for full-value checks.
+
+    Output: ``column, pattern, n_rows, n_null, n_match, n_violations``.
+    """
+    if not patterns:
+        raise ValueError("patterns must be non-empty")
+    items = sorted(patterns.items())
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, (c, rx) in enumerate(items):
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{i}"))
+        aggs.append(F.sum(F.when(F.col(c).rlike(rx), 1).otherwise(0))
+                    .alias(f"__m_{i}"))
+    agg = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(F.lit(c).alias("column"), F.lit(rx).alias("pattern"),
+                 F.col(f"__nn_{i}").alias("n_nonnull"),
+                 F.col(f"__m_{i}").alias("n_match"))
+        for i, (c, rx) in enumerate(items)])
+    return (agg.select(F.col("__n").alias("n_rows"),
+                       F.explode(entries).alias("e"))
+            .select("e.column", "e.pattern", "n_rows",
+                    (F.col("n_rows") - F.col("e.n_nonnull"))
+                    .alias("n_null"),
+                    F.col("e.n_match").alias("n_match"),
+                    (F.col("e.n_nonnull") - F.col("e.n_match"))
+                    .alias("n_violations")))
+
+
+def schema_diff(spark, a, b) -> DataFrame:
+    """Schema-evolution report between two schemas (or DataFrames):
+    one row per column that was added, removed, or re-typed — the
+    pre-flight a validation run does before trusting that yesterday's
+    suite still describes today's table (complements
+    ``ValidationSuite.schema_errors``, which checks a suite against
+    ONE schema).
+
+    Pure metadata — no jobs, no scans; the result is a driver-built
+    DataFrame so it can flow into the same sinks as every other check.
+    Output: ``column, status(added|removed|retyped), type_a, type_b``
+    (b is the "new" side; nullability changes are ignored — parquet
+    writers flip it freely).
+    """
+    sa = a.schema if isinstance(a, DataFrame) else a
+    sb = b.schema if isinstance(b, DataFrame) else b
+    ta = {f.name: f.dataType.simpleString() for f in sa.fields}
+    tb = {f.name: f.dataType.simpleString() for f in sb.fields}
+    rows = []
+    for name in sorted(set(ta) | set(tb)):
+        if name not in tb:
+            rows.append((name, "removed", ta[name], None))
+        elif name not in ta:
+            rows.append((name, "added", None, tb[name]))
+        elif ta[name] != tb[name]:
+            rows.append((name, "retyped", ta[name], tb[name]))
+    return spark.createDataFrame(
+        rows, "column string, status string, type_a string, type_b string")

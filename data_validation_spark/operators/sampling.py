@@ -27,7 +27,7 @@ Pure projection + filter: no shuffle, no RNG state, whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _BUCKETS = 1 << 32
@@ -203,3 +203,35 @@ def hash_split(df: DataFrame, fractions: dict[str, float],
             & (bucket < F.lit(int(hi * _BUCKETS))),
             F.lit(name)).otherwise(expr)
     return df.withColumn(label_col, expr)
+
+
+def group_sample_exact_k(df: DataFrame, group_cols: list[str],
+                         id_cols: list[str], k: int,
+                         salt: str = "") -> DataFrame:
+    """EXACTLY ``min(k, group size)`` rows per group, chosen by md5
+    rank — the eval-set constructor fraction sampling can't be
+    (``stratified_hash_sample`` gives binomial counts; benchmarks need
+    exact ones).
+
+    Rank = ``row_number`` over ``md5(id ⊕ salt)`` per group (ties — md5
+    collisions — break on the id columns, so the selection is a pure
+    function of the data).  Same determinism contract as every sampler
+    in this module: reproducible across runs, engines, and retries; a
+    different ``salt`` draws an independent sample.  Membership is NOT
+    growth-stable (new rows re-rank a group — ranks must, by
+    definition of exact-k); pin corpora before drawing eval sets, or
+    use ``hash_sample`` when growth-stability matters more than exact
+    counts.
+
+    One shuffle on ``group_cols``; per-task state is one group's rows
+    (the partitioned-window bound, same as sessionization).  Output
+    rows carry ``sample_rank`` (1..k).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    key = F.md5(F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in id_cols], F.lit(salt)))
+    w = Window.partitionBy(*group_cols).orderBy(
+        key.asc(), *[F.col(c).asc() for c in id_cols])
+    return (df.withColumn("sample_rank", F.row_number().over(w))
+            .filter(F.col("sample_rank") <= int(k)))

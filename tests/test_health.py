@@ -96,3 +96,64 @@ def test_one_wide_shuffle_only(spark, parts):
     wide = len(re.findall(r"Exchange hashpartitioning", plan))
     # counts shuffle + (tiny) group aggregations; no join shuffles
     assert "SortMergeJoin" not in plan
+
+
+def test_completeness_profile(spark):
+    from data_validation_spark.operators.health import completeness_profile
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, None, None), (3, "c", 1.5), (None, "d", None)],
+        "k long, s string, v double")
+    out = {r.column: (r.n_rows, r.n_nonnull, r.completeness)
+           for r in completeness_profile(df).collect()}
+    assert out == {"k": (4, 3, 0.75), "s": (4, 3, 0.75),
+                   "v": (4, 1, 0.25)}
+
+
+def test_pattern_conformance(spark):
+    from data_validation_spark.operators.health import pattern_conformance
+    df = spark.createDataFrame(
+        [("a@b.com", "123"), ("nope", "456"), (None, "12x"),
+         ("x@y.org", None)],
+        "email string, code string")
+    out = {(r.column): (r.n_rows, r.n_null, r.n_match, r.n_violations)
+           for r in pattern_conformance(
+               df, {"email": r"^[^@\s]+@[^@\s]+\.[a-z]+$",
+                    "code": r"^[0-9]+$"}).collect()}
+    assert out == {"email": (4, 1, 2, 1), "code": (4, 1, 2, 1)}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pattern_conformance(df, {}).collect()
+
+
+def test_schema_diff(spark):
+    from data_validation_spark.operators.health import schema_diff
+    a = spark.createDataFrame([(1, "x", 1.0)], "k long, s string, v double")
+    b = spark.createDataFrame([(1, "x", 2, True)],
+                              "k long, s string, v int, extra boolean")
+    out = {r.column: (r.status, r.type_a, r.type_b)
+           for r in schema_diff(spark, a, b).collect()}
+    assert out == {"v": ("retyped", "double", "int"),
+                   "extra": ("added", None, "boolean")}
+    # identical schemas -> empty
+    assert schema_diff(spark, a, a).count() == 0
+
+
+def test_group_sample_exact_k(spark):
+    from data_validation_spark.operators.sampling import group_sample_exact_k
+    from pyspark.sql import functions as F
+    df = spark.range(1000).select(
+        F.col("id"), F.pmod(F.col("id"), 4).alias("g"))
+    out = group_sample_exact_k(df, ["g"], ["id"], k=10)
+    counts = {r.g: r["count"] for r in out.groupBy("g").count().collect()}
+    assert counts == {0: 10, 1: 10, 2: 10, 3: 10}
+    # deterministic: same draw twice; different salt -> different draw
+    ids1 = sorted(r.id for r in out.collect())
+    ids2 = sorted(r.id for r in
+                  group_sample_exact_k(df, ["g"], ["id"], 10).collect())
+    ids3 = sorted(r.id for r in
+                  group_sample_exact_k(df, ["g"], ["id"], 10,
+                                       salt="other").collect())
+    assert ids1 == ids2 and ids1 != ids3
+    # small group: min(k, size)
+    tiny = spark.createDataFrame([(1, 1), (2, 1)], "id long, g long")
+    assert group_sample_exact_k(tiny, ["g"], ["id"], 10).count() == 2
