@@ -1463,6 +1463,25 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_rolling_anomalies(spark, sf_dir):
+    """Time-series volume monitor with a known-by-construction level
+    shift: view events on Jan 20 are deterministically quintupled and
+    the trailing-window integer z-test (health.rolling_count_anomalies
+    — DECIMAL(38,0) arithmetic, zero floats) must flag that bucket;
+    warmup buckets emit NULL verdicts, steady days never alarm."""
+    from data_validation_spark.operators.health import (
+        rolling_count_anomalies)
+    ev = _t(spark, sf_dir, "events").select("event_type", "ts")
+    spike = (ev.filter((F.col("event_type") == "view")
+                       & (F.to_date("ts")
+                          == F.lit("2024-01-20").cast("date")))
+             .withColumn("__r", F.explode(F.sequence(F.lit(1), F.lit(4))))
+             .drop("__r"))
+    return rolling_count_anomalies(
+        ev.unionByName(spike), ["event_type"], bucket="day",
+        window=7, k=3, min_dev=10, min_window=5)
+
+
 def q_completeness(spark, sf_dir):
     """deequ-style completeness for EVERY orders column in one
     map-side-combined pass (operators/health.completeness_profile);
@@ -1687,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "rolling_anomalies": q_rolling_anomalies,
         "completeness": q_completeness,
         "pattern_conformance": q_pattern_conformance,
         "group_sample_k": q_group_sample_k,
@@ -2675,6 +2695,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "rolling_anomalies": """
+            WITH spike AS (
+              SELECT event_type, ts FROM events, range(4)
+              WHERE event_type = 'view'
+                AND CAST(ts AS DATE) = DATE '2024-01-20'),
+            e AS (
+              SELECT event_type, ts FROM events
+              UNION ALL SELECT event_type, ts FROM spike),
+            c AS (
+              SELECT event_type,
+                     CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket_ts,
+                     count(*) AS n_rows
+              FROM e GROUP BY 1, 2),
+            w AS (
+              SELECT event_type, bucket_ts, n_rows,
+                     count(*) OVER win AS win_n,
+                     CAST(coalesce(sum(n_rows) OVER win, 0) AS BIGINT)
+                       AS win_sum,
+                     sum(CAST(n_rows AS HUGEINT)) OVER win AS s,
+                     sum(CAST(n_rows AS HUGEINT)
+                         * CAST(n_rows AS HUGEINT)) OVER win AS q
+              FROM c
+              WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ts
+                             ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+            SELECT event_type, bucket_ts, n_rows, win_n, win_sum,
+                   CASE WHEN win_n >= 5 THEN
+                     (CAST(win_n AS HUGEINT) * n_rows - s)
+                     * (CAST(win_n AS HUGEINT) * n_rows - s)
+                     > 9 * (CAST(win_n AS HUGEINT) * q - s * s)
+                       + CAST(win_n AS HUGEINT) * win_n * 100
+                   END AS is_anomaly
+            FROM w
         """,
         "completeness": """
             WITH n AS (

@@ -18,12 +18,13 @@ everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["partition_count_anomalies", "key_skew_report",
            "coverage_gaps", "completeness_profile",
-           "pattern_conformance", "schema_diff"]
+           "pattern_conformance", "schema_diff",
+           "rolling_count_anomalies"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -231,3 +232,58 @@ def schema_diff(spark, a, b) -> DataFrame:
             rows.append((name, "retyped", ta[name], tb[name]))
     return spark.createDataFrame(
         rows, "column string, status string, type_a string, type_b string")
+
+
+def rolling_count_anomalies(df: DataFrame, group_cols: list[str],
+                            ts_col: str = "ts", bucket: str = "hour",
+                            window: int = 24, k: int = 3,
+                            min_dev: int = 10,
+                            min_window: int = 8) -> DataFrame:
+    """Time-series volume anomalies: per group, bucket the stream into
+    ``bucket``-sized counts and flag buckets deviating from their OWN
+    trailing ``window`` buckets — the "volume fell off a cliff at 3am"
+    monitor, complementing ``partition_count_anomalies`` (which
+    compares across siblings at one instant).
+
+    The verdict is an integer z-test with NO floating point anywhere:
+    with s/q/n = trailing sum / sum-of-squares / count and x the
+    current count, flag when
+
+        (n·x − s)² > k²·(n·q − s²) + n²·min_dev²
+
+    — algebraically ``(x − mean)² > k²·var + min_dev²`` scaled by n²,
+    evaluated in DECIMAL(38,0) (associative, engine-exact, ANSI-loud on
+    overflow).  ``min_dev`` is the additive noise floor that keeps
+    quiet feeds from alarming on ±3 rows.  Buckets with fewer than
+    ``min_window`` trailing observations emit a NULL verdict (no
+    baseline yet), never a guess.
+
+    Missing buckets are ABSENT (not zero): a feed that stops produces
+    no rows to flag — pair with ``coverage_gaps`` to catch silence;
+    this operator catches level shifts while data flows.
+
+    One map-side-combined count shuffle; the rolling window runs over
+    per-group BUCKET rows (hours, not events).
+    """
+    counts = (df.groupBy(*group_cols,
+                         F.date_trunc(bucket, F.col(ts_col))
+                         .alias("bucket_ts"))
+              .agg(F.count(F.lit(1)).alias("n_rows")))
+    w = (Window.partitionBy(*group_cols).orderBy("bucket_ts")
+         .rowsBetween(-int(window), -1))
+    dec = "decimal(38,0)"
+    x = F.col("n_rows").cast(dec)
+    s = F.sum(F.col("n_rows").cast(dec)).over(w)
+    q = F.sum((F.col("n_rows").cast(dec)
+               * F.col("n_rows").cast(dec))).over(w)
+    n = F.count(F.lit(1)).over(w).cast(dec)
+    lhs = (n * x - s) * (n * x - s)
+    rhs = (F.lit(int(k) * int(k)).cast(dec) * (n * q - s * s)
+           + n * n * F.lit(int(min_dev) * int(min_dev)).cast(dec))
+    return (counts
+            .withColumn("win_n", F.count(F.lit(1)).over(w))
+            .withColumn("win_sum",
+                        F.coalesce(F.sum("n_rows").over(w), F.lit(0)))
+            .withColumn("is_anomaly",
+                        F.when(F.col("win_n") >= int(min_window),
+                               lhs > rhs)))

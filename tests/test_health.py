@@ -157,3 +157,47 @@ def test_group_sample_exact_k(spark):
     # small group: min(k, size)
     tiny = spark.createDataFrame([(1, 1), (2, 1)], "id long, g long")
     assert group_sample_exact_k(tiny, ["g"], ["id"], 10).count() == 2
+
+
+def test_rolling_count_anomalies(spark):
+    """A level spike against a steady trailing baseline is flagged;
+    the warmup period emits NULL verdicts; steady hours do not alarm."""
+    import datetime as dt
+    from data_validation_spark.operators.health import (
+        rolling_count_anomalies)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # 30 hours of a steady 50/hour feed, hour 20 spikes to 500
+    for h in range(30):
+        n = 500 if h == 20 else 50
+        rows += [("feed", t0 + dt.timedelta(hours=h, seconds=s % 3600))
+                 for s in range(n)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.bucket_ts.hour + 24 * (r.bucket_ts.day - 1): r
+           for r in rolling_count_anomalies(
+               df, ["g"], window=12, k=3, min_dev=10,
+               min_window=8).collect()}
+    assert len(out) == 30
+    assert out[20].is_anomaly is True
+    assert out[20].n_rows == 500 and out[20].win_n == 12
+    # warmup: first 8 buckets have no verdict
+    assert all(out[h].is_anomaly is None for h in range(8))
+    # steady hours never alarm (including right after the spike, where
+    # the spike inflates the trailing variance)
+    assert all(out[h].is_anomaly is not True
+               for h in range(8, 30) if h != 20)
+
+
+def test_rolling_anomalies_partition_invariant(spark):
+    import datetime as dt
+    from data_validation_spark.operators.health import (
+        rolling_count_anomalies)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("g", t0 + dt.timedelta(hours=h, minutes=m))
+            for h in range(20) for m in range(7 + (h * 13) % 11)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    a = sorted(map(tuple, rolling_count_anomalies(
+        df.repartition(1), ["g"]).collect()))
+    b = sorted(map(tuple, rolling_count_anomalies(
+        df.repartition(32), ["g"]).collect()))
+    assert a == b

@@ -148,3 +148,89 @@ def test_sessionize_invariants(spark, data):
         gaps = (np.diff(ts).astype("timedelta64[s]").astype(int)
                 > gap_min * 60)
         assert seqs[-1] == 1 + gaps.sum()
+
+
+# -- temporal joins vs brute-force references ---------------------------
+
+import datetime as _dtm
+
+
+def _dt(seconds):
+    return _dtm.datetime(1970, 1, 1) + _dtm.timedelta(seconds=seconds)
+
+_ts_us = st.integers(min_value=0, max_value=50)
+_keys = st.integers(min_value=0, max_value=3)
+asof_left = st.lists(st.tuples(_keys, _ts_us), min_size=1, max_size=25)
+asof_right = st.lists(st.tuples(_keys, _ts_us, st.integers(0, 99)),
+                      min_size=0, max_size=25)
+
+
+@given(left=asof_left, right=asof_right,
+       direction=st.sampled_from(["backward", "forward"]))
+@SET
+def test_asof_join_matches_brute_force(spark, left, right, direction):
+    """asof_join == argmax/argmin over the exact predicate, per left
+    row, on arbitrary small frames (duplicate timestamps included)."""
+    from data_validation_spark.operators.asof import asof_join
+    ldf = spark.createDataFrame(
+        [(i, k, _dt(t)) for i, (k, t) in enumerate(left)],
+        "lid long, k long, ts timestamp")
+    # dedupe right on (k, ts): keep max payload — the operator's
+    # documented tie rule (ties resolve by payload struct order)
+    rbest = {}
+    for k, t, v in right:
+        rbest[(k, t)] = max(rbest.get((k, t), -1), v)
+    rdf = spark.createDataFrame(
+        [(k, _dt(t), v) for (k, t), v in rbest.items()]
+        or [(99, _dt(0), 0)],
+        "k long, ts timestamp, v long")
+    if not rbest:
+        rdf = rdf.filter("k < 0")
+
+    got = {r.lid: r.v_asof
+           for r in asof_join(ldf, rdf, ["k"],
+                              direction=direction).collect()}
+    for i, (k, t) in enumerate(left):
+        if direction == "backward":
+            cand = [(tt, v) for (kk, tt), v in rbest.items()
+                    if kk == k and tt <= t]
+            want = max(cand)[1] if cand else None
+        else:
+            cand = [(-tt, v) for (kk, tt), v in rbest.items()
+                    if kk == k and tt >= t]
+            want = max(cand)[1] if cand else None
+        assert got[i] == want, (i, k, t, direction)
+
+
+iv_points = st.lists(st.tuples(_keys, _ts_us), min_size=1, max_size=20)
+iv_spans = st.lists(st.tuples(_keys, _ts_us, st.integers(-5, 20)),
+                    min_size=0, max_size=20)
+
+
+@given(points=iv_points, spans=iv_spans,
+       w=st.sampled_from([1, 3, 7, 1_000_000]))
+@SET
+def test_interval_join_matches_brute_force(spark, points, spans, w):
+    """interval_join == the BETWEEN predicate, at any bin width,
+    including inverted (end < start) and zero-length intervals."""
+    from data_validation_spark.operators.interval import interval_join
+    pdf = spark.createDataFrame(
+        [(i, k, _dt(t))
+         for i, (k, t) in enumerate(points)],
+        "pid long, k long, ts timestamp")
+    idf = spark.createDataFrame(
+        [(j, k, _dt(s), _dt(s + d))
+         for j, (k, s, d) in enumerate(spans)]
+        or [(0, 99, _dt(0), _dt(0))],
+        "iid long, k long, start timestamp, end timestamp")
+    if not spans:
+        idf = idf.filter("k < 0")
+
+    got = sorted((r.pid, r.iid) for r in
+                 interval_join(pdf, idf, ["k"],
+                               bin_width_us=w * 1_000_000).collect())
+    want = sorted((i, j)
+                  for i, (pk, t) in enumerate(points)
+                  for j, (ik, s, d) in enumerate(spans)
+                  if pk == ik and s <= t <= s + d)
+    assert got == want
