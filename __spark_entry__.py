@@ -1463,6 +1463,15 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_event_transitions(spark, sf_dir):
+    """First-order behavioral transition matrix (sessions.
+    event_transitions): one user-keyed lag window with the sessionize
+    tie-break, then a |types|^2 aggregate; probabilities are single
+    exact-integer divisions."""
+    from data_validation_spark.operators.sessions import event_transitions
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
 def q_rolling_anomalies(spark, sf_dir):
     """Time-series volume monitor with a known-by-construction level
     shift: view events on Jan 20 are deterministically quintupled and
@@ -1706,6 +1715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "event_transitions": q_event_transitions,
         "rolling_anomalies": q_rolling_anomalies,
         "completeness": q_completeness,
         "pattern_conformance": q_pattern_conformance,
@@ -2695,6 +2705,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT user_id, event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id)
+                       AS from_type
+              FROM events),
+            pr AS (
+              SELECT from_type, event_type AS to_type,
+                     count(*) AS n_transitions
+              FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2),
+            tt AS (
+              SELECT from_type,
+                     CAST(sum(n_transitions) AS BIGINT) AS n_from
+              FROM pr GROUP BY 1)
+            SELECT pr.from_type, pr.to_type, pr.n_transitions, tt.n_from,
+                   round(pr.n_transitions / tt.n_from, 6) AS p
+            FROM pr JOIN tt USING (from_type)
         """,
         "rolling_anomalies": """
             WITH spike AS (

@@ -140,3 +140,32 @@ def funnel_stages(events: DataFrame, funnel: list[str],
     return (events
             .groupBy(F.col(user_col))
             .agg(F.aggregate(types, F.lit(0), step).alias("stage")))
+
+
+def event_transitions(df: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", type_col: str = "event_type",
+                      order_cols: tuple[str, ...] = ("event_id",)
+                      ) -> DataFrame:
+    """First-order transition matrix of the event stream: for every
+    ordered (from_type, to_type) pair of CONSECUTIVE events of the same
+    user, the transition count and conditional probability — the
+    behavioral fingerprint drift monitors compare release-over-release
+    (a bot cohort shows up as a transition row that jumps).
+
+    One user-keyed shuffle (the same lag window as ``sessionize``, same
+    deterministic (ts, order_cols) tie-break), then a (from, to)
+    aggregate over |types|² rows.  ``p`` is the single exact-integer
+    division n_transitions / n_from, rounded to 6 — engine-portable.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    pairs = (df.withColumn("__from", F.lag(type_col).over(w))
+             .filter(F.col("__from").isNotNull())
+             .groupBy(F.col("__from").alias("from_type"),
+                      F.col(type_col).alias("to_type"))
+             .agg(F.count(F.lit(1)).alias("n_transitions")))
+    totals = (pairs.groupBy("from_type")
+              .agg(F.sum("n_transitions").alias("n_from")))
+    return (pairs.join(F.broadcast(totals), "from_type")
+            .select("from_type", "to_type", "n_transitions", "n_from",
+                    F.round(F.col("n_transitions") / F.col("n_from"), 6)
+                    .alias("p")))

@@ -177,3 +177,27 @@ def test_native_session_window_parity_with_composed(events, spark):
     assert native == composed
     # the exact-gap pair merged; the strictly-greater gap split
     assert sum(1 for (u, _) in native if u == 9) == 2
+
+
+def test_event_transitions(spark):
+    """Hand-computed transition matrix; ties break on event_id; each
+    user's stream is independent (no cross-user transitions)."""
+    from datetime import datetime, timedelta
+    from data_validation_spark.operators.sessions import event_transitions
+    t0 = datetime(2024, 3, 1)
+    rows = [
+        # user 1: a -> b -> a   user 2: a -> b  (no cross-user a<-b)
+        (1, 1, t0, "a"), (2, 1, t0 + timedelta(1), "b"),
+        (3, 1, t0 + timedelta(2), "a"),
+        (4, 2, t0 + timedelta(3), "a"), (5, 2, t0 + timedelta(4), "b"),
+        # user 3: same-ts tie -> event_id order decides: c -> d
+        (6, 3, t0, "c"), (7, 3, t0, "d"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string")
+    out = {(r.from_type, r.to_type): (r.n_transitions, r.n_from, r.p)
+           for r in event_transitions(df).collect()}
+    assert out == {("a", "b"): (2, 2, 1.0),
+                   ("b", "a"): (1, 1, 1.0),
+                   ("c", "d"): (1, 1, 1.0)}
