@@ -1463,6 +1463,33 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_independence(spark, sf_dir):
+    """Chi-squared independence cells for documents lang x source —
+    zero cells included with their (0-E)^2/E contribution (a naive
+    groupBy silently drops them); exact DECIMAL(38,0) margins, one
+    float tail per cell (health.independence_cells)."""
+    from data_validation_spark.operators.health import independence_cells
+    return independence_cells(_t(spark, sf_dir, "documents"),
+                              "lang", "source")
+
+
+def q_sliding_windows(spark, sf_dir):
+    """Native sliding-window aggregation (window(ts, 6h, 2h)): each
+    event lands in exactly 3 overlapping epoch-aligned windows via
+    Catalyst's window expansion; counts + exact DECIMAL sums per
+    (window, type); the oracle derives the same 3 window starts per
+    event with integer epoch arithmetic."""
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.groupBy(F.window("ts", "6 hours", "2 hours").alias("w"),
+                      "event_type")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)"))
+                        .cast("double"), 6).alias("sum_value")))
+    return out.select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "event_type", "n_events", "sum_value")
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order behavioral transition matrix (sessions.
     event_transitions): one user-keyed lag window with the sessionize
@@ -1715,6 +1742,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "independence": q_independence,
+        "sliding_windows": q_sliding_windows,
         "event_transitions": q_event_transitions,
         "rolling_anomalies": q_rolling_anomalies,
         "completeness": q_completeness,
@@ -2705,6 +2734,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "independence": """
+            WITH c AS (
+              SELECT lang AS a, source AS b, count(*) AS n_ij
+              FROM documents GROUP BY 1, 2),
+            ma AS (SELECT a, CAST(sum(n_ij) AS BIGINT) AS n_i
+                   FROM c GROUP BY 1),
+            mb AS (SELECT b, CAST(sum(n_ij) AS BIGINT) AS n_j
+                   FROM c GROUP BY 1),
+            t AS (SELECT CAST(sum(n_ij) AS BIGINT) AS n FROM c),
+            spine AS (
+              SELECT ma.a, mb.b, ma.n_i, mb.n_j, t.n,
+                     coalesce(c.n_ij, 0) AS n_ij
+              FROM ma CROSS JOIN mb CROSS JOIN t
+              LEFT JOIN c ON c.a = ma.a AND c.b = mb.b)
+            SELECT a AS lang, b AS source, n_ij, n_i, n_j, n,
+                   round(
+                     CAST((CAST(n AS HUGEINT) * n_ij
+                           - CAST(n_i AS HUGEINT) * n_j)
+                          * (CAST(n AS HUGEINT) * n_ij
+                             - CAST(n_i AS HUGEINT) * n_j) AS DOUBLE)
+                     / CAST(CAST(n AS HUGEINT) * n_i * n_j AS DOUBLE),
+                     6) AS chi2_term
+            FROM spine
+        """,
+        "sliding_windows": """
+            WITH e AS (
+              SELECT event_type, value,
+                     epoch_us(ts) // 7200000000 AS slot
+              FROM events),
+            x AS (
+              SELECT event_type, value,
+                     make_timestamp((slot - k) * 7200000000)
+                       AS window_start
+              FROM e, (SELECT unnest(range(0, 3)) AS k) ks),
+            g AS (
+              SELECT window_start, event_type,
+                     count(*) AS n_events,
+                     round(CAST(sum(CAST(value AS DECIMAL(18,6)))
+                                AS DOUBLE), 6) AS sum_value
+              FROM x GROUP BY 1, 2)
+            SELECT window_start,
+                   window_start + INTERVAL 6 HOUR AS window_end,
+                   event_type, n_events, sum_value
+            FROM g
         """,
         "event_transitions": """
             WITH s AS (

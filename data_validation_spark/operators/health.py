@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 __all__ = ["partition_count_anomalies", "key_skew_report",
            "coverage_gaps", "completeness_profile",
            "pattern_conformance", "schema_diff",
-           "rolling_count_anomalies"]
+           "rolling_count_anomalies", "independence_cells"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -287,3 +287,44 @@ def rolling_count_anomalies(df: DataFrame, group_cols: list[str],
             .withColumn("is_anomaly",
                         F.when(F.col("win_n") >= int(min_window),
                                lhs > rhs)))
+
+
+def independence_cells(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Chi-squared independence between two categorical columns, per
+    CELL: for every (a, b) pair in the observed-margin cross product —
+    including never-seen pairs, which a naive groupBy silently drops
+    though they contribute (0−E)²/E = E — the observed count, exact
+    integer margins, and the cell's chi² contribution.
+
+    The term is the algebraically-exact rational
+    ``(n·n_ij − n_i·n_j)² / (n·n_i·n_j)``: numerator and denominator
+    build in DECIMAL(38,0) (associative, ANSI-loud), and only the final
+    cast/divide/round crosses to double — one IEEE op sequence, same on
+    every engine, so the per-cell values can never flake.  Sum the
+    ``chi2_term`` column (driver-side fsum over |A|×|B| cells) and feed
+    ``functions.drift`` for the p-value; the statistic itself stays a
+    pure function of the data.
+
+    One count shuffle over the table; margins and the cross spine are
+    |A| + |B| + |A|×|B| rows — broadcast-sized for real categorical
+    cardinalities (guard upstream with the S4 frequency guard if a
+    "categorical" column is secretly an id).
+    """
+    dec = "decimal(38,0)"
+    counts = (df.groupBy(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+              .agg(F.count(F.lit(1)).alias("n_ij")))
+    ma = counts.groupBy("a").agg(F.sum("n_ij").alias("n_i"))
+    mb = counts.groupBy("b").agg(F.sum("n_ij").alias("n_j"))
+    tot = counts.agg(F.sum("n_ij").alias("n"))
+    spine = (ma.crossJoin(F.broadcast(mb)).crossJoin(F.broadcast(tot))
+             .join(counts, ["a", "b"], "left")
+             .withColumn("n_ij", F.coalesce("n_ij", F.lit(0))))
+    num = (F.col("n").cast(dec) * F.col("n_ij").cast(dec)
+           - F.col("n_i").cast(dec) * F.col("n_j").cast(dec))
+    den = (F.col("n").cast(dec) * F.col("n_i").cast(dec)
+           * F.col("n_j").cast(dec))
+    return spine.select(
+        F.col("a").alias(col_a), F.col("b").alias(col_b),
+        "n_ij", "n_i", "n_j", "n",
+        F.round((num * num).cast("double") / den.cast("double"), 6)
+        .alias("chi2_term"))

@@ -201,3 +201,26 @@ def test_rolling_anomalies_partition_invariant(spark):
     b = sorted(map(tuple, rolling_count_anomalies(
         df.repartition(32), ["g"]).collect()))
     assert a == b
+
+
+def test_independence_cells(spark):
+    """Hand-computed chi2 cells, zero cells included with their E
+    contribution, terms sum to the textbook statistic."""
+    from data_validation_spark.operators.health import independence_cells
+    # 2x2 with a missing cell: (x,1):30 (x,2):10 (y,1):0 (y,2):10
+    rows = [("x", 1)] * 30 + [("x", 2)] * 10 + [("y", 2)] * 10
+    df = spark.createDataFrame(rows, "a string, b long")
+    out = {(r.a, r.b): r for r in independence_cells(df, "a", "b").collect()}
+    assert len(out) == 4                       # zero cell present
+    z = out[("y", 1)]
+    assert z.n_ij == 0 and z.n_i == 10 and z.n_j == 30 and z.n == 50
+    # (0 - E)^2/E = E = 10*30/50 = 6
+    assert z.chi2_term == 6.0
+    import math
+    stat = math.fsum(r.chi2_term for r in out.values())
+    # textbook chi2 for this table: sum over cells (O-E)^2/E
+    exp = {("x", 1): 24.0, ("x", 2): 16.0, ("y", 1): 6.0, ("y", 2): 4.0}
+    want = math.fsum((({("x", 1): 30, ("x", 2): 10, ("y", 1): 0,
+                        ("y", 2): 10}[c] - e) ** 2) / e
+                     for c, e in exp.items())
+    assert abs(stat - want) < 1e-9
