@@ -1463,6 +1463,33 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_suggested_suite(spark, sf_dir):
+    """deequ-style constraint suggestion end-to-end: a suite inferred
+    from CLEAN documents (bounds = observed n_chars envelope, domain =
+    observed langs, not_null from pinv=0 — plans/suite.suggest_suite)
+    is evaluated against deterministically corrupted documents; the
+    oracle re-derives the same envelope/domain in SQL and must count
+    identical per-constraint violations."""
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.operators.profile import build_profile
+    from data_validation_spark.plans.suite import Component, suggest_suite
+    docs = _t(spark, sf_dir, "documents")
+    prof = build_profile(docs, [Component("n_chars", "numeric"),
+                                Component("lang", "categoric")])
+    suite = suggest_suite(prof)
+    bad = docs.withColumn(
+        "n_chars", F.when(F.pmod("doc_id", F.lit(97)) == 0,
+                          F.lit(10 ** 9)).otherwise(F.col("n_chars"))
+    ).withColumn(
+        "lang", F.when(F.pmod("doc_id", F.lit(61)) == 0, F.lit("zz"))
+        .otherwise(F.col("lang")))
+    run = evaluate_constraints(bad, suite)
+    return (run.violations.select(F.explode("errors").alias("constraint"))
+            .groupBy("constraint")
+            .agg(F.count(F.lit(1)).alias("n_violations")))
+
+
 def q_independence(spark, sf_dir):
     """Chi-squared independence cells for documents lang x source —
     zero cells included with their (0-E)^2/E contribution (a naive
@@ -1742,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "suggested_suite": q_suggested_suite,
         "independence": q_independence,
         "sliding_windows": q_sliding_windows,
         "event_transitions": q_event_transitions,
@@ -2734,6 +2762,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "suggested_suite": """
+            WITH ref AS (
+              SELECT min(n_chars) AS lo, max(n_chars) AS hi
+              FROM documents),
+            bad AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 97 = 0 THEN 1000000000
+                          ELSE n_chars END AS n_chars,
+                     CASE WHEN doc_id % 61 = 0 THEN 'zz'
+                          ELSE lang END AS lang
+              FROM documents),
+            f AS (
+              SELECT 'n_chars_bounds' AS c, count(*) AS n
+              FROM bad, ref WHERE n_chars < lo OR n_chars > hi
+              UNION ALL
+              SELECT 'lang_in_domain', count(*)
+              FROM bad WHERE lang NOT IN (SELECT DISTINCT lang
+                                          FROM documents)
+              UNION ALL
+              SELECT 'n_chars_not_null', count(*)
+              FROM bad WHERE n_chars IS NULL
+              UNION ALL
+              SELECT 'lang_not_null', count(*)
+              FROM bad WHERE lang IS NULL)
+            SELECT c AS "constraint", n AS n_violations
+            FROM f WHERE n > 0
         """,
         "independence": """
             WITH c AS (

@@ -398,3 +398,71 @@ class ValidationSuite:
     def load(cls, path: str) -> ValidationSuite:
         with open(path) as f:
             return cls.from_json(f.read())
+
+
+def suggest_suite(profile: Profile, name: str = "suggested",
+                  partition_cols: list[str] | None = None,
+                  bounds_margin: float = 0.0,
+                  max_domain: int = 1000) -> ValidationSuite:
+    """Constraint suggestion (deequ ConstraintSuggestion / rdv
+    build-then-validate): derive a ``ValidationSuite`` from a BUILT
+    reference profile, so "yesterday's data defines today's contract"
+    needs no hand-written rules.
+
+    Suggested per component, strictly from evidence in the profile:
+
+    * numeric → ``bounds`` [min, max], optionally widened by
+      ``bounds_margin`` × range on each side (0 = exact observed
+      envelope; a few percent absorbs benign drift);
+    * numeric/tokens/categoric with ``pinv == 0`` → ``not_null``
+      (never suggested when the reference itself contained NULLs);
+    * tokens with element bounds → the vocab-range ``expression``;
+    * categoric → ``in_domain`` over the observed domain — SKIPPED
+      (never guessed) when the profile was built top-k-truncated
+      (``__other__`` present) or the domain exceeds ``max_domain``:
+      an incomplete domain would flag legitimate tail values, the
+      exact failure mode resolved_constraints refuses (suite.py
+      in_domain guard).
+
+    Pure driver logic over the profile dict — no jobs.  The result is
+    an ordinary suite: serialize it, review it, run it.
+    """
+    profile.require_built()
+    comps, cons = [], []
+    for comp_name, comp in profile.components.items():
+        comps.append(Component(comp_name, comp.ctype))
+        s = comp.stats
+        if s is None:
+            continue
+        if getattr(s, "pinv", None) == 0.0:
+            cons.append(Constraint(f"{comp_name}_not_null", "not_null",
+                                   {"component": comp_name}))
+        if isinstance(s, NumericStats):
+            if s.min is not None and s.max is not None \
+                    and comp.ctype != "tokens":
+                lo, hi = float(s.min), float(s.max)
+                pad = (hi - lo) * float(bounds_margin)
+                cons.append(Constraint(
+                    f"{comp_name}_bounds", "bounds",
+                    {"component": comp_name, "min": lo - pad,
+                     "max": hi + pad}))
+            if comp.ctype == "tokens" and s.elem_min is not None \
+                    and s.elem_max is not None:
+                cons.append(Constraint(
+                    f"{comp_name}_vocab_bounds", "expression",
+                    {"sql": f"{comp_name} is null or "
+                            f"(array_min({comp_name}) >= {int(s.elem_min)}"
+                            f" and array_max({comp_name})"
+                            f" <= {int(s.elem_max)})"}))
+        if isinstance(s, CategoricStats) and s.frequencies is not None:
+            if OTHER_KEY in s.frequencies:
+                continue  # top-k-truncated: a guessed domain flags
+                # legitimate tail values — never suggest one
+            domain = sorted(k for k in s.frequencies if k != OTHER_KEY)
+            if 0 < len(domain) <= int(max_domain):
+                cons.append(Constraint(
+                    f"{comp_name}_in_domain", "in_domain",
+                    {"component": comp_name, "values": domain}))
+    return ValidationSuite(name=name, components=comps,
+                           constraints=cons,
+                           partition_cols=partition_cols or [])

@@ -210,3 +210,53 @@ def test_run_validation_fails_fast_on_schema_mismatch(spark):
         constraints=[Constraint("u", "unique", {"keys": ["doc_id"]})])
     with pytest.raises(ValueError, match="does not match the input schema"):
         run_validation(spark, df, suite, resume=False)
+
+
+def test_suggest_suite_roundtrip(spark):
+    """Suite suggested from a profile of clean data PASSES on that
+    data, FLAGS corrupted data, and never guesses a truncated domain."""
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.operators.profile import build_profile
+    from data_validation_spark.plans.suite import Component, suggest_suite
+    from data_validation_spark.sources.sequences import synth_sequences
+    from pyspark.sql import functions as F
+
+    df = synth_sequences(spark, 2000).filter(F.col("tokens").isNotNull())
+    comps = [Component("n_tok", "numeric"), Component("source", "categoric"),
+             Component("tokens", "tokens")]
+    prof = build_profile(df, comps)
+    suite = suggest_suite(prof, partition_cols=["source"])
+    kinds = {c.name: c.kind for c in suite.constraints}
+    assert kinds["n_tok_bounds"] == "bounds"
+    assert kinds["source_in_domain"] == "in_domain"
+    assert kinds["tokens_vocab_bounds"] == "expression"
+    assert "n_tok_not_null" in kinds
+
+    # clean data passes every suggested constraint
+    run = evaluate_constraints(df, suite)
+    assert run.violations.count() == 0
+
+    # corrupted data is flagged by the suggested rules
+    bad = df.withColumn(
+        "n_tok", F.when(F.pmod(F.crc32("doc_id"), 501) == 0, F.lit(10 ** 9))
+        .otherwise(F.col("n_tok"))).withColumn(
+        "source", F.when(F.pmod(F.crc32("doc_id"), 503) == 0, F.lit("EVIL"))
+        .otherwise(F.col("source")))
+    bad_run = evaluate_constraints(bad, suite)
+    errs = {e for r in bad_run.violations.select("errors").collect()
+            for e in r.errors}
+    assert "n_tok_bounds" in errs and "source_in_domain" in errs
+
+
+def test_suggest_suite_refuses_truncated_domain(spark):
+    from data_validation_spark.plans.suite import (
+        CategoricStats, Component, Profile, suggest_suite)
+    comp = Component("c", "categoric")
+    comp.stats = CategoricStats(
+        frequencies={"a": 0.5, "__other__": 0.5},
+        counts={"a": 5, "__other__": 5}, pinv=0.0, n=10)
+    prof = Profile(components={"c": comp})
+    suite = suggest_suite(prof)
+    assert not any(c.kind == "in_domain" for c in suite.constraints)
+    assert any(c.kind == "not_null" for c in suite.constraints)
