@@ -73,7 +73,35 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--method", default="catalyst",
                    choices=["catalyst", "kernel"])
 
+    s = sub.add_parser(
+        "suggest-suite",
+        help="infer a validation suite from a profile JSON "
+             "(deequ-style constraint suggestion; review before running)")
+    s.add_argument("--profile", required=True,
+                   help="built profile JSON (from build-profile)")
+    s.add_argument("--out", required=True, help="suite JSON output path")
+    s.add_argument("--bounds-margin", type=float, default=0.0,
+                   help="widen numeric bounds by this fraction of the "
+                        "observed range on each side")
+    s.add_argument("--partition-cols", default="",
+                   help="comma-separated partition columns for the suite")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "suggest-suite":
+        # pure driver logic — no SparkSession needed
+        from data_validation_spark.plans.suite import (
+            Profile, suggest_suite)
+        prof = Profile.load(args.profile)
+        pcols = [c for c in args.partition_cols.split(",") if c]
+        suite = suggest_suite(prof, name=f"{prof.name}_suggested",
+                              partition_cols=pcols,
+                              bounds_margin=args.bounds_margin)
+        suite.save(args.out)
+        print(json.dumps({
+            "saved": args.out,
+            "constraints": sorted(c.name for c in suite.constraints)}))
+        return 0
 
     from data_validation_spark.session import get_spark
     spark = get_spark(app_name=f"dvs-{args.cmd}")

@@ -430,13 +430,18 @@ def suggest_suite(profile: Profile, name: str = "suggested",
     profile.require_built()
     comps, cons = [], []
     for comp_name, comp in profile.components.items():
-        comps.append(Component(comp_name, comp.ctype))
+        comps.append(Component(comp_name, comp.ctype,
+                                extractor=comp.extractor))
         s = comp.stats
         if s is None:
             continue
+        # derived components (extractor != name) must carry the
+        # expression in params — the evaluator and the schema pre-flight
+        # resolve p["expr"] first, then fall back to the component name
+        extra = ({"expr": comp.extractor} if comp.extractor else {})
         if getattr(s, "pinv", None) == 0.0:
             cons.append(Constraint(f"{comp_name}_not_null", "not_null",
-                                   {"component": comp_name}))
+                                   {"component": comp_name, **extra}))
         if isinstance(s, NumericStats):
             if s.min is not None and s.max is not None \
                     and comp.ctype != "tokens":
@@ -445,7 +450,7 @@ def suggest_suite(profile: Profile, name: str = "suggested",
                 cons.append(Constraint(
                     f"{comp_name}_bounds", "bounds",
                     {"component": comp_name, "min": lo - pad,
-                     "max": hi + pad}))
+                     "max": hi + pad, **extra}))
             if comp.ctype == "tokens" and s.elem_min is not None \
                     and s.elem_max is not None:
                 cons.append(Constraint(
@@ -462,7 +467,8 @@ def suggest_suite(profile: Profile, name: str = "suggested",
             if 0 < len(domain) <= int(max_domain):
                 cons.append(Constraint(
                     f"{comp_name}_in_domain", "in_domain",
-                    {"component": comp_name, "values": domain}))
+                    {"component": comp_name, "values": domain,
+                     **extra}))
     return ValidationSuite(name=name, components=comps,
                            constraints=cons,
                            partition_cols=partition_cols or [])
