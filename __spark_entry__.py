@@ -1463,6 +1463,34 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_image_headers(spark, sf_dir):
+    """Real image-header parsing, oracle-checked as synthesize∘parse =
+    identity: PNG and JPEG payload BYTES are built in-engine from each
+    document's n_chars (unhex byte assembly), then parsed back by
+    multimodal.parse_image_headers — fixed-offset formats through the
+    pure-Catalyst branch, JPEG through the marker-scan Arrow kernel; a
+    misread offset or endianness flips the oracle."""
+    from data_validation_spark.operators.multimodal import (
+        parse_image_headers)
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.pmod("n_chars", F.lit(640)) + 1).cast("int").alias("w"),
+        (F.pmod("n_chars", F.lit(480)) + 1).cast("int").alias("h"))
+    hx = lambda c, n: F.lpad(F.hex(F.col(c)), n, "0")
+    png = docs.select(
+        F.concat(F.col("doc_id"), F.lit("-png")).alias("doc_id"),
+        F.unhex(F.concat(F.lit("89504E470D0A1A0A0000000D49484452"),
+                         hx("w", 8), hx("h", 8), F.lit("0802000000")))
+        .alias("payload"))
+    jpg = docs.select(
+        F.concat(F.col("doc_id"), F.lit("-jpg")).alias("doc_id"),
+        F.unhex(F.concat(
+            F.lit("FFD8FFE000104A46494600"), F.lit("00" * 9),
+            F.lit("FFC0001108"), hx("h", 4), hx("w", 4),
+            F.lit("03011100021101031101"))).alias("payload"))
+    return parse_image_headers(png.unionByName(jpg))
+
+
 def q_suggested_suite(spark, sf_dir):
     """deequ-style constraint suggestion end-to-end: a suite inferred
     from CLEAN documents (bounds = observed n_chars envelope, domain =
@@ -1769,6 +1797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
         "sliding_windows": q_sliding_windows,
@@ -2762,6 +2791,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "image_headers": """
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                     CAST(n_chars % 640 + 1 AS INT) AS w,
+                     CAST(n_chars % 480 + 1 AS INT) AS h
+              FROM documents)
+            SELECT doc_id || '-png' AS doc_id, 'png' AS format,
+                   w AS width, h AS height, TRUE AS valid
+            FROM d
+            UNION ALL
+            SELECT doc_id || '-jpg', 'jpeg', w, h, TRUE FROM d
         """,
         "suggested_suite": """
             WITH ref AS (

@@ -103,3 +103,111 @@ def resize_metadata(df: DataFrame, max_side: int = 256) -> DataFrame:
         "doc_id", "width", "height",
         F.round(F.col("width") * scale).cast("int").alias("target_width"),
         F.round(F.col("height") * scale).cast("int").alias("target_height"))
+
+
+# -- real container-format header parsing (no image libraries) ----------
+
+_PNG_MAGIC = "89504E470D0A1A0A"
+HEADER_SCHEMA = ("doc_id string, format string, width int, height int, "
+                 "valid boolean")
+
+
+def parse_image_headers(df: DataFrame, id_col: str = "doc_id",
+                        payload_col: str = "payload") -> DataFrame:
+    """REAL image-dimension extraction from raw payload bytes — the
+    de-stubbed slice of decode: container headers are plain byte
+    arithmetic, no image library required.
+
+    * PNG  — IHDR is at a FIXED offset: width/height are big-endian
+      u32 at bytes 16/20.  Parsed as a pure Catalyst projection
+      (``conv(hex(substring(payload, ...)), 16, 10)``) — JVM-side,
+      vectorized, no Python in the path.
+    * GIF / BMP — fixed-offset little-endian u16/s32; same projection
+      (per-byte hex + integer recompose; BMP height may be negative =
+      top-down, absolute value taken).
+    * JPEG — dimensions live in a SOF marker at a data-dependent
+      offset, so only the JPEG rows route through an Arrow kernel that
+      walks the marker chain (skip by big-endian segment lengths until
+      SOF0/1/2/...), exactly the split a 100 TB pipeline wants: the
+      O(1)-offset formats never leave whole-stage codegen.
+
+    Output: ``doc_id, format, width, height, valid`` — ``valid=false``
+    for truncated/corrupt headers and unknown formats (this doubles as
+    the corrupt-payload screen of a media validation suite).
+    """
+    p = F.col(payload_col)
+
+    def byte(off):  # 1-based offset → 0..255 (NULL past end)
+        return F.conv(F.hex(F.substring(p, off, 1)), 16, 10).cast("int")
+
+    def be32(off):
+        return F.conv(F.hex(F.substring(p, off, 4)), 16, 10).cast("long")
+
+    def le16(off):
+        return byte(off + 1) * 256 + byte(off)
+
+    def le32s(off):  # little-endian SIGNED 32-bit (BMP dims)
+        v = (byte(off + 3) * F.lit(16777216).cast("long")
+             + byte(off + 2) * 65536 + byte(off + 1) * 256 + byte(off))
+        return F.when(v >= F.lit(2**31), v - F.lit(2**32)).otherwise(v)
+
+    head8 = F.hex(F.substring(p, 1, 8))
+    head2 = F.hex(F.substring(p, 1, 2))
+    head6 = F.hex(F.substring(p, 1, 6))
+    fmt = (F.when(head8 == _PNG_MAGIC, "png")
+           .when(head6.isin("474946383761", "474946383961"), "gif")
+           .when(head2 == "424D", "bmp")
+           .when(head2 == "FFD8", "jpeg")
+           .otherwise("unknown"))
+    w = (F.when(fmt == "png", be32(17))
+         .when(fmt == "gif", le16(7).cast("long"))
+         .when(fmt == "bmp", F.abs(le32s(19))))
+    h = (F.when(fmt == "png", be32(21))
+         .when(fmt == "gif", le16(9).cast("long"))
+         .when(fmt == "bmp", F.abs(le32s(23))))
+    base = df.select(F.col(id_col).cast("string").alias("doc_id"),
+                     p.alias("__p"), fmt.alias("format"),
+                     w.cast("int").alias("width"),
+                     h.cast("int").alias("height"))
+
+    fixed = base.filter(F.col("format") != "jpeg").select(
+        "doc_id", "format", "width", "height",
+        ((F.col("format") != "unknown") & F.col("width").isNotNull()
+         & F.col("height").isNotNull() & (F.col("width") > 0)
+         & (F.col("height") > 0)).alias("valid"))
+
+    def scan_jpeg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        for pdf in batches:
+            rows = []
+            for did, buf in zip(pdf["doc_id"], pdf["__p"]):
+                wd = ht = None
+                b = bytes(buf or b"")
+                i = 2
+                while i + 3 < len(b):
+                    if b[i] != 0xFF:
+                        break
+                    marker = b[i + 1]
+                    if marker in sof:
+                        if i + 9 <= len(b):
+                            ht = (b[i + 5] << 8) | b[i + 6]
+                            wd = (b[i + 7] << 8) | b[i + 8]
+                        break
+                    if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                        i += 2          # standalone markers, no length
+                        continue
+                    seglen = (b[i + 2] << 8) | b[i + 3]
+                    if seglen < 2:
+                        break
+                    i += 2 + seglen
+                ok = wd is not None and wd > 0 and ht is not None and ht > 0
+                rows.append((did, "jpeg", wd if ok else None,
+                             ht if ok else None, ok))
+            yield pd.DataFrame(rows, columns=["doc_id", "format", "width",
+                                              "height", "valid"])
+
+    jpeg = (base.filter(F.col("format") == "jpeg")
+            .select("doc_id", "__p")
+            .mapInPandas(scan_jpeg, schema=HEADER_SCHEMA))
+    return fixed.unionByName(jpeg)
