@@ -19,7 +19,7 @@ import os
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1463,6 +1463,27 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_bigram_topk(spark, sf_dir):
+    """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
+    boilerplate tell — a bigram that dominates the head is template
+    residue).  Bigrams form as a pure Catalyst transform over the
+    word array (no second explode pass), Zipf-collapsed in one count
+    shuffle, ranked by TakeOrdered-style window with deterministic
+    ties."""
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.length(F.trim("text")) > 0))
+    w = F.split(F.trim("text"), r"\s+")
+    docs = docs.select(w.alias("w")).filter(F.size("w") >= 2)
+    bigrams = docs.select(F.explode(F.expr(
+        "transform(sequence(1, size(w) - 1), i -> "
+        "concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
+        .alias("bigram"))
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    win = Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
+    return (counts.withColumn("rank", F.row_number().over(win))
+            .filter(F.col("rank") <= 25))
+
+
 def q_image_headers(spark, sf_dir):
     """Real image-header parsing, oracle-checked as synthesize∘parse =
     identity: PNG and JPEG payload BYTES are built in-engine from each
@@ -1797,6 +1818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "bigram_topk": q_bigram_topk,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -2791,6 +2813,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "bigram_topk": """
+            WITH w AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0),
+            b AS (
+              SELECT w[i] || ' ' || w[i + 1] AS bigram
+              FROM w, unnest(range(1, len(w))) t(i)
+              WHERE len(w) >= 2),
+            c AS (
+              SELECT bigram, count(*) AS cnt FROM b GROUP BY 1)
+            SELECT bigram, cnt,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, bigram ASC)
+                        AS INT) AS rank
+            FROM c QUALIFY rank <= 25
         """,
         "image_headers": """
             WITH d AS (
