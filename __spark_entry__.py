@@ -1463,6 +1463,40 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_dq_constraint_kinds(spark, sf_dir):
+    """The deequ-family checks as DECLARATIVE suite kinds, end-to-end:
+    documents get ~14% of langs nulled and duplicate rows with a
+    conflicting lang injected, then a suite with 'fd' (doc_id -> lang)
+    and 'completeness' (lang >= 0.9) constraints runs through
+    evaluate_constraints; the oracle re-derives both violation sets in
+    SQL — set-level assertion semantics (flag NULL rows ONLY when the
+    table-level ratio breaks) included."""
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    base = docs.withColumn(
+        "lang", F.when(F.pmod("doc_id", F.lit(7)) == 0, F.lit(None))
+        .otherwise(F.col("lang")))
+    extra = (docs.filter(F.pmod("doc_id", F.lit(61)) == 0)
+             .withColumn("lang", F.lit("xx")))
+    bad = base.unionByName(extra)
+    suite = ValidationSuite(
+        name="dq", components=[Component("lang", "categoric")],
+        partition_cols=["source"],
+        constraints=[
+            Constraint("doc_lang_fd", "fd",
+                       {"determinant": ["doc_id"], "dependent": "lang"}),
+            Constraint("lang_complete", "completeness",
+                       {"component": "lang", "min_ratio": 0.9}),
+        ])
+    run = evaluate_constraints(bad, suite)
+    return (run.violations.select(F.explode("errors").alias("constraint"))
+            .groupBy("constraint")
+            .agg(F.count(F.lit(1)).alias("n_violations")))
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -1818,6 +1852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "dq_constraint_kinds": q_dq_constraint_kinds,
         "bigram_topk": q_bigram_topk,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
@@ -2813,6 +2848,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "dq_constraint_kinds": """
+            WITH base AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END
+                       AS lang
+              FROM documents),
+            extra AS (
+              SELECT doc_id, 'xx' AS lang FROM documents
+              WHERE doc_id % 61 = 0),
+            bad AS (
+              SELECT * FROM base UNION ALL SELECT * FROM extra),
+            fdk AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, lang FROM bad GROUP BY 1, 2)
+              GROUP BY doc_id HAVING count(*) > 1),
+            f AS (
+              SELECT 'doc_lang_fd' AS c, count(*) AS n
+              FROM bad WHERE doc_id IN (SELECT doc_id FROM fdk)
+              UNION ALL
+              SELECT 'lang_complete',
+                     CASE WHEN (SELECT count(lang) * 1.0 / count(*)
+                                FROM bad) < 0.9
+                          THEN (SELECT count(*) FROM bad
+                                WHERE lang IS NULL)
+                          ELSE 0 END)
+            SELECT c AS "constraint", CAST(n AS BIGINT) AS n_violations
+            FROM f WHERE n > 0
         """,
         "bigram_topk": """
             WITH w AS (

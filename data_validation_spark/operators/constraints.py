@@ -249,6 +249,33 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
             frames.append(uniqueness_violations(
                 df, list(c.params["keys"]), pcols, c.name))
             names.append(c.name)
+        elif c.kind == "fd":
+            p = c.params
+            bad_keys = functional_dependency_violations(
+                df, list(p["determinant"]), p["dependent"]
+            ).select(*p["determinant"])
+            frames.append(
+                df.join(bad_keys, list(p["determinant"]), "left_semi")
+                .withColumn("errors", F.array(F.lit(c.name)))
+                .withColumn("partition", partition_label_col(pcols)))
+            names.append(c.name)
+        elif c.kind == "completeness":
+            p = c.params
+            col = F.expr(p.get("expr", p["component"]))
+            # lazy set-level assertion: the scalar ratio broadcast-joins
+            # back, so "flag the NULL rows iff the table-level ratio is
+            # below min_ratio" needs no driver action — when the
+            # assertion holds the filter is statically empty
+            ratio = df.agg((F.count(col) / F.count(F.lit(1)))
+                           .alias("__ratio"))
+            frames.append(
+                df.crossJoin(F.broadcast(ratio))
+                .filter((F.col("__ratio") < F.lit(float(p["min_ratio"])))
+                        & col.isNull())
+                .drop("__ratio")
+                .withColumn("errors", F.array(F.lit(c.name)))
+                .withColumn("partition", partition_label_col(pcols)))
+            names.append(c.name)
         elif c.kind == "referential":
             p = c.params
             if "values" in p:

@@ -359,6 +359,24 @@ class ValidationSuite:
                 for k in p.get("keys", []):
                     if k not in cols:
                         errs.append(f"{what}: key column {k!r} missing")
+            elif con.kind == "fd":
+                for k in p.get("determinant", []):
+                    if k not in cols:
+                        errs.append(f"{what}: determinant column {k!r} "
+                                    "missing")
+                if not p.get("determinant"):
+                    errs.append(f"{what}: needs 'determinant'")
+                if p.get("dependent") not in cols:
+                    errs.append(f"{what}: dependent column "
+                                f"{p.get('dependent')!r} missing")
+            elif con.kind == "completeness":
+                if "min_ratio" not in p:
+                    errs.append(f"{what}: needs 'min_ratio'")
+                expr = p.get("expr", p.get("component"))
+                if expr is None:
+                    errs.append(f"{what}: needs 'component' or 'expr'")
+                else:
+                    resolve(expr, what)
             elif con.kind == "referential":
                 if p.get("column") not in cols:
                     errs.append(f"{what}: column {p.get('column')!r} missing")

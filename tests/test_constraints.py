@@ -160,3 +160,63 @@ def test_functional_dependency_violations(spark):
     out = {r.k: (r.n_distinct_dependents, r.n_rows) for r in
            functional_dependency_violations(df, ["k"], "v").collect()}
     assert out == {2: (2, 3), 3: (2, 2)}
+
+
+def test_fd_and_completeness_constraint_kinds(spark):
+    """The deequ-family checks as DECLARATIVE suite kinds: fd flags all
+    rows of inconsistent keys; completeness flags NULL rows only when
+    the table-level ratio breaks the assertion."""
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    rows = [(1, "a", "p0"), (1, "a", "p0"),
+            (2, "a", "p0"), (2, "b", "p1"),          # fd violation ×2
+            (3, None, "p1"), (4, "c", "p1"), (5, "d", "p0"),
+            (6, "e", "p0"), (7, "f", "p1"), (8, "g", "p0")]
+    df = spark.createDataFrame(rows, "k long, v string, part string")
+    suite = ValidationSuite(
+        name="dq", components=[Component("v", "categoric")],
+        partition_cols=["part"],
+        constraints=[
+            Constraint("k_determines_v", "fd",
+                       {"determinant": ["k"], "dependent": "v"}),
+            Constraint("v_complete_strict", "completeness",
+                       {"component": "v", "min_ratio": 0.95}),
+            Constraint("v_complete_loose", "completeness",
+                       {"component": "v", "min_ratio": 0.5}),
+        ])
+    assert suite.schema_errors(df) == []
+    run = evaluate_constraints(df, suite)
+    by = {(r["k"], e) for r in run.violations.collect()
+          for e in r["errors"]}
+    # fd: both rows of key 2 flagged (and nothing else)
+    assert {(k, e) for k, e in by if e == "k_determines_v"} == {
+        (2, "k_determines_v")}
+    # strict completeness (9/10 = 0.9 < 0.95): the NULL row flagged
+    assert (3, "v_complete_strict") in by
+    # loose completeness (0.9 >= 0.5): no violations at all
+    assert not any(e == "v_complete_loose" for _, e in by)
+    verd = {r.constraint: r.passed for r in
+            run.verdicts.groupBy("constraint")
+            .agg(F.min("passed").alias("passed")).collect()}
+    assert verd == {"k_determines_v": False, "v_complete_strict": False,
+                    "v_complete_loose": True}
+
+
+def test_fd_completeness_schema_preflight(spark):
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    suite = ValidationSuite(
+        name="bad", components=[Component("v", "categoric")],
+        constraints=[
+            Constraint("f1", "fd", {"determinant": ["nope"],
+                                    "dependent": "v"}),
+            Constraint("f2", "fd", {"determinant": ["k"],
+                                    "dependent": "gone"}),
+            Constraint("c1", "completeness", {"component": "v"}),
+        ])
+    errs = "\n".join(suite.schema_errors(df))
+    assert "'nope' missing" in errs and "'gone' missing" in errs
+    assert "needs 'min_ratio'" in errs
