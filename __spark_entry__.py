@@ -1513,9 +1513,14 @@ def q_bigram_topk(spark, sf_dir):
         "concat_ws(' ', element_at(w, i), element_at(w, i + 1)))"))
         .alias("bigram"))
     counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt"))
+    # TakeOrdered (orderBy+limit = per-partition heap + driver merge),
+    # NEVER a rank window over the full bigram vocabulary — that single
+    # partition is a 100 TB scale-killer; the rank window runs over the
+    # 25 surviving rows only
+    top = counts.orderBy(F.col("cnt").desc(), F.col("bigram").asc()) \
+        .limit(25)
     win = Window.orderBy(F.col("cnt").desc(), F.col("bigram").asc())
-    return (counts.withColumn("rank", F.row_number().over(win))
-            .filter(F.col("rank") <= 25))
+    return top.withColumn("rank", F.row_number().over(win))
 
 
 def q_image_headers(spark, sf_dir):

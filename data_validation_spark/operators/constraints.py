@@ -244,6 +244,30 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
         frames.append(row_level_violations(df, row_cs, pcols))
         names += [c.name for c in row_cs]
 
+    # completeness: ALL ratios in ONE fused aggregate pass (N assertions
+    # must not cost N table scans), broadcast back as a single row — the
+    # lazy set-level trick: NULL rows are flagged only when their
+    # column's table-level ratio breaks min_ratio; when every assertion
+    # holds the filters are statically empty, and no driver action runs
+    comp_cs = [c for c in constraints if c.kind == "completeness"]
+    if comp_cs:
+        exprs = {c.name: F.expr(c.params.get("expr", c.params["component"]))
+                 for c in comp_cs}
+        ratios = df.agg(*[(F.count(exprs[c.name]) / F.count(F.lit(1)))
+                          .alias(f"__r_{i}")
+                          for i, c in enumerate(comp_cs)])
+        with_r = df.crossJoin(F.broadcast(ratios))
+        for i, c in enumerate(comp_cs):
+            frames.append(
+                with_r.filter(
+                    (F.col(f"__r_{i}")
+                     < F.lit(float(c.params["min_ratio"])))
+                    & exprs[c.name].isNull())
+                .drop(*[f"__r_{j}" for j in range(len(comp_cs))])
+                .withColumn("errors", F.array(F.lit(c.name)))
+                .withColumn("partition", partition_label_col(pcols)))
+            names.append(c.name)
+
     for c in constraints:
         if c.kind == "unique":
             frames.append(uniqueness_violations(
@@ -256,23 +280,6 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
             ).select(*p["determinant"])
             frames.append(
                 df.join(bad_keys, list(p["determinant"]), "left_semi")
-                .withColumn("errors", F.array(F.lit(c.name)))
-                .withColumn("partition", partition_label_col(pcols)))
-            names.append(c.name)
-        elif c.kind == "completeness":
-            p = c.params
-            col = F.expr(p.get("expr", p["component"]))
-            # lazy set-level assertion: the scalar ratio broadcast-joins
-            # back, so "flag the NULL rows iff the table-level ratio is
-            # below min_ratio" needs no driver action — when the
-            # assertion holds the filter is statically empty
-            ratio = df.agg((F.count(col) / F.count(F.lit(1)))
-                           .alias("__ratio"))
-            frames.append(
-                df.crossJoin(F.broadcast(ratio))
-                .filter((F.col("__ratio") < F.lit(float(p["min_ratio"])))
-                        & col.isNull())
-                .drop("__ratio")
                 .withColumn("errors", F.array(F.lit(c.name)))
                 .withColumn("partition", partition_label_col(pcols)))
             names.append(c.name)
