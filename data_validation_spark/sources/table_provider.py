@@ -38,7 +38,7 @@ class TableProvider:
     def __init__(self, spark: SparkSession, root: str,
                  backend: str = "parquet", schema: str | None = None,
                  options: dict | None = None):
-        if backend not in ("parquet", "iceberg", "json", "csv"):
+        if backend not in ("parquet", "orc", "iceberg", "json", "csv"):
             raise ValueError(f"unknown backend {backend!r}")
         self.spark = spark
         self.root = root.rstrip("/")
@@ -49,7 +49,7 @@ class TableProvider:
             self.options["header"] = "true"
 
     def _ident(self, name: str) -> str:
-        return (f"{self.root}/{name}" if self.backend == "parquet"
+        return (f"{self.root}/{name}" if self.backend in ("parquet", "orc")
                 else f"{self.root}.{name}")
 
     # -- IO1: sequence-table scan (column pruning via explicit select) --

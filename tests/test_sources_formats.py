@@ -101,3 +101,41 @@ def test_iceberg_backend_round_trip_when_runtime_present(spark, tmp_path):
     assert tp.exists("t")
     assert tp.read("t").count() == 4
     assert tp.read("t", columns=["v"]).columns == ["v"]
+
+
+def test_orc_round_trip_with_tokens(spark, tmp_path):
+    """ORC backend (bundled with Spark): round-trips the full
+    input_hint shape INCLUDING the tokens array column, with column
+    pruning through the reader."""
+    from data_validation_spark.sources.sequences import synth_sequences
+    tp = TableProvider(spark, str(tmp_path), backend="orc")
+    seq = synth_sequences(spark, 500)
+    tp.overwrite(seq, "seq", partition_by=["source"])
+    back = tp.read("seq")
+    assert back.count() == 500
+    assert dict(back.dtypes)["tokens"] == "array<int>"
+    slim = tp.read("seq", columns=["doc_id", "n_tok"])
+    assert slim.columns == ["doc_id", "n_tok"]
+    # content parity with the source frame (exact row sets)
+    a = sorted((r.doc_id, r.n_tok) for r in seq.select(
+        "doc_id", "n_tok").collect())
+    b = sorted((r.doc_id, r.n_tok) for r in slim.collect())
+    assert a == b
+
+
+def test_validation_over_orc_input(spark, tmp_path):
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    from data_validation_spark.sources.sequences import synth_sequences
+    tp = TableProvider(spark, str(tmp_path), backend="orc")
+    tp.overwrite(synth_sequences(spark, 2000), "seq")
+    suite = ValidationSuite(
+        name="orc_suite", components=[Component("n_tok", "numeric")],
+        partition_cols=["source", "bucket"],
+        constraints=[Constraint("dup", "unique", {"keys": ["doc_id"]})])
+    run = evaluate_constraints(tp.read("seq"), suite)
+    # the generator's known dup rate (i%97 ids duplicated) surfaces
+    assert run.violations.count() > 0
+    assert run.violations.count() % 2 == 0  # dup rows come in pairs
