@@ -1463,6 +1463,31 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_trend(spark, sf_dir):
+    """Per-event-type volume trend: OLS slope of daily counts from
+    exact DECIMAL(38,0) moments (health.trend_report — associative, so
+    partition-invariant; one float tail), replayed in HUGEINT."""
+    from data_validation_spark.operators.health import trend_report
+    return trend_report(_t(spark, sf_dir, "events"), ["event_type"])
+
+
+def q_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (Hernández-Stolfo): customers paired
+    with their 2 forward neighbors in c_name order via the scale-safe
+    global rank (range partition + local row_number + offsets — no
+    single-task sort), then levenshtein-verified; the oracle replays
+    the identical total order with a plain ROW_NUMBER."""
+    from data_validation_spark.operators.ordering import (
+        sorted_neighborhood_pairs)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    pairs = sorted_neighborhood_pairs(
+        cust, [F.col("c_name"), F.col("c_custkey")],
+        ["c_custkey", "c_name"], window=3)
+    return (pairs.withColumn("dist", F.levenshtein("c_name_a", "c_name_b"))
+            .filter(F.col("dist") <= 1)
+            .select("c_custkey_a", "c_custkey_b", "pos_a", "pos_b", "dist"))
+
+
 def q_dq_constraint_kinds(spark, sf_dir):
     """The deequ-family checks as DECLARATIVE suite kinds, end-to-end:
     documents get ~14% of langs nulled and duplicate rows with a
@@ -1857,6 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "trend": q_trend,
+        "sorted_neighborhood": q_sorted_neighborhood,
         "dq_constraint_kinds": q_dq_constraint_kinds,
         "bigram_topk": q_bigram_topk,
         "image_headers": q_image_headers,
@@ -2853,6 +2880,47 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "trend": """
+            WITH d AS (
+              SELECT event_type,
+                     date_diff('day', DATE '1970-01-01',
+                               CAST(ts AS DATE)) AS x,
+                     count(*) AS y
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, count(*) AS n_days,
+                     CAST(sum(y) AS BIGINT) AS total_rows,
+                     sum(CAST(x AS HUGEINT)) AS sx,
+                     sum(CAST(y AS HUGEINT)) AS sy,
+                     sum(CAST(x AS HUGEINT) * y) AS sxy,
+                     sum(CAST(x AS HUGEINT) * x) AS sxx
+              FROM d GROUP BY 1)
+            SELECT event_type, n_days, total_rows,
+                   CASE WHEN CAST(n_days AS HUGEINT) * sxx - sx * sx <> 0
+                        THEN round(
+                          CAST(CAST(n_days AS HUGEINT) * sxy - sx * sy
+                               AS DOUBLE)
+                          / CAST(CAST(n_days AS HUGEINT) * sxx - sx * sx
+                                 AS DOUBLE), 6)
+                   END AS slope_per_day
+            FROM m
+        """,
+        "sorted_neighborhood": """
+            WITH r AS (
+              SELECT c_custkey, c_name,
+                     row_number() OVER (ORDER BY c_name, c_custkey) - 1
+                       AS pos
+              FROM customer),
+            p AS (
+              SELECT a.c_custkey AS c_custkey_a,
+                     b.c_custkey AS c_custkey_b,
+                     a.pos AS pos_a, b.pos AS pos_b,
+                     a.c_name AS na, b.c_name AS nb
+              FROM r a JOIN r b ON b.pos - a.pos IN (1, 2))
+            SELECT c_custkey_a, c_custkey_b, pos_a, pos_b,
+                   CAST(levenshtein(na, nb) AS INT) AS dist
+            FROM p WHERE levenshtein(na, nb) <= 1
         """,
         "dq_constraint_kinds": """
             WITH base AS (

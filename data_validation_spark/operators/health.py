@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 __all__ = ["partition_count_anomalies", "key_skew_report",
            "coverage_gaps", "completeness_profile",
            "pattern_conformance", "schema_diff",
-           "rolling_count_anomalies", "independence_cells"]
+           "rolling_count_anomalies", "independence_cells",
+           "trend_report"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -328,3 +329,48 @@ def independence_cells(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
         "n_ij", "n_i", "n_j", "n",
         F.round((num * num).cast("double") / den.cast("double"), 6)
         .alias("chi2_term"))
+
+
+def trend_report(df: DataFrame, group_cols: list[str],
+                 ts_col: str = "ts") -> DataFrame:
+    """Per-group volume trend: the OLS slope of daily row counts over
+    epoch days — "is this feed growing, flat, or bleeding?" as one
+    number per group, the long-horizon complement to
+    ``rolling_count_anomalies``' step detector.
+
+    The pearson_corr_matrix playbook again: all four moments
+    (Σx, Σy, Σxy, Σx²) accumulate as DECIMAL(38,0) over exact integers
+    (epoch-day × daily count products exceed BIGINT at 10^12-row feeds),
+    so they are associative — bit-identical under any partitioning —
+    and the slope's closed form
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    crosses to double once, through the same cast/divide/round sequence
+    on every engine.  Groups observed on fewer than two distinct days
+    report NULL (no trend from one point — never a guess).
+
+    One map-side-combined count shuffle to (group, day); the moment
+    aggregate runs over day-level rows.
+    """
+    dec = "decimal(38,0)"
+    daily = (df.groupBy(*group_cols,
+                        F.datediff(F.to_date(F.col(ts_col)),
+                                   F.lit("1970-01-01").cast("date"))
+                        .alias("__x"))
+             .agg(F.count(F.lit(1)).alias("__y")))
+    x = F.col("__x").cast(dec)
+    y = F.col("__y").cast(dec)
+    m = daily.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("__y").alias("total_rows"),
+        F.sum(x).alias("__sx"), F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"), F.sum(x * x).alias("__sxx"))
+    n = F.col("n_days").cast(dec)
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    return m.select(
+        *group_cols, "n_days", "total_rows",
+        F.when(den != 0,
+               F.round(num.cast("double") / den.cast("double"), 6))
+        .alias("slope_per_day"))

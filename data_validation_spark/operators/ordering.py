@@ -82,3 +82,42 @@ def shuffle_corpus(df: DataFrame, key_col: str = "doc_id",
         shuffled, [F.col("_shuffle_key"), F.col(key_col)],
         position_col=position_col, num_partitions=num_partitions)
     return out.drop("_shuffle_key")
+
+
+def sorted_neighborhood_pairs(df: DataFrame, order_cols: list,
+                              id_cols: list[str],
+                              window: int = 5) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo,
+    SIGMOD'95) — the classic record-linkage alternative to key
+    blocking: sort the table by a similarity-correlated key and pair
+    every row with its next ``window - 1`` neighbors in that order.
+    Where PassJoin blocking (operators/fuzzy.py) guarantees recall for
+    a fixed edit budget, sorted-neighborhood trades a recall guarantee
+    for O(n·w) candidates REGARDLESS of value distribution — the tier
+    to reach for when common prefixes degenerate segment blocking.
+
+    Scale shape: the global rank comes from ``global_order_index``
+    (range partition + LOCAL row_number + a numPartitions-row offset
+    collect — no single-task sort); each row then explodes to its
+    ``window - 1`` forward partner ranks and equi-joins the rank
+    column — one ordinary shuffle pair, candidates exactly
+    ``n·(w−1) − (w−1)·w/2``.  ``order_cols`` must be a total order
+    (append ``id_cols``) or neighbor sets are partition-dependent.
+
+    Output: every ``id_cols`` pair (suffixed ``_a``/``_b``) with both
+    positions; verification (levenshtein, Jaccard, cosine) is the
+    caller's second stage, same contract as every blocking tier.
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    ranked = global_order_index(df, order_cols).select(
+        *id_cols, F.col("position").alias("__pos"))
+    left = ranked.select(
+        *[F.col(c).alias(f"{c}_a") for c in id_cols],
+        F.col("__pos").alias("pos_a"),
+        F.explode(F.sequence(F.col("__pos") + 1,
+                             F.col("__pos") + window - 1)).alias("__p"))
+    right = ranked.select(
+        *[F.col(c).alias(f"{c}_b") for c in id_cols],
+        F.col("__pos").alias("__p"), F.col("__pos").alias("pos_b"))
+    return left.join(right, "__p").drop("__p")

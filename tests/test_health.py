@@ -224,3 +224,52 @@ def test_independence_cells(spark):
                         ("y", 2): 10}[c] - e) ** 2) / e
                      for c, e in exp.items())
     assert abs(stat - want) < 1e-9
+
+
+def test_trend_report_exact_slopes(spark):
+    import datetime as dt
+    from data_validation_spark.operators.health import trend_report
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # 'grow': 10, 20, 30, 40 rows on 4 days -> slope exactly 10/day
+    for d in range(4):
+        rows += [("grow", t0 + dt.timedelta(days=d))] * (10 * (d + 1))
+    # 'flat': 7/day for 5 days -> slope 0
+    for d in range(5):
+        rows += [("flat", t0 + dt.timedelta(days=d))] * 7
+    # 'solo': one day -> NULL slope
+    rows += [("solo", t0)] * 3
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    out = {r.g: (r.n_days, r.total_rows, r.slope_per_day)
+           for r in trend_report(df, ["g"]).collect()}
+    assert out["grow"] == (4, 100, 10.0)
+    assert out["flat"] == (5, 35, 0.0)
+    assert out["solo"] == (1, 3, None)
+
+
+def test_trend_partition_invariant(spark):
+    import datetime as dt
+    from data_validation_spark.operators.health import trend_report
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [("g", t0 + dt.timedelta(days=d, minutes=m))
+            for d in range(12) for m in range(3 + (d * 7) % 9)]
+    df = spark.createDataFrame(rows, "g string, ts timestamp")
+    a = trend_report(df.repartition(1), ["g"]).collect()
+    b = trend_report(df.repartition(32), ["g"]).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sorted_neighborhood_pairs(spark):
+    from data_validation_spark.operators.ordering import (
+        sorted_neighborhood_pairs)
+    import pytest as _pt
+    df = spark.createDataFrame([(i, f"v{i:03d}") for i in range(10)],
+                               "id long, s string")
+    out = sorted_neighborhood_pairs(df, [F.col("s")], ["id"], window=3)
+    pairs = sorted((r.id_a, r.id_b) for r in out.collect())
+    want = sorted((i, j) for i in range(10) for j in range(10)
+                  if 0 < j - i <= 2)
+    assert pairs == want                       # n(w-1) - (w-1)w/2 = 17
+    assert all(r.pos_b - r.pos_a in (1, 2) for r in out.collect())
+    with _pt.raises(ValueError):
+        sorted_neighborhood_pairs(df, [F.col("s")], ["id"], window=1)
