@@ -1463,6 +1463,30 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit screen over order totals: digits extracted
+    from the exact cents INTEGER's decimal string (no float log10 near
+    a power-of-ten boundary), expected probabilities are 6-dp literals
+    shared verbatim with the oracle, chi2 terms one float op sequence
+    (health.benford_report)."""
+    from data_validation_spark.operators.health import benford_report
+    return benford_report(_t(spark, sf_dir, "orders"), "o_totalprice")
+
+
+def q_price_histogram(spark, sf_dir):
+    """Equi-width histogram of order totals in exact integer cents:
+    bucket = floor(cents / 5,000,000) (50k-unit buckets) — counts per
+    bucket with integer bucket bounds, one map-side-combined shuffle."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    b = F.floor(cents / F.lit(5_000_000)).cast("long")
+    return (orders.select(b.alias("bucket"))
+            .groupBy("bucket").agg(F.count(F.lit(1)).alias("n_orders"))
+            .select("bucket", (F.col("bucket") * 50000).alias("lo"),
+                    ((F.col("bucket") + 1) * 50000).alias("hi"),
+                    "n_orders"))
+
+
 def q_trend(spark, sf_dir):
     """Per-event-type volume trend: OLS slope of daily counts from
     exact DECIMAL(38,0) moments (health.trend_report — associative, so
@@ -1882,6 +1906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "benford": q_benford,
+        "price_histogram": q_price_histogram,
         "trend": q_trend,
         "sorted_neighborhood": q_sorted_neighborhood,
         "dq_constraint_kinds": q_dq_constraint_kinds,
@@ -2880,6 +2906,42 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "benford": """
+            WITH v AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+              FROM orders
+              WHERE o_totalprice IS NOT NULL
+                AND CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+            d AS (
+              SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT)
+                       AS digit
+              FROM v),
+            counts AS (
+              SELECT digit, count(*) AS n_obs FROM d GROUP BY 1),
+            t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM counts),
+            p AS (
+              SELECT digit, CAST(ep AS DOUBLE) AS expected_p
+              FROM (VALUES
+                (1, 0.301030), (2, 0.176091), (3, 0.124939),
+                (4, 0.096910), (5, 0.079181), (6, 0.066947),
+                (7, 0.057992), (8, 0.051153), (9, 0.045757))
+                AS pv(digit, ep))
+            SELECT counts.digit, counts.n_obs, p.expected_p,
+                   round((counts.n_obs - t.n * p.expected_p)
+                         * (counts.n_obs - t.n * p.expected_p)
+                         / (t.n * p.expected_p), 6) AS chi2_term
+            FROM counts JOIN p USING (digit) CROSS JOIN t
+        """,
+        "price_histogram": """
+            WITH b AS (
+              SELECT CAST(floor(CAST(round(o_totalprice * 100) AS BIGINT)
+                                / 5000000.0) AS BIGINT) AS bucket
+              FROM orders)
+            SELECT bucket, bucket * 50000 AS lo,
+                   (bucket + 1) * 50000 AS hi,
+                   count(*) AS n_orders
+            FROM b GROUP BY 1
         """,
         "trend": """
             WITH d AS (

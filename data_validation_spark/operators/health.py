@@ -25,7 +25,7 @@ __all__ = ["partition_count_anomalies", "key_skew_report",
            "coverage_gaps", "completeness_profile",
            "pattern_conformance", "schema_diff",
            "rolling_count_anomalies", "independence_cells",
-           "trend_report"]
+           "trend_report", "benford_report"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -374,3 +374,45 @@ def trend_report(df: DataFrame, group_cols: list[str],
         F.when(den != 0,
                F.round(num.cast("double") / den.cast("double"), 6))
         .alias("slope_per_day"))
+
+
+#: log10(1 + 1/d) to 6 dp — the literals are shared verbatim with the
+#: oracle SQL so the comparison never depends on either engine's log()
+BENFORD_P = {1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910,
+             5: 0.079181, 6: 0.066947, 7: 0.057992, 8: 0.051153,
+             9: 0.045757}
+
+
+def benford_report(df: DataFrame, col: str,
+                   scale: int = 100) -> DataFrame:
+    """First-significant-digit analysis vs Benford's law — the classic
+    fabricated-numbers screen for financial-ish columns.
+
+    The digit extraction is exact: the value scales to an integer
+    (``round(col * scale)`` — cents for money), and the first digit of
+    that BIGINT's decimal string equals the value's first significant
+    digit; integer→string is identical on every engine, so no float
+    log10 near a power-of-ten boundary can flip a digit.  Expected
+    probabilities are shared 6-dp literals (never an engine's log),
+    and each digit's chi² term is the one float op sequence
+    ``(obs − n·p)² / (n·p)`` — sum the column driver-side for the
+    statistic (8 dof).
+
+    Non-positive and NULL values are excluded (Benford is defined on
+    positive magnitudes).  One count shuffle of at most 9 groups.
+    """
+    iv = F.round(F.col(col) * F.lit(int(scale))).cast("long")
+    digits = (df.select(iv.alias("__v")).filter(F.col("__v") > 0)
+              .select(F.substring(F.col("__v").cast("string"), 1, 1)
+                      .cast("int").alias("digit")))
+    counts = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs"))
+    total = counts.agg(F.sum("n_obs").alias("__n"))
+    p = F.element_at(
+        F.create_map(*[F.lit(x) for d in sorted(BENFORD_P)
+                       for x in (d, BENFORD_P[d])]), F.col("digit"))
+    e = F.col("__n") * p
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n_obs", p.alias("expected_p"),
+                    F.round((F.col("n_obs") - e) * (F.col("n_obs") - e)
+                            / e, 6).alias("chi2_term")))

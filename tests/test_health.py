@@ -273,3 +273,27 @@ def test_sorted_neighborhood_pairs(spark):
     assert all(r.pos_b - r.pos_a in (1, 2) for r in out.collect())
     with _pt.raises(ValueError):
         sorted_neighborhood_pairs(df, [F.col("s")], ["id"], window=1)
+
+
+def test_benford_report(spark):
+    import math
+    from data_validation_spark.operators.health import (
+        BENFORD_P, benford_report)
+    # constants are the true log10(1+1/d) to 6dp
+    for d, p in BENFORD_P.items():
+        assert p == round(math.log10(1 + 1 / d), 6)
+    # values engineered per digit: 100x digit-d values -> exact counts;
+    # zero/negative/NULL excluded
+    rows = ([(float(d * 111.11),) for d in range(1, 10) for _ in range(d)]
+            + [(0.0,), (-5.0,), (None,)])
+    df = spark.createDataFrame(rows, "x double")
+    out = {r.digit: (r.n_obs, r.expected_p) for r in
+           benford_report(df, "x").collect()}
+    assert {d: c for d, (c, _) in out.items()} == {
+        d: d for d in range(1, 10)}
+    assert out[1][1] == BENFORD_P[1]
+    # chi2 terms reproduce the formula
+    n = sum(range(1, 10))
+    for r in benford_report(df, "x").collect():
+        e = n * BENFORD_P[r.digit]
+        assert r.chi2_term == round((r.n_obs - e) ** 2 / e, 6)
