@@ -1463,6 +1463,32 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_session_paths(spark, sf_dir):
+    """Top-20 session paths: per (user, session) the ordered event-type
+    sequence joined with '>', counted and ranked — the funnel's
+    exploratory sibling ("what do sessions actually look like").  Path
+    strings build from the same (ts, event_id)-sorted collect fold as
+    funnel_stages (one user-keyed shuffle; the path groupBy runs over
+    one row per session); rank via TakeOrdered + 20-row window."""
+    from data_validation_spark.operators.sessions import sessionize
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts",
+                                            "event_type")
+    s = sessionize(ev, gap_minutes=30)
+    paths = (s.groupBy("user_id", "session_seq")
+             .agg(F.concat_ws(">", F.transform(
+                 F.array_sort(F.collect_list(F.struct(
+                     F.col("ts").alias("t"),
+                     F.col("event_id").alias("i"),
+                     F.col("event_type").alias("y")))),
+                 lambda e: e["y"])).alias("path")))
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions"))
+    top = counts.orderBy(F.col("n_sessions").desc(),
+                         F.col("path").asc()).limit(20)
+    w = Window.orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 def q_benford(spark, sf_dir):
     """Benford first-digit screen over order totals: digits extracted
     from the exact cents INTEGER's decimal string (no float log10 near
@@ -1906,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "session_paths": q_session_paths,
         "benford": q_benford,
         "price_histogram": q_price_histogram,
         "trend": q_trend,
@@ -2906,6 +2933,34 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "session_paths": """
+            WITH flagged AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 1
+                          WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 30 * 60 * 1000000 THEN 1
+                          ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), numbered AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(new_s) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)
+                       AS session_seq
+              FROM flagged
+            ), paths AS (
+              SELECT user_id, session_seq,
+                     string_agg(event_type, '>'
+                                ORDER BY ts, event_id) AS path
+              FROM numbered GROUP BY 1, 2
+            ), counts AS (
+              SELECT path, count(*) AS n_sessions FROM paths GROUP BY 1)
+            SELECT path, n_sessions,
+                   CAST(row_number() OVER (ORDER BY n_sessions DESC,
+                                           path ASC) AS INT) AS rank
+            FROM counts QUALIFY rank <= 20
         """,
         "benford": """
             WITH v AS (
