@@ -1463,6 +1463,17 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_distinctness(spark, sf_dir):
+    """deequ distinctness/uniqueness triage for three orders columns
+    (key / enum / skewed-fk shapes) — exact value-collapse counts,
+    NULLs count as a value, single-division ratios
+    (health.distinctness_profile)."""
+    from data_validation_spark.operators.health import distinctness_profile
+    return distinctness_profile(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderstatus", "o_custkey"])
+
+
 def q_session_paths(spark, sf_dir):
     """Top-20 session paths: per (user, session) the ordered event-type
     sequence joined with '>', counted and ranked — the funnel's
@@ -1932,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "distinctness": q_distinctness,
         "session_paths": q_session_paths,
         "benford": q_benford,
         "price_histogram": q_price_histogram,
@@ -2933,6 +2945,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "distinctness": """
+            WITH f AS (
+              SELECT 'o_orderkey' AS "column",
+                     CAST(sum(n) AS BIGINT) AS n_rows,
+                     count(*) AS n_distinct,
+                     CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_unique
+              FROM (SELECT o_orderkey, count(*) AS n
+                    FROM orders GROUP BY 1)
+              UNION ALL
+              SELECT 'o_orderstatus', CAST(sum(n) AS BIGINT), count(*),
+                     CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM (SELECT o_orderstatus, count(*) AS n
+                    FROM orders GROUP BY 1)
+              UNION ALL
+              SELECT 'o_custkey', CAST(sum(n) AS BIGINT), count(*),
+                     CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS BIGINT)
+              FROM (SELECT o_custkey, count(*) AS n
+                    FROM orders GROUP BY 1))
+            SELECT "column", n_rows, n_distinct, n_unique,
+                   round(n_distinct / n_rows, 6) AS distinctness,
+                   round(n_unique / n_rows, 6) AS uniqueness
+            FROM f
         """,
         "session_paths": """
             WITH flagged AS (

@@ -25,7 +25,7 @@ __all__ = ["partition_count_anomalies", "key_skew_report",
            "coverage_gaps", "completeness_profile",
            "pattern_conformance", "schema_diff",
            "rolling_count_anomalies", "independence_cells",
-           "trend_report", "benford_report"]
+           "trend_report", "benford_report", "distinctness_profile"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -416,3 +416,41 @@ def benford_report(df: DataFrame, col: str,
             .select("digit", "n_obs", p.alias("expected_p"),
                     F.round((F.col("n_obs") - e) * (F.col("n_obs") - e)
                             / e, 6).alias("chi2_term")))
+
+
+def distinctness_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """deequ's distinctness/uniqueness metrics, exact: per column the
+    row count, distinct-value count, count of values occurring exactly
+    once, and the two ratios (distinctness = distinct/rows,
+    uniqueness = once/rows) — the "is this column a key / an enum / a
+    mess" triage.
+
+    Per column: one map-side-combined value-collapse shuffle (reduce
+    cardinality = that column's distinct count) followed by a scalar
+    aggregate of the collapsed counts — N requested columns cost N
+    collapsed shuffles, never N table scans of anything wider than the
+    single column (column pruning keeps each pass narrow).  NULLs
+    count as a value (a NULL-riddled "key" must not look unique);
+    ratios are single divisions of exact integers.
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    parts = []
+    for c in cols:
+        vc = (df.select(F.col(c).alias("__v"))
+              .groupBy("__v").agg(F.count(F.lit(1)).alias("__n")))
+        parts.append(vc.agg(
+            F.lit(c).alias("column"),
+            F.sum("__n").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("__n") == 1, 1).otherwise(0))
+            .alias("n_unique")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column", "n_rows", "n_distinct", "n_unique",
+        F.round(F.col("n_distinct") / F.col("n_rows"), 6)
+        .alias("distinctness"),
+        F.round(F.col("n_unique") / F.col("n_rows"), 6)
+        .alias("uniqueness"))

@@ -297,3 +297,19 @@ def test_benford_report(spark):
     for r in benford_report(df, "x").collect():
         e = n * BENFORD_P[r.digit]
         assert r.chi2_term == round((r.n_obs - e) ** 2 / e, 6)
+
+
+def test_distinctness_profile(spark):
+    from data_validation_spark.operators.health import distinctness_profile
+    rows = [(1, "a", None), (2, "a", None), (3, "b", "x"), (4, "c", "y")]
+    df = spark.createDataFrame(rows, "k long, cat string, s string")
+    out = {r.column: (r.n_rows, r.n_distinct, r.n_unique,
+                      r.distinctness, r.uniqueness)
+           for r in distinctness_profile(df, ["k", "cat", "s"]).collect()}
+    assert out["k"] == (4, 4, 4, 1.0, 1.0)         # a true key
+    assert out["cat"] == (4, 3, 2, 0.75, 0.5)       # 'a' repeats
+    # NULL counts as a value: 2 nulls -> distinct {NULL, x, y}
+    assert out["s"] == (4, 3, 2, 0.75, 0.5)
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        distinctness_profile(df, [])
