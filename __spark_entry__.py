@@ -1463,6 +1463,25 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_value_shapes(spark, sf_dir):
+    """Format discovery over customer names: values collapse to shape
+    signatures (uppercase runs->A, lowercase->a, digits->9) via three
+    chained RE2-portable regexp_replace calls, then Zipf-collapsed
+    counting + TakeOrdered ranking (health.value_shapes)."""
+    from data_validation_spark.operators.health import value_shapes
+    return value_shapes(_t(spark, sf_dir, "customer"), "c_name")
+
+
+def q_inclusion(spark, sf_dir):
+    """Inclusion-dependency discovery: what fraction of lineitem's
+    distinct order keys appear in orders (expected 1.0 — a true FK)?
+    Value-space semi-join, key cardinality only
+    (health.inclusion_check)."""
+    from data_validation_spark.operators.health import inclusion_check
+    return inclusion_check(_t(spark, sf_dir, "lineitem"), "l_orderkey",
+                           _t(spark, sf_dir, "orders"), "o_orderkey")
+
+
 def q_distinctness(spark, sf_dir):
     """deequ distinctness/uniqueness triage for three orders columns
     (key / enum / skewed-fk shapes) — exact value-collapse counts,
@@ -1943,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "value_shapes": q_value_shapes,
+        "inclusion": q_inclusion,
         "distinctness": q_distinctness,
         "session_paths": q_session_paths,
         "benford": q_benford,
@@ -2945,6 +2966,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "value_shapes": """
+            WITH s AS (
+              SELECT coalesce(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(CAST(c_name AS VARCHAR),
+                                          '[A-Z]+', 'A', 'g'),
+                           '[a-z]+', 'a', 'g'),
+                         '[0-9]+', '9', 'g'),
+                       '<null>') AS shape
+              FROM customer),
+            c AS (SELECT shape, count(*) AS n_values FROM s GROUP BY 1)
+            SELECT shape, n_values,
+                   CAST(row_number() OVER (ORDER BY n_values DESC,
+                                           shape ASC) AS INT) AS rank
+            FROM c QUALIFY rank <= 5
+        """,
+        "inclusion": """
+            WITH lv AS (SELECT DISTINCT l_orderkey AS k FROM lineitem
+                        WHERE l_orderkey IS NOT NULL),
+            rv AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                   WHERE o_orderkey IS NOT NULL),
+            n AS (SELECT count(*) AS n_values FROM lv),
+            m AS (SELECT count(*) AS n_matched FROM lv
+                  WHERE k IN (SELECT k FROM rv))
+            SELECT n.n_values, m.n_matched,
+                   round(m.n_matched / n.n_values, 6) AS containment
+            FROM n, m
         """,
         "distinctness": """
             WITH f AS (

@@ -25,7 +25,8 @@ __all__ = ["partition_count_anomalies", "key_skew_report",
            "coverage_gaps", "completeness_profile",
            "pattern_conformance", "schema_diff",
            "rolling_count_anomalies", "independence_cells",
-           "trend_report", "benford_report", "distinctness_profile"]
+           "trend_report", "benford_report", "distinctness_profile",
+           "value_shapes", "inclusion_check"]
 
 
 def coverage_gaps(df: DataFrame, group_cols: list[str],
@@ -454,3 +455,62 @@ def distinctness_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         .alias("distinctness"),
         F.round(F.col("n_unique") / F.col("n_rows"), 6)
         .alias("uniqueness"))
+
+
+def value_shapes(df: DataFrame, col: str, top_n: int = 5) -> DataFrame:
+    """Pattern profiling / format discovery: collapse every value to a
+    shape signature — runs of uppercase → ``A``, lowercase → ``a``,
+    digits → ``9``, everything else kept verbatim — and rank the
+    ``top_n`` shapes with counts.  One glance answers "what formats
+    live in this column" and surfaces the 0.01% of rows that don't
+    match (the rows a regex constraint should then pin).
+
+    The collapse is three chained ``regexp_replace`` calls in the
+    RE2-portable subset (pure Catalyst projection); counting is a
+    Zipf-collapsed shuffle (reduce cardinality = #shapes, tiny by
+    construction); ranking is TakeOrdered + a top_n-row window.
+    NULL values profile as the shape ``<null>``.
+
+    Output: ``shape, n_values, rank``.
+    """
+    shape = F.coalesce(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(col).cast("string"),
+                                 "[A-Z]+", "A"),
+                "[a-z]+", "a"),
+            "[0-9]+", "9"),
+        F.lit("<null>"))
+    counts = (df.select(shape.alias("shape"))
+              .groupBy("shape").agg(F.count(F.lit(1)).alias("n_values")))
+    top = counts.orderBy(F.col("n_values").desc(),
+                         F.col("shape").asc()).limit(int(top_n))
+    w = Window.orderBy(F.col("n_values").desc(), F.col("shape").asc())
+    return top.withColumn("rank", F.row_number().over(w))
+
+
+def inclusion_check(left: DataFrame, left_col: str,
+                    right: DataFrame, right_col: str) -> DataFrame:
+    """Inclusion-dependency check (deequ ``isContainedIn`` over a
+    table, IND discovery's unit step): what fraction of the DISTINCT
+    non-null values of ``left_col`` appear in ``right_col``?  1.0 means
+    "left references right" holds — the discovery complement to the
+    referential ENFORCEMENT constraint (which lists the offenders).
+
+    Value-space, not row-space: both sides collapse to distinct keys
+    first, so the join carries key cardinality, never row counts, and
+    a hot foreign key can't skew anything.  One row out:
+    ``n_values, n_matched, containment`` (single exact-integer
+    division).
+    """
+    lv = (left.select(F.col(left_col).alias("__k"))
+          .filter(F.col("__k").isNotNull()).distinct())
+    rv = (right.select(F.col(right_col).alias("__k"))
+          .filter(F.col("__k").isNotNull()).distinct())
+    matched = lv.join(rv, "__k", "left_semi")
+    n = lv.agg(F.count(F.lit(1)).alias("n_values"))
+    m = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (n.crossJoin(m)
+            .select("n_values", "n_matched",
+                    F.round(F.col("n_matched") / F.col("n_values"), 6)
+                    .alias("containment")))

@@ -313,3 +313,23 @@ def test_distinctness_profile(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         distinctness_profile(df, [])
+
+
+def test_value_shapes(spark):
+    from data_validation_spark.operators.health import value_shapes
+    rows = [("AB-12",), ("XY-99",), ("cd_3",), (None,), ("AB-13",)]
+    df = spark.createDataFrame(rows, "v string")
+    out = {r.shape: (r.n_values, r.rank) for r in
+           value_shapes(df, "v").collect()}
+    assert out == {"A-9": (3, 1), "<null>": (1, 2), "a_9": (1, 3)}
+
+
+def test_inclusion_check(spark):
+    from data_validation_spark.operators.health import inclusion_check
+    left = spark.createDataFrame([(1,), (2,), (3,), (3,), (None,)],
+                                 "k long")
+    right = spark.createDataFrame([(1,), (2,), (9,)], "k long")
+    r = inclusion_check(left, "k", right, "k").collect()[0]
+    # distinct non-null left values {1,2,3}; {1,2} contained
+    assert (r.n_values, r.n_matched) == (3, 2)
+    assert r.containment == round(2 / 3, 6)
