@@ -1463,6 +1463,32 @@ def q_embedding_outliers(spark, sf_dir):
                               id_col="vec_id", top_k=5)
 
 
+def q_join_rule(spark, sf_dir):
+    """Cross-table row rule as a declarative constraint kind:
+    'a purchase happens at or after its user's FIRST signup' — LEFT
+    join to the signup dim, fail-closed NULL semantics (a user with no
+    signup violates), violations keep the fact table's shape
+    (constraints 'join_rule' kind)."""
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts")
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    suite = ValidationSuite(
+        name="temporal", components=[Component("event_id", "numeric")],
+        constraints=[Constraint(
+            "purchase_after_signup", "join_rule",
+            {"dim": "signups", "on": ["user_id"],
+             "sql": "ts >= signup_ts"})])
+    run = evaluate_constraints(purchases, suite,
+                               dims={"signups": signups})
+    return run.violations.select("event_id", "user_id", "ts")
+
+
 def q_value_shapes(spark, sf_dir):
     """Format discovery over customer names: values collapse to shape
     signatures (uppercase runs->A, lowercase->a, digits->9) via three
@@ -1962,6 +1988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
+        "join_rule": q_join_rule,
         "value_shapes": q_value_shapes,
         "inclusion": q_inclusion,
         "distinctness": q_distinctness,
@@ -2966,6 +2993,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM days
                               WHERE days.event_type = s.event_type
                                 AND days.d = s.gap_day)
+        """,
+        "join_rule": """
+            WITH p AS (
+              SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase'),
+            s AS (
+              SELECT user_id, min(ts) AS signup_ts FROM events
+              WHERE event_type = 'signup' GROUP BY 1)
+            SELECT p.event_id, p.user_id, p.ts
+            FROM p LEFT JOIN s USING (user_id)
+            WHERE NOT coalesce(p.ts >= s.signup_ts, FALSE)
         """,
         "value_shapes": """
             WITH s AS (

@@ -283,6 +283,25 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
                 .withColumn("errors", F.array(F.lit(c.name)))
                 .withColumn("partition", partition_label_col(pcols)))
             names.append(c.name)
+        elif c.kind == "join_rule":
+            # cross-table row rule: join a dimension and assert a
+            # predicate over the combined row ("purchase after the
+            # user's signup").  LEFT join: a missing dim row leaves dim
+            # columns NULL, the predicate evaluates NULL, and NULL ==
+            # violation (same fail-closed stance as `expression`) — an
+            # event whose user never signed up IS a violation of
+            # "after signup".  Dim columns must not collide with df
+            # columns (alias in the dim frame); violations keep df's
+            # columns only so the frame shape matches every other kind.
+            p = c.params
+            dim = dims[p["dim"]]
+            joined = df.join(dim, on=list(p["on"]), how="left")
+            frames.append(
+                joined.filter(~F.coalesce(F.expr(p["sql"]), F.lit(False)))
+                .select(*df.columns)
+                .withColumn("errors", F.array(F.lit(c.name)))
+                .withColumn("partition", partition_label_col(pcols)))
+            names.append(c.name)
         elif c.kind == "referential":
             p = c.params
             if "values" in p:

@@ -380,6 +380,13 @@ class ValidationSuite:
             elif con.kind == "referential":
                 if p.get("column") not in cols:
                     errs.append(f"{what}: column {p.get('column')!r} missing")
+            elif con.kind == "join_rule":
+                for need in ("dim", "on", "sql"):
+                    if need not in p:
+                        errs.append(f"{what}: needs {need!r}")
+                for k in p.get("on", []):
+                    if k not in cols:
+                        errs.append(f"{what}: join column {k!r} missing")
         return errs
 
     def to_jcr(self) -> dict[str, Any]:

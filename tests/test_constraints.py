@@ -220,3 +220,39 @@ def test_fd_completeness_schema_preflight(spark):
     errs = "\n".join(suite.schema_errors(df))
     assert "'nope' missing" in errs and "'gone' missing" in errs
     assert "needs 'min_ratio'" in errs
+
+
+def test_join_rule_constraint_kind(spark):
+    """Cross-table row rule: purchases must occur at or after the
+    user's signup; missing signup = violation (fail-closed NULL)."""
+    import datetime as dt
+    from data_validation_spark.operators.constraints import (
+        evaluate_constraints)
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    t0 = dt.datetime(2026, 1, 1)
+    ev = spark.createDataFrame(
+        [(1, 10, t0 + dt.timedelta(days=2), "p0"),   # after signup: ok
+         (2, 10, t0 - dt.timedelta(days=1), "p0"),   # BEFORE signup
+         (3, 11, t0, "p1"),                          # exact: ok
+         (4, 99, t0, "p1")],                         # user never signed up
+        "event_id long, user_id long, ts timestamp, part string")
+    signups = spark.createDataFrame(
+        [(10, t0), (11, t0)], "user_id long, signup_ts timestamp")
+    suite = ValidationSuite(
+        name="jr", components=[Component("event_id", "numeric")],
+        partition_cols=["part"],
+        constraints=[Constraint(
+            "purchase_after_signup", "join_rule",
+            {"dim": "signups", "on": ["user_id"],
+             "sql": "ts >= signup_ts"})])
+    assert suite.schema_errors(ev) == []
+    run = evaluate_constraints(ev, suite, dims={"signups": signups})
+    bad = sorted(r.event_id for r in run.violations.collect())
+    assert bad == [2, 4]
+    # pre-flight lists missing params/columns
+    bad_suite = ValidationSuite(
+        name="jr2", components=[Component("event_id", "numeric")],
+        constraints=[Constraint("r", "join_rule", {"on": ["ghost"]})])
+    errs = "\n".join(bad_suite.schema_errors(ev))
+    assert "needs 'dim'" in errs and "'ghost' missing" in errs
