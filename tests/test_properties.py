@@ -234,3 +234,41 @@ def test_interval_join_matches_brute_force(spark, points, spans, w):
                   for j, (ik, s, d) in enumerate(spans)
                   if pk == ik and s <= t <= s + d)
     assert got == want
+
+
+# -- fuzzy blocking completeness under adversarial string soups ---------
+
+_short_strings = st.lists(
+    st.text(alphabet="ab1", min_size=1, max_size=7),
+    min_size=1, max_size=18)
+
+
+@given(strings=_short_strings, d=st.sampled_from([1, 2]))
+@SET
+def test_fuzzy_blocking_complete_on_dense_soups(spark, strings, d):
+    """fuzzy_duplicate_strings == exact all-pairs DP levenshtein on
+    3-letter-alphabet soups — maximal collision density, every length
+    near the short-block boundary, repeated values."""
+    from data_validation_spark.operators.fuzzy import (
+        fuzzy_duplicate_strings)
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    df = spark.createDataFrame([(s,) for s in strings], "s string")
+    got = sorted((r.s_a, r.s_b, r.dist) for r in
+                 fuzzy_duplicate_strings(df, "s", d).collect())
+    want = sorted((a, b, lev(a, b)) for a, b in
+                  itertools.combinations(sorted(set(strings)), 2)
+                  if lev(a, b) <= d)
+    assert got == want
