@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 from data_validation_spark.plans.suite import Constraint, ValidationSuite
 
 ROW_LEVEL_KINDS = ("bounds", "in_domain", "not_null", "expression")
+SET_LEVEL_KINDS = ("unique", "referential", "fd", "completeness",
+                   "join_rule")
+SUPPORTED_KINDS = ROW_LEVEL_KINDS + SET_LEVEL_KINDS + ("drift",)
 
 
 def partition_label_col(partition_cols: list[str]) -> Column:
@@ -244,29 +247,10 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
         frames.append(row_level_violations(df, row_cs, pcols))
         names += [c.name for c in row_cs]
 
-    # completeness: ALL ratios in ONE fused aggregate pass (N assertions
-    # must not cost N table scans), broadcast back as a single row — the
-    # lazy set-level trick: NULL rows are flagged only when their
-    # column's table-level ratio breaks min_ratio; when every assertion
-    # holds the filters are statically empty, and no driver action runs
     comp_cs = [c for c in constraints if c.kind == "completeness"]
-    if comp_cs:
-        exprs = {c.name: F.expr(c.params.get("expr", c.params["component"]))
-                 for c in comp_cs}
-        ratios = df.agg(*[(F.count(exprs[c.name]) / F.count(F.lit(1)))
-                          .alias(f"__r_{i}")
-                          for i, c in enumerate(comp_cs)])
-        with_r = df.crossJoin(F.broadcast(ratios))
-        for i, c in enumerate(comp_cs):
-            frames.append(
-                with_r.filter(
-                    (F.col(f"__r_{i}")
-                     < F.lit(float(c.params["min_ratio"])))
-                    & exprs[c.name].isNull())
-                .drop(*[f"__r_{j}" for j in range(len(comp_cs))])
-                .withColumn("errors", F.array(F.lit(c.name)))
-                .withColumn("partition", partition_label_col(pcols)))
-            names.append(c.name)
+    for name, frame in completeness_violation_frames(df, comp_cs, pcols):
+        frames.append(frame)
+        names.append(name)
 
     for c in constraints:
         if c.kind == "unique":
@@ -274,33 +258,10 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
                 df, list(c.params["keys"]), pcols, c.name))
             names.append(c.name)
         elif c.kind == "fd":
-            p = c.params
-            bad_keys = functional_dependency_violations(
-                df, list(p["determinant"]), p["dependent"]
-            ).select(*p["determinant"])
-            frames.append(
-                df.join(bad_keys, list(p["determinant"]), "left_semi")
-                .withColumn("errors", F.array(F.lit(c.name)))
-                .withColumn("partition", partition_label_col(pcols)))
+            frames.append(fd_violation_frame(df, c, pcols))
             names.append(c.name)
         elif c.kind == "join_rule":
-            # cross-table row rule: join a dimension and assert a
-            # predicate over the combined row ("purchase after the
-            # user's signup").  LEFT join: a missing dim row leaves dim
-            # columns NULL, the predicate evaluates NULL, and NULL ==
-            # violation (same fail-closed stance as `expression`) — an
-            # event whose user never signed up IS a violation of
-            # "after signup".  Dim columns must not collide with df
-            # columns (alias in the dim frame); violations keep df's
-            # columns only so the frame shape matches every other kind.
-            p = c.params
-            dim = dims[p["dim"]]
-            joined = df.join(dim, on=list(p["on"]), how="left")
-            frames.append(
-                joined.filter(~F.coalesce(F.expr(p["sql"]), F.lit(False)))
-                .select(*df.columns)
-                .withColumn("errors", F.array(F.lit(c.name)))
-                .withColumn("partition", partition_label_col(pcols)))
+            frames.append(join_rule_violation_frame(df, c, dims, pcols))
             names.append(c.name)
         elif c.kind == "referential":
             p = c.params
@@ -343,6 +304,74 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
         verdicts = verdicts.filter(F.lit(False))
     return ConstraintRun(violations=violations, verdicts=verdicts,
                          constraint_names=names)
+
+
+def completeness_violation_frames(df: DataFrame, comp_cs: list[Constraint],
+                                  pcols: list[str]
+                                  ) -> list[tuple[str, DataFrame]]:
+    """completeness: ALL ratios in ONE fused aggregate pass (N
+    assertions must not cost N table scans), broadcast back as a
+    single row — the lazy set-level trick: NULL rows are flagged only
+    when their column's table-level ratio breaks min_ratio; when every
+    assertion holds the filters are statically empty, and no driver
+    action runs.  Returns ``(constraint name, violation frame)`` pairs
+    (shared by evaluate_constraints and run_validation)."""
+    if not comp_cs:
+        return []
+    exprs = {c.name: F.expr(c.params.get("expr", c.params["component"]))
+             for c in comp_cs}
+    ratios = df.agg(*[(F.count(exprs[c.name]) / F.count(F.lit(1)))
+                      .alias(f"__r_{i}")
+                      for i, c in enumerate(comp_cs)])
+    with_r = df.crossJoin(F.broadcast(ratios))
+    out = []
+    for i, c in enumerate(comp_cs):
+        out.append((c.name,
+                    with_r.filter(
+                        (F.col(f"__r_{i}")
+                         < F.lit(float(c.params["min_ratio"])))
+                        & exprs[c.name].isNull())
+                    .drop(*[f"__r_{j}" for j in range(len(comp_cs))])
+                    .withColumn("errors", F.array(F.lit(c.name)))
+                    .withColumn("partition", partition_label_col(pcols))))
+    return out
+
+
+def fd_violation_frame(df: DataFrame, c: Constraint,
+                       pcols: list[str]) -> DataFrame:
+    """Rows whose determinant key breaks the functional dependency —
+    the group-collapsed key frame is shuffle-small, the row retrieval
+    is a left_semi join back (never a window over the table)."""
+    p = c.params
+    bad_keys = functional_dependency_violations(
+        df, list(p["determinant"]), p["dependent"]
+    ).select(*p["determinant"])
+    return (df.join(bad_keys, list(p["determinant"]), "left_semi")
+            .withColumn("errors", F.array(F.lit(c.name)))
+            .withColumn("partition", partition_label_col(pcols)))
+
+
+def join_rule_violation_frame(df: DataFrame, c: Constraint,
+                              dims: dict[str, DataFrame] | None,
+                              pcols: list[str]) -> DataFrame:
+    """cross-table row rule: join a dimension and assert a predicate
+    over the combined row ("purchase after the user's signup").  LEFT
+    join: a missing dim row leaves dim columns NULL, the predicate
+    evaluates NULL, and NULL == violation (same fail-closed stance as
+    `expression`) — an event whose user never signed up IS a violation
+    of "after signup".  Dim columns must not collide with df columns
+    (alias in the dim frame); violations keep df's columns only so the
+    frame shape matches every other kind."""
+    p = c.params
+    if not dims or p["dim"] not in dims:
+        raise ValueError(
+            f"join_rule constraint {c.name!r}: dimension {p['dim']!r} "
+            f"not provided in dims (got: {sorted(dims or {})})")
+    joined = df.join(dims[p["dim"]], on=list(p["on"]), how="left")
+    return (joined.filter(~F.coalesce(F.expr(p["sql"]), F.lit(False)))
+            .select(*df.columns)
+            .withColumn("errors", F.array(F.lit(c.name)))
+            .withColumn("partition", partition_label_col(pcols)))
 
 
 def functional_dependency_violations(df: DataFrame, determinant: list[str],

@@ -132,10 +132,17 @@ def dedup_clusters(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     ids = df.select(F.col(id_col))
     labeled = (ids.join(comp, ids[id_col] == comp["node"], "left")
                .select(F.col(id_col),
-                       F.coalesce("component", id_col).alias("cluster_id")))
-    sizes = labeled.groupBy("cluster_id").agg(
+                       F.coalesce("component", id_col).alias("__comp")))
+    # cluster_id = min id among the rows of df ACTUALLY in the
+    # component — the graph's own minimum may reference an id absent
+    # from df (pairs from a stale index), and labeling by a non-member
+    # would leave the whole cluster with no is_canonical row, silently
+    # dropping it under hard dedup (ADVICE r3).  Same shuffle count:
+    # the min rides the size agg.
+    canon = labeled.groupBy("__comp").agg(
+        F.min(id_col).alias("cluster_id"),
         F.count(F.lit(1)).alias("cluster_size"))
-    return (labeled.join(sizes, "cluster_id")
+    return (labeled.join(canon, "__comp")
             .select(id_col, "cluster_id", "cluster_size",
                     (F.col(id_col) == F.col("cluster_id"))
                     .alias("is_canonical")))

@@ -21,7 +21,11 @@ from pyspark import StorageLevel
 
 from data_validation_spark.operators.constraints import (
     ROW_LEVEL_KINDS,
+    SUPPORTED_KINDS,
     _row_violation_cond,
+    completeness_violation_frames,
+    fd_violation_frame,
+    join_rule_violation_frame,
     partition_label_col,
     referential_violation_counts,
     referential_violations,
@@ -122,6 +126,15 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     # fill documented defaults (e.g. in_domain ← reference domain) up
     # front so a bad suite fails here with a clear message, not mid-job
     suite = replace(suite, constraints=suite.resolved_constraints())
+    # fail LOUD on a kind this runner does not evaluate — a suite
+    # constraint that silently produces no verdicts is worse than an
+    # error (ADVICE r3: fd/completeness/join_rule used to fall through)
+    unsupported = sorted({c.kind for c in suite.constraints
+                          if c.kind not in SUPPORTED_KINDS})
+    if unsupported:
+        raise ValueError(
+            f"run_validation does not support constraint kind(s) "
+            f"{unsupported}; supported: {sorted(SUPPORTED_KINDS)}")
     schema_errs = suite.schema_errors(df)
     if schema_errs:
         raise ValueError(
@@ -218,7 +231,7 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     # are derived from it in one action (row-level counts still ride the
     # fused stats pass for free either way).
     set_names = [c.name for c in suite.constraints
-                 if c.kind == "unique"
+                 if c.kind in ("unique", "fd", "completeness", "join_rule")
                  or (c.kind == "referential" and c.name not in inline_ref)]
     set_counts: dict[str, dict[str, int]] = {}
     violations: DataFrame | None = None
@@ -236,6 +249,16 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
             for r in counted:
                 set_counts[r["constraint"]][r["partition"]] = r["n"]
     else:
+        def _frame_counts(frame: DataFrame) -> dict[str, int]:
+            # counts-only path: project the partition label before the
+            # count agg so Catalyst prunes the payload columns
+            return {r["partition"]: r["n"] for r in
+                    frame.groupBy("partition")
+                         .agg(F.count(F.lit(1)).alias("n")).collect()}
+
+        comp_cs = [c for c in suite.constraints if c.kind == "completeness"]
+        for name, frame in completeness_violation_frames(df, comp_cs, pcols):
+            set_counts[name] = _frame_counts(frame)
         for c in suite.constraints:
             if c.kind == "unique":
                 set_counts[c.name] = uniqueness_violation_counts(
@@ -245,6 +268,12 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                 dim = _resolve_dim(spark, p, dims)
                 set_counts[c.name] = referential_violation_counts(
                     df, p["column"], dim, pcols, p.get("dim_column"))
+            elif c.kind == "fd":
+                set_counts[c.name] = _frame_counts(
+                    fd_violation_frame(df, c, pcols))
+            elif c.kind == "join_rule":
+                set_counts[c.name] = _frame_counts(
+                    join_rule_violation_frame(df, c, dims, pcols))
 
     # -- verdict assembly (driver-side; universe = every observed
     #    partition × every constraint, explicit passed=true rows) --------
@@ -336,6 +365,9 @@ def _violation_rows(spark: SparkSession, df: DataFrame,
     row_cs = [c for c in suite.constraints if c.kind in ROW_LEVEL_KINDS]
     if row_cs:
         frames.append(row_level_violations(df, row_cs, pcols))
+    comp_cs = [c for c in suite.constraints if c.kind == "completeness"]
+    frames.extend(f for _, f in
+                  completeness_violation_frames(df, comp_cs, pcols))
     for c in suite.constraints:
         if c.kind == "unique":
             frames.append(uniqueness_violations(
@@ -345,6 +377,10 @@ def _violation_rows(spark: SparkSession, df: DataFrame,
             frames.append(referential_violations(
                 df, p["column"], _resolve_dim(spark, p, dims), pcols,
                 p.get("dim_column"), c.name))
+        elif c.kind == "fd":
+            frames.append(fd_violation_frame(df, c, pcols))
+        elif c.kind == "join_rule":
+            frames.append(join_rule_violation_frame(df, c, dims, pcols))
     if not frames:
         return (df.limit(0)
                 .withColumn("errors", F.array(F.lit("")))

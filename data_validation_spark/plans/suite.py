@@ -387,6 +387,9 @@ class ValidationSuite:
                 for k in p.get("on", []):
                     if k not in cols:
                         errs.append(f"{what}: join column {k!r} missing")
+            elif con.kind not in ("drift",):
+                errs.append(f"{what}: unknown constraint kind "
+                            f"{con.kind!r}")
         return errs
 
     def to_jcr(self) -> dict[str, Any]:

@@ -171,6 +171,22 @@ class TableProvider:
             return {}
         if self.backend != "parquet":
             raise ValueError("compact requires parquet or iceberg")
+        # A bucketed table's bucket spec lives in the CATALOG while the
+        # hash-assignment lives in the FILES; rewriting the directory
+        # with plain repartitioned parquet would leave the catalog
+        # advertising buckets the files no longer honor, so keyed reads
+        # through read_bucketed would silently mis-plan (ADVICE r3).
+        # Refuse — a bucketed table is rewritten through write_bucketed.
+        if self.spark.catalog.tableExists(name):
+            buckets = [r for r in
+                       self.spark.sql(f"DESC FORMATTED {name}").collect()
+                       if r.col_name == "Num Buckets"]
+            if buckets:
+                raise ValueError(
+                    f"compact({name!r}): table has a catalog bucket spec "
+                    f"({buckets[0].data_type} buckets) — a plain "
+                    f"repartition rewrite would break it; re-write via "
+                    f"write_bucketed(read_bucketed({name!r}), ...) instead")
         jvm = self.spark.sparkContext._jvm
         jsc = self.spark.sparkContext._jsc
         live = jvm.org.apache.hadoop.fs.Path(self._ident(name))

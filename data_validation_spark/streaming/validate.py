@@ -354,6 +354,16 @@ def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
 
     Emits ``(user, session_seq, start_us, end_us, n_events,
     sum_value)`` — closed sessions only, ``outputMode("update")``.
+
+    Key contract for downstream upsert sinks: use ``(user, start_us)``
+    as the natural key — two sessions of one user can never share a
+    start instant.  ``session_seq`` is monotone per user while the
+    user's state survives: after an idle-timeout flush the counter is
+    kept in a zero-session tombstone for ONE further idle window (so a
+    briefly-idle user continues numbering), after which the tombstone
+    is dropped and a later return restarts at 1 — the price of
+    constant-size state over unbounded users (ADVICE r3; keying output
+    by seq alone would collide across TTL epochs).
     """
     gap_us = int(gap_ms) * 1000
     idle = int(idle_timeout_ms if idle_timeout_ms is not None
@@ -379,9 +389,16 @@ def streaming_sessionize(stream_df: DataFrame, user_col: str = "user_id",
         if state.hasTimedOut:
             if state.exists:
                 s, e, n, v, seq = state.get
-                state.remove()
                 if n > 0:
+                    # flush the open session but KEEP the closed-session
+                    # counter in a tombstone for one more idle window,
+                    # so a briefly-idle user's session_seq stays
+                    # monotone instead of restarting at 1
+                    state.update((0, 0, 0, 0.0, int(seq) + 1))
+                    state.setTimeoutDuration(idle)
                     yield pd.DataFrame([row(user, seq + 1, s, e, n, v)])
+                else:
+                    state.remove()      # second idle window: drop it
             else:
                 state.remove()
             return

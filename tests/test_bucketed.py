@@ -125,3 +125,13 @@ def test_delete_keys_purges_exactly_and_audits(spark, tmp_path):
     again = tp.delete_keys("corpus", keys, ["doc_id"])
     assert again == {"n_rows_before": 997, "n_deleted": 0,
                      "n_rows_after": 997}
+
+
+def test_compact_refuses_bucketed_table(spark, provider, sequences):
+    """ADVICE r3: a plain-repartition compaction of a bucketed table
+    would orphan the catalog bucket spec — compact() must refuse."""
+    uniq = sequences.dropDuplicates(["doc_id"]).limit(100)
+    provider.write_bucketed(uniq.select("doc_id", "n_tok"),
+                            "b_seq", ["doc_id"], 4)
+    with pytest.raises(ValueError, match="bucket spec"):
+        provider.compact("b_seq")

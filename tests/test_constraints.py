@@ -256,3 +256,87 @@ def test_join_rule_constraint_kind(spark):
         constraints=[Constraint("r", "join_rule", {"on": ["ghost"]})])
     errs = "\n".join(bad_suite.schema_errors(ev))
     assert "needs 'dim'" in errs and "'ghost' missing" in errs
+
+
+def test_runner_evaluates_dq_kinds_end_to_end(spark, tmp_path):
+    """ADVICE r3 (medium): fd/completeness/join_rule must flow through
+    run_validation itself — verdicts, violation rows in the sink, and
+    identical counts on the no-sink (counts-only) path."""
+    import datetime as dt
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.sources.table_provider import TableProvider
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [(1, 10, "a", t0 + dt.timedelta(days=2), "p0"),
+            (2, 10, "a", t0 - dt.timedelta(days=1), "p0"),   # join_rule
+            (2, 11, "b", t0, "p1"),                          # fd (key 2)
+            (3, 99, None, t0, "p1"),                         # join_rule+null
+            (4, 11, "c", t0, "p0"), (5, 10, "d", t0, "p1"),
+            (6, 11, "e", t0, "p0"), (7, 10, "f", t0, "p1"),
+            (8, 11, "g", t0, "p0"), (2, 10, "a", t0, "p1")]  # fd (key 2)
+    df = spark.createDataFrame(
+        rows, "k long, user_id long, v string, ts timestamp, part string")
+    signups = spark.createDataFrame(
+        [(10, t0), (11, t0)], "user_id long, signup_ts timestamp")
+    suite = ValidationSuite(
+        name="dq_e2e", components=[Component("k", "numeric")],
+        partition_cols=["part"],
+        constraints=[
+            Constraint("k_determines_v", "fd",
+                       {"determinant": ["k"], "dependent": "v"}),
+            Constraint("v_complete", "completeness",
+                       {"component": "v", "min_ratio": 0.95}),
+            Constraint("after_signup", "join_rule",
+                       {"dim": "signups", "on": ["user_id"],
+                        "sql": "ts >= signup_ts"}),
+        ])
+    # no-sink path: counts-only jobs
+    res = run_validation(spark, df, suite,
+                         dims={"signups": signups}, resume=False)
+    totals = {}
+    for v in res.verdicts:
+        totals[v["constraint"]] = totals.get(v["constraint"], 0) \
+            + v["n_violations"]
+    # fd: key 2 appears 3x with 2 distinct v's -> 3 rows flagged
+    # completeness: 9/10 < 0.95 -> the one NULL v row
+    # join_rule: event before signup + user 99 never signed up
+    assert totals == {"k_determines_v": 3, "v_complete": 1,
+                      "after_signup": 2}
+    # sink path: identical verdicts + rows materialized
+    tp = TableProvider(spark, str(tmp_path))
+    res2 = run_validation(spark, df, suite, sink=tp,
+                          dims={"signups": signups}, resume=False)
+    totals2 = {}
+    for v in res2.verdicts:
+        totals2[v["constraint"]] = totals2.get(v["constraint"], 0) \
+            + v["n_violations"]
+    assert totals2 == totals
+    viol = tp.read("violations")
+    got = {(r["k"], e) for r in viol.collect()
+           for e in __import__("json").loads(r["errors"])}
+    assert got == {(2, "k_determines_v"), (3, "v_complete"),
+                   (2, "after_signup"), (3, "after_signup")}
+
+
+def test_runner_rejects_unknown_constraint_kind(spark):
+    from data_validation_spark.plans.runner import run_validation
+    df = spark.createDataFrame([(1,)], "k long")
+    suite = ValidationSuite(
+        name="bad", components=[Component("k", "numeric")],
+        constraints=[Constraint("x", "made_up_kind", {})])
+    with pytest.raises(ValueError, match="made_up_kind"):
+        run_validation(spark, df, suite, resume=False)
+
+
+def test_join_rule_missing_dim_is_descriptive(spark):
+    """ADVICE r3 (low): dims=None or a missing dimension name must be a
+    clear ValueError naming the dimension, not a bare TypeError."""
+    df = spark.createDataFrame([(1, 10)], "k long, user_id long")
+    suite = ValidationSuite(
+        name="jr", components=[Component("k", "numeric")],
+        constraints=[Constraint("r", "join_rule",
+                                {"dim": "signups", "on": ["user_id"],
+                                 "sql": "true"})])
+    with pytest.raises(ValueError, match="'signups' not provided"):
+        evaluate_constraints(df, suite)
+    with pytest.raises(ValueError, match="'signups' not provided"):
+        evaluate_constraints(df, suite, dims={"other": df})

@@ -132,3 +132,20 @@ def test_soft_dedup_sample(spark):
     kept = soft_dedup_sample(
         solo, pairs.limit(0), salt="sd").count()
     assert kept == 5
+
+
+def test_dedup_clusters_canonical_when_pair_id_absent_from_df(spark):
+    """ADVICE r3: pairs may reference ids not in df (stale LSH index);
+    the cluster must still elect a canonical MEMBER, so hard dedup
+    never drops a whole cluster."""
+    from data_validation_spark.operators.graph import dedup_clusters
+    df = spark.createDataFrame([("b",), ("c",), ("z",)], "doc_id string")
+    # component {a,b,c} has graph-minimum "a", which is NOT in df
+    pairs = spark.createDataFrame([("a", "b"), ("b", "c")],
+                                  "id_a string, id_b string")
+    out = {r.doc_id: r for r in dedup_clusters(df, pairs).collect()}
+    assert out["b"].cluster_id == "b" and out["b"].is_canonical
+    assert out["c"].cluster_id == "b" and not out["c"].is_canonical
+    assert out["b"].cluster_size == 2
+    assert out["z"].cluster_id == "z" and out["z"].is_canonical
+    assert sum(r.is_canonical for r in out.values()) == 2
