@@ -569,11 +569,13 @@ SIMHASH_SIG_PATH_TMPL = "/tmp/dvs_simhash_sigs_{sf}"
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup pairs (multi-table LSH + exact verify)
     over a doubled embeddings table — oracle-checked against the EXACT
-    all-pairs cosine ≥ 0.999 answer: at this threshold the per-table
-    collision probability is ≈ 0.94 and the 4-table miss probability
-    ≈ 1e-5 per pair, so the pipeline deterministically finds every
-    true pair here (500 = 500 verified at sf0.01) — an end-to-end
-    recall gate on the scaled-plane multi-table geometry."""
+    all-pairs cosine ≥ 0.999 answer.  Every true pair here is an
+    IDENTICAL-vector pair (the doubling), and identical vectors share
+    every sign bucket in every table and every recursive split, so the
+    pipeline finds all of them at ANY table count — the recall gate
+    holds with the table count now solved from target recall
+    (scaled_n_tables) instead of a fixed 4, which halves the
+    assignment scans at sf0.1."""
     df = _t(spark, sf_dir, "embeddings")
     doubled = df.unionAll(df.withColumn("vec_id", F.col("vec_id") + 100000))
     out = embedding_near_duplicates(doubled, dim=64, threshold=0.999)
@@ -1278,6 +1280,34 @@ def q_semantic_dedup(spark, sf_dir):
          .unionByName(scaled(200000, 4.0)))
     return semantic_dedup(d, "label", vec_col="embedding",
                           id_col="vec_id", threshold=0.999)
+
+
+def q_semantic_multiprobe(spark, sf_dir):
+    """SemDeDup with the cross-cluster miss closed: every vector joins
+    its TOP-2 IVF cells before the within-cell pair kernel
+    (semantic_dedup_multiprobe).  Centroids here are the 64 one-hot
+    basis vectors, so "top-2 nearest centroids" is exactly "indices of
+    the 2 largest embedding components" — deterministically replayable
+    in SQL (QUALIFY row_number over component value desc, index asc ==
+    numpy stable argsort).  Same tripled exactly-scaled corpus as
+    `semantic_dedup`, so the closure still needs real transitive
+    chaining, and pairs found in both shared cells must dedup."""
+    import numpy as np
+    from data_validation_spark.operators.semantic import (
+        semantic_dedup_multiprobe)
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def scaled(shift, factor):
+        return emb.select(
+            (F.col("vec_id") + F.lit(shift)).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(factor))
+            .cast("array<float>").alias("embedding"))
+
+    d = (emb.select("vec_id", "embedding")
+         .unionByName(scaled(100000, 2.0))
+         .unionByName(scaled(200000, 4.0)))
+    return semantic_dedup_multiprobe(d, np.eye(64), threshold=0.999,
+                                     n_probe=2)
 
 
 def _synth_url_col():
@@ -1994,6 +2024,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        # -- added in r4 (below the 50-query window; rotate in r5) ----
+        "semantic_multiprobe": q_semantic_multiprobe,
         "url_canonical": q_url_canonical,
         "unicode_normalize": q_unicode_normalize,
         "bigram_topk": q_bigram_topk,
@@ -2448,16 +2480,30 @@ def oracle_sql() -> dict[str, str]:
                           ELSE least(24, greatest(4, CAST(ceil(log2(
                                2 * count(*) / 1024.0)) AS BIGINT)))
                      END AS n_planes
-              FROM embeddings)
+              FROM embeddings),
+            tables AS (
+              -- replay scaled_n_tables: smallest L with modeled recall
+              -- 1-(1-p^k)^L >= 0.99, clamped to [1, 8]
+              SELECT n_planes,
+                     1.0 - pow(1.0 - acos(0.999) / pi(), n_planes)
+                         AS miss
+              FROM geom),
+            solved AS (
+              SELECT n_planes, miss,
+                     CASE WHEN miss <= 0.01 THEN 1
+                          WHEN miss >= 1.0 THEN 8
+                          ELSE least(8, greatest(1, CAST(ceil(
+                               ln(0.01) / ln(miss)) AS BIGINT)))
+                     END AS n_tables
+              FROM tables)
             SELECT 'minhash' AS pipeline, NULL::BIGINT AS n_planes,
                    0::BIGINT AS n_dropped_buckets,
                    0::BIGINT AS n_dropped_memberships,
                    NULL::DOUBLE AS est_recall
             UNION ALL
             SELECT 'embedding', n_planes, 0, 0,
-                   round(1.0 - pow(1.0 - pow(1.0 - acos(0.999) / pi(),
-                                             n_planes), 4), 6)
-            FROM geom
+                   round(1.0 - pow(miss, n_tables), 6)
+            FROM solved
         """,
         "text_stats": r"""
             SELECT doc_id,
@@ -2866,6 +2912,55 @@ def oracle_sql() -> dict[str, str]:
               FROM d a JOIN d b
                 ON a.label = b.label AND a.vec_id < b.vec_id
               WHERE list_cosine_similarity(a.embedding, b.embedding)
+                    >= 0.999),
+            edges AS (
+              SELECT ia AS a, ib AS b FROM pairs
+              UNION SELECT ib, ia FROM pairs),
+            reach(a, b) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+            comp AS (
+              SELECT d.vec_id,
+                     least(d.vec_id,
+                           coalesce(min(r.b), d.vec_id)) AS cluster_id
+              FROM d LEFT JOIN reach r ON r.a = d.vec_id
+              GROUP BY d.vec_id)
+            SELECT vec_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id)
+                       AS cluster_size,
+                   vec_id = cluster_id AS is_canonical
+            FROM comp
+        """,
+        "semantic_multiprobe": """
+            WITH RECURSIVE d AS (
+              SELECT vec_id, embedding::DOUBLE[] AS embedding
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 100000,
+                     list_transform(embedding::DOUBLE[], x -> x * 2)
+              FROM embeddings
+              UNION ALL
+              SELECT vec_id + 200000,
+                     list_transform(embedding::DOUBLE[], x -> x * 4)
+              FROM embeddings),
+            cells AS (
+              -- top-2 one-hot-centroid cells == indices of the 2
+              -- largest components (value desc, index asc == numpy
+              -- stable argsort); 0-based to match the kernel
+              SELECT vec_id, i - 1 AS cell
+              FROM d, generate_series(1, 64) AS t(i)
+              QUALIFY row_number() OVER (
+                  PARTITION BY vec_id
+                  ORDER BY embedding[i] DESC, i ASC) <= 2),
+            pairs AS (
+              SELECT DISTINCT ca.vec_id AS ia, cb.vec_id AS ib
+              FROM cells ca
+              JOIN cells cb ON ca.cell = cb.cell
+                           AND ca.vec_id < cb.vec_id
+              JOIN d da ON da.vec_id = ca.vec_id
+              JOIN d db ON db.vec_id = cb.vec_id
+              WHERE list_cosine_similarity(da.embedding, db.embedding)
                     >= 0.999),
             edges AS (
               SELECT ia AS a, ib AS b FROM pairs

@@ -82,6 +82,81 @@ def decode_image_features(df: DataFrame, fake: bool = False) -> DataFrame:
         extract, schema=FEATURE_SCHEMA)
 
 
+def pil_available() -> bool:
+    """Probe for a real image decoder (VERDICT r3 #6: probe-and-use).
+    Called on the driver to PICK the kernel; the chosen kernel imports
+    PIL again executor-side (same interpreter image in any sane
+    deployment — a heterogeneous cluster would need a config pin, not
+    a per-executor probe, or stats would silently mix decoders)."""
+    try:
+        import PIL.Image  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+PIXEL_SCHEMA = ("doc_id string, width int, height int, px_mean double, "
+                "px_std double, decoder string, valid boolean")
+
+
+def decode_pixel_stats(df: DataFrame, id_col: str = "doc_id",
+                       payload_col: str = "payload",
+                       allow_fake: bool = True) -> DataFrame:
+    """Pixel-level stats with runtime decoder selection: when PIL is
+    importable the payload is REALLY decoded (grayscale-converted
+    pixel mean/std, true dimensions, ``decoder='pil'``); otherwise a
+    clearly-labeled deterministic byte-level stand-in runs
+    (``decoder='fake'``, width/height NULL) so the distributed shape —
+    Arrow batches over (id, payload) only, fixed-width output rows —
+    is identical in both environments.  ``allow_fake=False`` makes a
+    missing decoder a hard error instead (production stance).
+
+    ``valid=false`` marks payloads the decoder rejected (corrupt or
+    truncated bytes) — rows are never dropped, so the count contract
+    is stable across environments."""
+    use_pil = pil_available()
+    if not use_pil and not allow_fake:
+        raise NotImplementedError(
+            "real pixel decode requires PIL, which is not importable "
+            "here; pass allow_fake=True for the deterministic "
+            "byte-feature stand-in")
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if use_pil:
+            import io
+            from PIL import Image
+
+            def one(payload):
+                try:
+                    with Image.open(io.BytesIO(payload or b"")) as im:
+                        arr = np.asarray(im.convert("L"), dtype=np.float64)
+                    return (int(arr.shape[1]), int(arr.shape[0]),
+                            float(arr.mean()), float(arr.std()),
+                            "pil", True)
+                except Exception:
+                    return (None, None, None, None, "pil", False)
+        else:
+            def one(payload):
+                n, _, mean, _ = _byte_features(payload or b"")
+                if n == 0:
+                    return (None, None, None, None, "fake", False)
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                return (None, None, float(mean),
+                        float(arr.astype(np.float64).std()),
+                        "fake", True)
+
+        for pdf in batches:
+            rows = [one(p) for p in pdf[payload_col]]
+            out = pd.DataFrame(rows, columns=["width", "height",
+                                              "px_mean", "px_std",
+                                              "decoder", "valid"])
+            out.insert(0, "doc_id", pdf[id_col].to_numpy())
+            yield out
+
+    return df.select(F.col(id_col).alias("doc_id"), payload_col) \
+        .mapInPandas(extract, schema=PIXEL_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled frame index.
     Frame *decode* is stubbed (see module docstring); the row-explosion

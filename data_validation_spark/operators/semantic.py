@@ -7,10 +7,12 @@ arXiv:2303.09540) makes the all-pairs cosine search tractable by first
 coarse-clustering the embeddings (k-means) and only comparing WITHIN a
 cluster: with k chosen so clusters hold ~10^3-10^4 vectors, the
 quadratic term is bounded per cluster and the whole pass is one
-shuffle keyed by cluster id.  Cross-cluster near-dups are the
-documented miss (the paper's own trade-off); raise ``n_centroids``
-probes or fall back to ``embedding_near_duplicates`` (multi-table LSH)
-when that matters.
+shuffle keyed by cluster id.  Cross-cluster near-dups are the paper's
+documented trade-off; ``semantic_dedup_multiprobe`` closes it for
+near-boundary vectors by assigning each vector to its top-``n_probe``
+IVF cells before the pair kernel, or fall back to
+``embedding_near_duplicates`` (multi-table LSH) when even that
+matters.
 
 Spark shape — everything here is one ``groupBy(cluster).applyInPandas``
 over vectors that are ALREADY co-partitioned by the clustering step,
@@ -37,7 +39,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from data_validation_spark.operators.graph import dedup_clusters
 
-__all__ = ["cluster_near_pairs", "oversize_clusters", "semantic_dedup"]
+__all__ = ["cluster_near_pairs", "oversize_clusters", "semantic_dedup",
+           "semantic_dedup_multiprobe"]
 
 #: rows scored per matrix block inside the pair kernel
 _PAIR_BLOCK = 2048
@@ -145,21 +148,67 @@ def semantic_dedup(df: DataFrame, cluster_col: str,
     become singletons) and records ``(n_oversize_clusters,
     n_oversize_rows)`` in ``stats_out`` — counted exclusion, the same
     contract as the LSH hot-bucket caps."""
-    if on_oversize not in ("error", "skip"):
-        raise ValueError("on_oversize must be 'error' or 'skip'")
-    work = df
-    if on_oversize == "skip":
-        over = oversize_clusters(df, cluster_col, max_cluster_rows)
-        if stats_out is not None:
-            r = over.agg(
-                F.count(F.lit(1)).alias("c"),
-                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("r")).first()
-            stats_out["n_oversize_clusters"] = int(r["c"])
-            stats_out["n_oversize_rows"] = int(r["r"])
-        work = df.join(
-            F.broadcast(over.select(F.col("cluster").alias(cluster_col))),
-            on=cluster_col, how="left_anti")
+    work = _guard_oversize(df, cluster_col, max_cluster_rows,
+                           on_oversize, stats_out)
     pairs = cluster_near_pairs(work, cluster_col, vec_col, id_col,
                                threshold, max_cluster_rows)
+    return dedup_clusters(df, pairs, id_col=id_col,
+                          pair_cols=("id_a", "id_b"))
+
+
+def _guard_oversize(df: DataFrame, cluster_col: str,
+                    max_cluster_rows: int, on_oversize: str,
+                    stats_out: dict | None) -> DataFrame:
+    """'error': pass through (the pair kernel raises on an oversize
+    group); 'skip': exclude oversize clusters with counted accounting
+    in ``stats_out`` — shared by the single- and multi-probe paths."""
+    if on_oversize not in ("error", "skip"):
+        raise ValueError("on_oversize must be 'error' or 'skip'")
+    if on_oversize == "error":
+        return df
+    over = oversize_clusters(df, cluster_col, max_cluster_rows)
+    if stats_out is not None:
+        r = over.agg(
+            F.count(F.lit(1)).alias("c"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("r")).first()
+        stats_out["n_oversize_clusters"] = int(r["c"])
+        stats_out["n_oversize_rows"] = int(r["r"])
+    return df.join(
+        F.broadcast(over.select(F.col("cluster").alias(cluster_col))),
+        on=cluster_col, how="left_anti")
+
+
+def semantic_dedup_multiprobe(df: DataFrame, centroids,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id",
+                              threshold: float = 0.999,
+                              n_probe: int = 2,
+                              max_cluster_rows: int =
+                              DEFAULT_MAX_CLUSTER_ROWS,
+                              on_oversize: str = "error",
+                              stats_out: dict | None = None) -> DataFrame:
+    """SemDeDup with the cross-cluster miss closed: assign every
+    vector to its top-``n_probe`` IVF cells (``ivf_index_multi``),
+    run the within-cell pair kernel over the expanded frame, and
+    de-duplicate pairs found in more than one shared cell before the
+    transitive closure.  Two near-identical vectors split by a Voronoi
+    boundary — the pair single-probe SemDeDup documents as its miss —
+    now meet in one of each other's probe cells whenever the boundary
+    cell is among either's top-``n_probe``.
+
+    Cost shape: the pair kernel's input grows ``n_probe``× in rows
+    (quadratic work per CELL is unchanged — cells keep their target
+    size, each vector just appears in ``n_probe`` of them), plus one
+    ``distinct`` on the pair frame (LSH-output-sized, never
+    all-pairs).  Labeling/closure runs over the ORIGINAL ``df`` so
+    cluster sizes and canonical election are not inflated by the
+    expansion."""
+    from data_validation_spark.operators.similarity import ivf_index_multi
+    idx = ivf_index_multi(df, centroids, n_probe, vec_col, id_col)
+    work = _guard_oversize(idx, "cell", max_cluster_rows,
+                           on_oversize, stats_out)
+    pairs = (cluster_near_pairs(work, "cell", vec_col, id_col,
+                                threshold, max_cluster_rows)
+             .select("id_a", "id_b").distinct())
     return dedup_clusters(df, pairs, id_col=id_col,
                           pair_cols=("id_a", "id_b"))

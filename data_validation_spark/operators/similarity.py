@@ -226,6 +226,35 @@ def ivf_index(df: DataFrame, centroids: np.ndarray,
         assign, schema=f"{id_col} long, cell long, {vec_col} array<float>")
 
 
+def ivf_index_multi(df: DataFrame, centroids: np.ndarray,
+                    n_probe: int = 2, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """Assign every vector to its ``n_probe`` nearest (cosine)
+    centroid cells — one output row per (vector, cell), same column
+    names as ``ivf_index`` so within-cell kernels run unchanged.  The
+    multi-probe expansion is what closes SemDeDup's cross-cluster miss
+    for near-boundary vectors: two near-identical vectors on opposite
+    sides of a Voronoi boundary still SHARE a cell once each also
+    lands in its second-nearest.  Ties break by cell id (stable
+    argsort), so the probe set is deterministic on any engine."""
+    c = centroids.copy()
+    n_probe = min(n_probe, len(c))
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cu = _unit(c)
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = _unit(mat) @ cu.T
+            probes = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "cell": probes.astype(np.int64).ravel(),
+                vec_col: np.repeat(pdf[vec_col].to_numpy(), n_probe)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell long, {vec_col} array<float>")
+
+
 def ivf_topk(index: DataFrame, centroids: np.ndarray, query_vec,
              k: int = 10, n_probe: int = 4,
              vec_col: str = "embedding",
@@ -367,6 +396,29 @@ def scaled_n_planes(n_rows: int, target_bucket: int = 1024,
     return int(min(hi, max(lo, math.ceil(math.log2(n_rows / target_bucket)))))
 
 
+def scaled_n_tables(n_planes: int, threshold: float,
+                    target_recall: float = 0.99,
+                    max_tables: int = 8) -> int:
+    """Smallest table count whose modeled recall meets
+    ``target_recall``: recall = 1-(1-p^k)^L with
+    p = 1 - arccos(threshold)/π, solved for L.  A fixed L=4 pays four
+    full assignment scans even when ONE table already clears the
+    target (small corpora get few planes → high per-table collision
+    probability) — r3's sf0.1 bench was exactly this constant factor.
+    At scale k grows, p^k shrinks and L rises back toward (and is
+    clamped at) ``max_tables``; the clamp is honest because
+    ``stats_out["est_recall"]`` reports the achieved value."""
+    import math
+    p = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    miss = 1.0 - p ** n_planes
+    if miss <= 1.0 - target_recall:
+        return 1
+    if miss >= 1.0:
+        return max_tables
+    need = math.ceil(math.log(1.0 - target_recall) / math.log(miss))
+    return int(min(max_tables, max(1, need)))
+
+
 def _multitable_kernel(planes_by_table: list[np.ndarray], base_planes: int,
                        extra_planes: int,
                        oversized_by_table: list[list[np.ndarray]],
@@ -420,7 +472,8 @@ def _multitable_kernel(planes_by_table: list[np.ndarray], base_planes: int,
 def embedding_near_duplicates(df: DataFrame, dim: int,
                               threshold: float = 0.95,
                               n_planes: int | None = None,
-                              n_tables: int = 4,
+                              n_tables: int | None = None,
+                              target_recall: float = 0.99,
                               vec_col: str = "embedding",
                               id_col: str = "vec_id",
                               seed: int = DEFAULT_SEED,
@@ -439,7 +492,11 @@ def embedding_near_duplicates(df: DataFrame, dim: int,
     * ``n_tables`` independent hash tables recover the recall that more
       planes per table would destroy: a pair is a candidate if it
       collides in ANY table — est. recall 1-(1-p^k)^L with
-      p = 1 - arccos(threshold)/π;
+      p = 1 - arccos(threshold)/π; defaults to
+      ``scaled_n_tables(n_planes, threshold, target_recall)``, the
+      SMALLEST L meeting ``target_recall`` (small corpora get few
+      planes → one or two tables suffice; a fixed L=4 paid four
+      assignment scans for nothing at sf0.1);
     * buckets still over ``max_bucket`` (skewed/correlated regions) are
       recursively SPLIT with ``extra_planes`` more sign bits per round
       instead of dropped; only buckets oversized after
@@ -458,6 +515,8 @@ def embedding_near_duplicates(df: DataFrame, dim: int,
     import math
     if n_planes is None:
         n_planes = scaled_n_planes(df.count(), target_bucket)
+    if n_tables is None:
+        n_tables = scaled_n_tables(n_planes, threshold, target_recall)
     planes_by_table = [
         _hyperplanes(dim, n_planes + max_split_rounds * extra_planes,
                      seed + 7919 * t)

@@ -185,3 +185,44 @@ def test_parse_image_headers_catalyst_path_has_no_python(spark):
     # feeds a pure projection — assert the projection exists and that
     # collecting the non-jpeg rows works without error
     assert fixed.count() == 1
+
+
+def test_decode_pixel_stats_runs_with_whatever_decoder_exists(spark):
+    """VERDICT r3 #6 probe-and-use: one test, green in BOTH
+    environments — PIL present (real decode, true dims + pixel stats)
+    or absent (deterministic byte stand-in).  The distributed contract
+    (row per input, schema, valid flag) is identical either way."""
+    have_pil = multimodal.pil_available()
+    if have_pil:
+        import io
+        from PIL import Image
+        buf = io.BytesIO()
+        Image.frombytes("L", (4, 2), bytes(range(8))).save(buf, "PNG")
+        payload = buf.getvalue()
+    else:
+        payload = b"\x00\x01\x02\x03\x04\x05\x06\x07"
+    df = spark.createDataFrame(
+        [("ok", payload), ("corrupt", b"\xff"), ("empty", b"")],
+        "doc_id string, payload binary")
+    out = {r.doc_id: r for r in multimodal.decode_pixel_stats(df).collect()}
+    assert len(out) == 3                      # never drops rows
+    expected = "pil" if have_pil else "fake"
+    assert {r.decoder for r in out.values()} == {expected}
+    ok = out["ok"]
+    assert ok.valid
+    if have_pil:
+        assert (ok.width, ok.height) == (4, 2)
+        assert abs(ok.px_mean - 3.5) < 1e-9   # mean of 0..7
+        assert not out["corrupt"].valid       # PIL rejects junk bytes
+    else:
+        assert ok.width is None and abs(ok.px_mean - 3.5) < 1e-9
+        assert out["corrupt"].valid           # bytes are bytes to fake
+    assert not out["empty"].valid
+
+
+def test_decode_pixel_stats_hard_errors_without_decoder(spark):
+    df = spark.createDataFrame([("a", b"x")], "doc_id string, payload binary")
+    if multimodal.pil_available():
+        pytest.skip("PIL present: the hard-error branch is unreachable")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        multimodal.decode_pixel_stats(df, allow_fake=False)
