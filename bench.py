@@ -25,6 +25,14 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+#: timed repetitions per query (min taken).  3 since r4: the r2→r3
+#: driver bench showed two >1 s swings (unique_violation_keys,
+#: embedding_near_dups) that the builder's quiet box could not
+#: reproduce — host-load noise needs one more sample to reject, and
+#: the JSON line now carries loadavg so the reader can tell a loaded
+#: box from a regression.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
 #: sequences rows per sf of lineitem (~600k lineitem rows at sf0.1)
 SEQ_ROWS = {"sf0.001": 5_000, "sf0.01": 40_000, "sf0.1": 400_000}
 
@@ -98,11 +106,11 @@ def bench_validation_df(spark, df, n_rows: int,
     # measured run is steady-state (JIT is a per-JVM constant that a
     # 10^12-row job amortizes away)
     run_validation(spark, warm_df, suite, dims=dims, resume=False)
-    # best of 2 full-size runs, like the operator queries: a single
+    # best of RUNS full-size runs, like the operator queries: a single
     # timed run leaves host-load noise (this box's effective cores
     # wobble run to run) as the dominant term in the headline number
     wall, res = None, None
-    for _ in range(2):
+    for _ in range(RUNS):
         t0 = time.time()
         r = run_validation(spark, df, suite, dims=dims, resume=False)
         dt = time.time() - t0
@@ -122,6 +130,7 @@ def main() -> None:
 
     spark = get_spark(app_name="bench", master=f"local[{CPUS}]",
                       shuffle_partitions=CPUS)
+    load_start = os.getloadavg()[0]
 
     timings: dict[str, float] = {}
     extras: dict = {}
@@ -144,7 +153,7 @@ def main() -> None:
         # cluster job; run 2 is the steady-state per-query cost the
         # 100 TB scale question actually asks about.
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(RUNS):
             # drop persisted intermediates between runs: CacheManager
             # matches by logical plan, so run 2 of an operator that
             # persists (minhash/simhash banded frames) would otherwise
@@ -155,7 +164,7 @@ def main() -> None:
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        log(f"{name}: {timings[name]}s best-of-2 ({n} rows)")
+        log(f"{name}: {timings[name]}s best-of-{RUNS} ({n} rows)")
 
     # non-headline extras: timed and reported but NOT in the total, so
     # the headline stays composition-comparable across rounds
@@ -163,14 +172,14 @@ def main() -> None:
     for name in ["asof_join", "interval_attribution", "sessionize",
                  "retention", "embedding_outliers"]:
         best, n = None, 0
-        for _ in range(2):
+        for _ in range(RUNS):
             spark.catalog.clearCache()
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
         extra_timings[name] = round(best, 3)
-        log(f"{name}: {extra_timings[name]}s best-of-2 ({n} rows) [extra]")
+        log(f"{name}: {extra_timings[name]}s best-of-{RUNS} ({n} rows) [extra]")
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -183,10 +192,14 @@ def main() -> None:
         "cpus": CPUS,
         "validation_throughput_seq_per_s":
             extras["validation"]["throughput_seq_per_s"],
-        "methodology": "all queries best-of-2 (steady state; "
+        "loadavg_1m_start": round(load_start, 2),
+        "loadavg_1m_end": round(os.getloadavg()[0], 2),
+        "methodology": f"all queries best-of-{RUNS} (steady state; "
                        "per-JVM codegen/worker constants amortize at "
                        "scale); validation warmed on a small table "
-                       "with the identical plan shape",
+                       "with the identical plan shape; loadavg "
+                       "recorded start/end — compare per-query times "
+                       "only at comparable load",
     }
     print(json.dumps(out), flush=True)
 

@@ -367,7 +367,14 @@ def join_rule_violation_frame(df: DataFrame, c: Constraint,
         raise ValueError(
             f"join_rule constraint {c.name!r}: dimension {p['dim']!r} "
             f"not provided in dims (got: {sorted(dims or {})})")
-    joined = df.join(dims[p["dim"]], on=list(p["on"]), how="left")
+    # dims share referential's contract: broadcast-sized by definition
+    # (the fact table is the 10^12-row side and must never shuffle for
+    # a suite constraint; a table-scale "dimension" belongs in a
+    # pre-bucketed upstream join, not here).  Explicit hint because
+    # driver-built dims (createDataFrame → ExistingRDD) carry no stats
+    # for the auto-broadcast threshold.
+    joined = df.join(F.broadcast(dims[p["dim"]]), on=list(p["on"]),
+                     how="left")
     return (joined.filter(~F.coalesce(F.expr(p["sql"]), F.lit(False)))
             .select(*df.columns)
             .withColumn("errors", F.array(F.lit(c.name)))
