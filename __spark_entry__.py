@@ -1282,6 +1282,59 @@ def q_semantic_dedup(spark, sf_dir):
                           id_col="vec_id", threshold=0.999)
 
 
+def q_increment_near_dups(spark, sf_dir):
+    """Steady-state NEAR-dup ingest: the documents table is the
+    standing corpus (LSH band state + signature table — the ~2%-of-
+    corpus standing footprint), a shifted copy is today's batch; every
+    batch doc must pair with its identical-text corpus original via
+    the bucketed state probe + signature-agreement verify at est==1.0
+    (identical word sequence ⇒ identical shingle set ⇒ identical
+    signature ⇒ found in every band — recall 1 by construction, no
+    corpus text read).  Both sides length-gated to ≥3 words (the
+    standard minhash pre-filter: sub-shingle docs have empty shingle
+    sets and would all share one signature — operator docstring).
+    Recall-gate shape (the simhash_recall/embedding_recall pattern):
+    output = pipeline pairs ∩ identical-normalized-text pairs, oracle
+    = those identical-text pairs themselves — the corpus contains true
+    J≈0.99 near-dups whose 16-hash agreement legitimately reads 1.0,
+    so raw est==1.0 output is correct but not SQL-replayable."""
+    from data_validation_spark.functions.text import words_col
+    from data_validation_spark.operators.dedup import (
+        increment_near_dups, minhash_band_state, minhash_signatures)
+    corpus = (_t(spark, sf_dir, "documents")
+              .filter(F.array_size(words_col("text")) >= 3))
+    batch = corpus.withColumn("doc_id", F.col("doc_id") + 100000)
+    out = increment_near_dups(batch, minhash_band_state(corpus),
+                              minhash_signatures(corpus),
+                              threshold=0.999999)
+    fp = F.md5(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    f = corpus.select(F.col("doc_id"), fp.alias("fp"))
+    exact = (f.withColumnsRenamed({"doc_id": "b"}).alias("b")
+             .join(f.withColumnsRenamed({"doc_id": "corpus_id"}), "fp")
+             .select((F.col("b") + 100000).alias("batch_id"),
+                     "corpus_id"))
+    return (out.select("batch_id", "corpus_id")
+            .join(exact, ["batch_id", "corpus_id"], "inner"))
+
+
+def q_pixel_stats(spark, sf_dir):
+    """Multimodal pixel-stats kernel, oracle-checked end to end with
+    the decoder PINNED to the environment-independent 'fake' tier: the
+    synthetic media table carries each document's UTF-8 text bytes as
+    its binary payload, so the kernel's px_mean is exactly the mean
+    ASCII code per document — sum/count in float64, bit-identical on
+    any engine (px_std stays pytest-only: variance algorithms differ
+    in the last ulp across engines).  The same Arrow kernel and row
+    contract serve the 'pil' tier where PIL exists (probe-and-use)."""
+    from data_validation_spark.operators.multimodal import (
+        decode_pixel_stats, synth_media_df)
+    docs = _t(spark, sf_dir, "documents")
+    media = synth_media_df(spark, docs)
+    out = decode_pixel_stats(media, decoder="fake")
+    return out.select("doc_id", "valid",
+                      F.round("px_mean", 6).alias("px_mean"))
+
+
 def q_semantic_multiprobe(spark, sf_dir):
     """SemDeDup with the cross-cluster miss closed: every vector joins
     its TOP-2 IVF cells before the within-cell pair kernel
@@ -2026,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": q_embedding_near_dups,
         # -- added in r4 (below the 50-query window; rotate in r5) ----
         "semantic_multiprobe": q_semantic_multiprobe,
+        "increment_near_dups": q_increment_near_dups,
+        "pixel_stats": q_pixel_stats,
         "url_canonical": q_url_canonical,
         "unicode_normalize": q_unicode_normalize,
         "bigram_topk": q_bigram_topk,
@@ -2931,6 +2986,26 @@ def oracle_sql() -> dict[str, str]:
                        AS cluster_size,
                    vec_id = cluster_id AS is_canonical
             FROM comp
+        """,
+        "pixel_stats": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   len(text) > 0 AS valid,
+                   CASE WHEN len(text) > 0 THEN
+                     round(CAST(list_sum(list_transform(
+                               string_split(text, ''),
+                               ch -> ascii(ch))) AS DOUBLE)
+                           / len(text), 6)
+                   END AS px_mean
+            FROM documents
+        """,
+        "increment_near_dups": r"""
+            WITH f AS (
+              SELECT doc_id,
+                     md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
+              FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 3)
+            SELECT b.doc_id + 100000 AS batch_id, c.doc_id AS corpus_id
+            FROM f b JOIN f c ON b.fp = c.fp
         """,
         "semantic_multiprobe": """
             WITH RECURSIVE d AS (

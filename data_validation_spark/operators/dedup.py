@@ -477,6 +477,128 @@ def increment_report(batch: DataFrame, corpus_fps: DataFrame,
          .cast("long").alias("n_survivors"))
 
 
+def minhash_band_state(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", k_shingle: int = 3,
+                       n_hashes: int = 16, bands: int = 8) -> DataFrame:
+    """The NEAR-dup analogue of ``corpus_fingerprints``: the corpus's
+    LSH band index ``(band, band_hash, doc_id)`` — ~24 B × bands per
+    doc, the standing state an incremental ingest probes for near-dup
+    candidates.  Persist with ``TableProvider.write_bucketed(...,
+    ["band", "band_hash"], N)`` so every future increment's candidate
+    join leaves the state SHUFFLE-FREE (same contract as the exact
+    fingerprint state; the index is ~2% of a text corpus's bytes)."""
+    from data_validation_spark.functions.arrays import let_col
+    sig = minhash_signatures(df, text_col, id_col, k_shingle, n_hashes)
+    rows = n_hashes // bands
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(let_col(
+            F.col("signature"),
+            lambda s: band_hashes_col(s, bands, rows)))
+        .alias("band", "band_hash"))
+
+
+def increment_near_dups(batch: DataFrame, band_state: DataFrame,
+                        corpus_sigs: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k_shingle: int = 3, n_hashes: int = 16,
+                        bands: int = 8, threshold: float = 0.7,
+                        max_bucket: int = 1000,
+                        stats_out: dict | None = None) -> DataFrame:
+    """Near-duplicate pairs between an ingest BATCH and the standing
+    corpus — ``(batch_id, corpus_id, est_jaccard)`` — without touching
+    corpus text: candidates come from probing the bucketed
+    ``minhash_band_state`` (built by the same geometry), verification
+    is the signature-agreement estimator ``mean(sig_a[i] == sig_b[i])``
+    against ``corpus_sigs`` (``minhash_signatures`` output persisted
+    bucketed by ``id_col``), an unbiased Jaccard estimate — the verify
+    tier a 100 TB steady-state pipeline can actually afford (exact
+    Jaccard would re-read matched corpus documents; re-verify the
+    survivors' matches offline if exactness matters downstream).
+
+    Cost shape per batch: one signature pass over the batch, one
+    equi-join of batch bands against the bucketed state (state never
+    moves), one id-keyed join of candidate corpus ids against the
+    bucketed signature table, zero corpus text reads.  Hot state
+    buckets past ``max_bucket`` are dropped WITH accounting
+    (``stats_out``) — boilerplate buckets would otherwise go quadratic
+    batch-side.
+
+    Degenerate-doc caveat (every minhash pipeline's): a doc with fewer
+    than ``k_shingle`` words has an EMPTY shingle set, and empty sets
+    share one constant signature — signature-agreement would report
+    est_jaccard 1.0 for every such pair.  Exact-verify tiers
+    (``minhash_near_duplicates``) catch this at the Jaccard step; a
+    signature-only verify cannot, so length-gate inputs below
+    ``k_shingle`` words upstream (the standard pre-filter)."""
+    if n_hashes % bands:
+        raise ValueError("n_hashes must be divisible by bands")
+    from pyspark import StorageLevel
+    from data_validation_spark.functions.arrays import let_col
+    sig = minhash_signatures(batch, text_col, id_col, k_shingle,
+                             n_hashes).persist(StorageLevel.MEMORY_AND_DISK)
+    rows = n_hashes // bands
+    batch_bands = sig.select(
+        F.col(id_col).alias("batch_id"), "signature",
+        F.posexplode(let_col(
+            F.col("signature"),
+            lambda s: band_hashes_col(s, bands, rows)))
+        .alias("band", "band_hash"))
+    state = band_state.select("band", "band_hash",
+                              F.col(id_col).alias("corpus_id"))
+    if stats_out is not None:
+        stats_out.update(_bucket_drop_stats(
+            state, ["band", "band_hash"], max_bucket))
+    keep = (state.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") <= max_bucket)
+            .select("band", "band_hash"))
+    cand = (batch_bands
+            .join(keep, ["band", "band_hash"])
+            .join(state, ["band", "band_hash"])
+            .select("batch_id", "corpus_id", "signature").distinct())
+    csig = corpus_sigs.select(F.col(id_col).alias("corpus_id"),
+                              F.col("signature").alias("sig_b"))
+    est = F.aggregate(
+        F.zip_with("signature", "sig_b",
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, x: acc + x
+    ).cast("double") / F.lit(n_hashes)
+    return (cand.join(csig, "corpus_id")
+            .select("batch_id", "corpus_id",
+                    F.round(est, 6).alias("est_jaccard"))
+            .filter(F.col("est_jaccard") >= threshold))
+
+
+def dedup_increment_near(batch: DataFrame, band_state: DataFrame,
+                         corpus_sigs: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k_shingle: int = 3, n_hashes: int = 16,
+                         bands: int = 8, threshold: float = 0.7,
+                         max_bucket: int = 1000,
+                         stats_out: dict | None = None) -> DataFrame:
+    """Survivors of an incremental ingest under NEAR-dup semantics:
+    batch rows that are neither (a) a near-dup of the standing corpus
+    (``increment_near_dups``) nor (b) a non-canonical member of an
+    in-batch near-dup cluster (exact-verified ``minhash_near_duplicates``
+    over the batch alone — the batch carries its own texts, so the
+    in-batch tier keeps exact Jaccard).  The caller appends the
+    survivors' ``minhash_band_state``/``minhash_signatures`` rows to
+    the two state tables, completing the steady-state loop."""
+    from data_validation_spark.operators.graph import dedup_clusters
+    vs_corpus = increment_near_dups(
+        batch, band_state, corpus_sigs, text_col, id_col, k_shingle,
+        n_hashes, bands, threshold, max_bucket, stats_out)
+    matched = vs_corpus.select(F.col("batch_id").alias(id_col)).distinct()
+    fresh = batch.join(matched, id_col, "left_anti")
+    in_batch = minhash_near_duplicates(
+        fresh, text_col, id_col, k_shingle, n_hashes, bands, threshold,
+        max_bucket)
+    keep = (dedup_clusters(fresh.select(id_col), in_batch, id_col)
+            .filter(F.col("is_canonical")).select(id_col))
+    return fresh.join(keep, id_col, "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # inter-source duplicate overlap
 # ---------------------------------------------------------------------------

@@ -101,7 +101,8 @@ PIXEL_SCHEMA = ("doc_id string, width int, height int, px_mean double, "
 
 def decode_pixel_stats(df: DataFrame, id_col: str = "doc_id",
                        payload_col: str = "payload",
-                       allow_fake: bool = True) -> DataFrame:
+                       allow_fake: bool = True,
+                       decoder: str = "auto") -> DataFrame:
     """Pixel-level stats with runtime decoder selection: when PIL is
     importable the payload is REALLY decoded (grayscale-converted
     pixel mean/std, true dimensions, ``decoder='pil'``); otherwise a
@@ -113,9 +114,20 @@ def decode_pixel_stats(df: DataFrame, id_col: str = "doc_id",
 
     ``valid=false`` marks payloads the decoder rejected (corrupt or
     truncated bytes) — rows are never dropped, so the count contract
-    is stable across environments."""
-    use_pil = pil_available()
-    if not use_pil and not allow_fake:
+    is stable across environments.
+
+    ``decoder``: ``'auto'`` probes (PIL when importable), ``'pil'``
+    forces real decode (raises when absent), ``'fake'`` forces the
+    byte stand-in — the environment-independent setting an
+    oracle-checked pipeline pins."""
+    if decoder not in ("auto", "pil", "fake"):
+        raise ValueError("decoder must be 'auto', 'pil' or 'fake'")
+    use_pil = (pil_available() if decoder == "auto"
+               else decoder == "pil")
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError("decoder='pil' requested but PIL is "
+                                  "not importable here")
+    if decoder == "auto" and not use_pil and not allow_fake:
         raise NotImplementedError(
             "real pixel decode requires PIL, which is not importable "
             "here; pass allow_fake=True for the deterministic "

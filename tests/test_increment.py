@@ -108,3 +108,63 @@ def test_source_overlap_matrix(spark):
     assert out == {("web", "wiki"): 2,      # "shared one", "tri"
                    ("books", "web"): 2,     # "shared two", "tri"
                    ("books", "wiki"): 1}    # "tri"
+
+
+def test_increment_near_dups_finds_corpus_near_matches(spark, tmp_path):
+    """Near-dup incremental ingest: batch docs matching the standing
+    corpus by signature agreement are paired; state and signature
+    tables stay bucketed (shuffle-free corpus side is asserted by the
+    exact-path test; here we pin semantics)."""
+    from data_validation_spark.operators.dedup import (
+        dedup_increment_near, increment_near_dups, minhash_band_state,
+        minhash_signatures)
+    corpus = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta {i} eta theta iota "
+              f"kappa lambda mu") for i in range(40)],
+        "doc_id long, text string")
+    state = minhash_band_state(corpus)
+    sigs = minhash_signatures(corpus)
+    # batch: 3 exact copies of corpus docs, 2 fresh docs, 1 in-batch dup
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta 7 eta theta iota "
+               "kappa lambda mu"),       # copy of corpus 7
+         (101, "alpha beta gamma delta epsilon zeta 13 eta theta iota "
+               "kappa lambda mu"),       # copy of corpus 13
+         (102, "totally different content nothing shared here at all "
+               "one two three four"),
+         (103, "totally different content nothing shared here at all "
+               "one two three four"),    # in-batch dup of 102
+         (104, "another genuinely fresh document with its own words "
+               "five six seven eight")],
+        "doc_id long, text string")
+    pairs = increment_near_dups(batch, state, sigs, threshold=0.999999)
+    got = {(r.batch_id, r.corpus_id) for r in pairs.collect()}
+    assert got == {(100, 7), (101, 13)}
+    assert all(r.est_jaccard == 1.0 for r in pairs.collect())
+
+    stats = {}
+    surv = dedup_increment_near(batch, state, sigs,
+                                threshold=0.999999, stats_out=stats)
+    assert sorted(r.doc_id for r in surv.collect()) == [102, 104]
+    assert stats["n_dropped_buckets"] == 0
+
+
+def test_increment_near_dups_estimator_tracks_jaccard(spark):
+    """The signature-agreement estimate must sit near the true shingle
+    Jaccard for a partially-overlapping pair (coarse band — 16 hashes)."""
+    from data_validation_spark.operators.dedup import (
+        increment_near_dups, minhash_band_state, minhash_signatures)
+    base = "w%d " * 30
+    corpus = spark.createDataFrame(
+        [(0, (base % tuple(range(30))).strip())], "doc_id long, text string")
+    # batch doc shares a 25-word prefix (high but sub-1 Jaccard)
+    txt = (base % tuple(range(30))).split()
+    batch = spark.createDataFrame(
+        [(9, " ".join(txt[:25] + ["x1", "x2", "x3", "x4", "x5"]))],
+        "doc_id long, text string")
+    out = increment_near_dups(batch, minhash_band_state(corpus),
+                              minhash_signatures(corpus), threshold=0.05)
+    rows = out.collect()
+    assert len(rows) == 1
+    est = rows[0].est_jaccard
+    assert 0.2 < est < 1.0      # nonzero, non-identical
