@@ -119,9 +119,18 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                    run_id: str | None = None,
                    resume: bool = True,
                    method: str = "catalyst",
-                   lineage: dict | None = None) -> RunResult:
+                   lineage: dict | None = None,
+                   concurrent_jobs: int = 4) -> RunResult:
     """Validate ``df`` against ``suite``; optionally write metrics /
-    violations / manifest through ``sink`` (IO5-IO7)."""
+    violations / manifest through ``sink`` (IO5-IO7).
+
+    ``concurrent_jobs``: independent Spark actions (the fused stats
+    pass, each set-level constraint count) are submitted from a thread
+    pool of this size so their stages overlap — a reduce tail on a few
+    tasks no longer serializes the whole run while the cluster idles.
+    ``1`` = strictly serial (identical results either way; actions
+    share no mutable state and the scheduler interleaves stages
+    fairly)."""
     run_id = run_id or uuid.uuid4().hex[:12]
     # fill documented defaults (e.g. in_domain ← reference domain) up
     # front so a bad suite fails here with a clear message, not mid-job
@@ -205,11 +214,20 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                 row_conds[c.name] = col.isNull() | ~col.isin(vals)
                 inline_ref.add(c.name)
 
-    if method == "catalyst":
-        profile, counts_by_part = build_profile_and_counts(
-            df, suite.components, pcols, row_conds=row_conds,
-            method=method, name=suite.name)
-    else:  # kernel path computes stats only; count pass is separate
+    # The fused stats pass and every set-level count below are
+    # INDEPENDENT Spark actions — assembled as thunks and submitted
+    # from a small thread pool, because serial driver actions leave
+    # the cluster idle between stages (a reduce tail runs on a handful
+    # of tasks while thousands of cores wait for the next job's scan).
+    # Overlapping them fills that gap on a real cluster and hides the
+    # shorter scans behind the fused pass locally; `concurrent_jobs=1`
+    # restores strictly serial execution.
+    def _fused():
+        if method == "catalyst":
+            return build_profile_and_counts(
+                df, suite.components, pcols, row_conds=row_conds,
+                method=method, name=suite.name)
+        # kernel path computes stats only; count pass is separate
         profile = build_profile(df, suite.components, pcols, method=method,
                                 name=suite.name)
         counts_by_part = {}
@@ -221,6 +239,9 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
                 d = r.asDict()
                 counts_by_part[d["partition"]] = {
                     c.name: d[f"__viol__{c.name}"] for c in row_cs}
+        return profile, counts_by_part
+
+    actions: dict[str, object] = {"__fused__": _fused}
 
     # -- set-level constraints -------------------------------------------
     # Without a sink: counts-only, column-pruned scans per constraint
@@ -239,15 +260,21 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         violations = _violation_rows(spark, df, suite, dims)
         violations.persist(StorageLevel.MEMORY_AND_DISK)
         if set_names:
-            counted = (violations
-                       .select("partition",
-                               F.explode("errors").alias("constraint"))
-                       .where(F.col("constraint").isin(set_names))
-                       .groupBy("partition", "constraint")
-                       .agg(F.count(F.lit(1)).alias("n")).collect())
-            set_counts = {n: {} for n in set_names}
-            for r in counted:
-                set_counts[r["constraint"]][r["partition"]] = r["n"]
+            vframe = violations
+
+            def _counted():
+                rows = (vframe
+                        .select("partition",
+                                F.explode("errors").alias("constraint"))
+                        .where(F.col("constraint").isin(set_names))
+                        .groupBy("partition", "constraint")
+                        .agg(F.count(F.lit(1)).alias("n")).collect())
+                out: dict[str, dict[str, int]] = {n: {} for n in set_names}
+                for r in rows:
+                    out[r["constraint"]][r["partition"]] = r["n"]
+                return out
+
+            actions["__viol_counts__"] = _counted
     else:
         def _frame_counts(frame: DataFrame) -> dict[str, int]:
             # counts-only path: project the partition label before the
@@ -258,22 +285,38 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
 
         comp_cs = [c for c in suite.constraints if c.kind == "completeness"]
         for name, frame in completeness_violation_frames(df, comp_cs, pcols):
-            set_counts[name] = _frame_counts(frame)
+            actions[name] = (lambda fr=frame: _frame_counts(fr))
         for c in suite.constraints:
             if c.kind == "unique":
-                set_counts[c.name] = uniqueness_violation_counts(
-                    df, list(c.params["keys"]), pcols)
+                actions[c.name] = (
+                    lambda keys=list(c.params["keys"]):
+                    uniqueness_violation_counts(df, keys, pcols))
             elif c.kind == "referential" and c.name not in inline_ref:
                 p = c.params
                 dim = _resolve_dim(spark, p, dims)
-                set_counts[c.name] = referential_violation_counts(
-                    df, p["column"], dim, pcols, p.get("dim_column"))
+                actions[c.name] = (
+                    lambda p=p, dim=dim: referential_violation_counts(
+                        df, p["column"], dim, pcols, p.get("dim_column")))
             elif c.kind == "fd":
-                set_counts[c.name] = _frame_counts(
-                    fd_violation_frame(df, c, pcols))
+                actions[c.name] = (
+                    lambda c=c: _frame_counts(fd_violation_frame(
+                        df, c, pcols)))
             elif c.kind == "join_rule":
-                set_counts[c.name] = _frame_counts(
-                    join_rule_violation_frame(df, c, dims, pcols))
+                actions[c.name] = (
+                    lambda c=c: _frame_counts(join_rule_violation_frame(
+                        df, c, dims, pcols)))
+
+    if concurrent_jobs > 1 and len(actions) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(
+                max_workers=min(concurrent_jobs, len(actions))) as pool:
+            futures = {k: pool.submit(v) for k, v in actions.items()}
+            results = {k: f.result() for k, f in futures.items()}
+    else:
+        results = {k: v() for k, v in actions.items()}
+    profile, counts_by_part = results.pop("__fused__")
+    set_counts.update(results.pop("__viol_counts__", {}))
+    set_counts.update(results)
 
     # -- verdict assembly (driver-side; universe = every observed
     #    partition × every constraint, explicit passed=true rows) --------
