@@ -1726,6 +1726,55 @@ def q_dq_constraint_kinds(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_violations")))
 
 
+def q_metric_constraints(spark, sf_dir):
+    """The METRIC-assertion constraint family (deequ hasSize / hasMean /
+    hasDistinctness / hasPattern / freshness) end-to-end through
+    run_validation: pattern rides the fused stats pass, stat_bounds is
+    free post-processing of the fused profile, row_count + freshness
+    share one column-pruned agg, distinctness is a two-phase value
+    collapse.  Output = the full per-(status-partition × constraint)
+    verdict table; the oracle re-derives every verdict in SQL —
+    thresholds sit between the per-status values so each metric kind
+    produces BOTH pass and fail verdicts (a stuck-at-pass evaluator
+    cannot hash-match)."""
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    orders = _t(spark, sf_dir, "orders")
+    suite = ValidationSuite(
+        name="metric", components=[Component("o_totalprice", "numeric")],
+        partition_cols=["o_orderstatus"],
+        constraints=[
+            Constraint("prio_pattern", "pattern",
+                       {"component": "o_orderpriority",
+                        "pattern": "^[1-3]-"}),
+            Constraint("key_pattern", "pattern",
+                       {"component": "o_orderkey",
+                        "pattern": "^[0-9]+$"}),
+            Constraint("mean_price", "stat_bounds",
+                       {"component": "o_totalprice", "stat": "mean",
+                        "min": 251000.0}),
+            Constraint("status_rows", "row_count", {"min": 5000}),
+            Constraint("recent", "freshness",
+                       {"component": "o_orderdate",
+                        "max_age_seconds": 820800,
+                        "as_of": "2001-08-10T00:00:00"}),
+            Constraint("prio_card", "distinctness",
+                       {"columns": ["o_orderpriority"],
+                        "metric": "distinct_ratio", "max": 0.001}),
+            Constraint("key_unique", "distinctness",
+                       {"columns": ["o_orderkey"],
+                        "metric": "unique_ratio", "min": 1.0}),
+        ])
+    res = run_validation(spark, orders, suite)
+    rows = [(v["partition"], v["constraint"], int(v["n_violations"]),
+             bool(v["passed"])) for v in res.verdicts]
+    return (spark.createDataFrame(
+        rows, "partition string, constraint string, n_violations bigint, "
+              "passed boolean")
+        .orderBy("partition", "constraint"))
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -2056,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend": q_trend,
         "sorted_neighborhood": q_sorted_neighborhood,
         "dq_constraint_kinds": q_dq_constraint_kinds,
+        "metric_constraints": q_metric_constraints,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3357,6 +3407,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey_a, c_custkey_b, pos_a, pos_b,
                    CAST(levenshtein(na, nb) AS INT) AS dist
             FROM p WHERE levenshtein(na, nb) <= 1
+        """,
+        "metric_constraints": """
+            WITH g AS (
+              SELECT 'o_orderstatus=' || o_orderstatus AS part,
+                     count(*) AS n,
+                     avg(o_totalprice) AS mp,
+                     sum(CASE WHEN regexp_matches(
+                           CAST(o_orderpriority AS VARCHAR), '^[1-3]-')
+                         THEN 0 ELSE 1 END) AS bad_prio,
+                     sum(CASE WHEN regexp_matches(
+                           CAST(o_orderkey AS VARCHAR), '^[0-9]+$')
+                         THEN 0 ELSE 1 END) AS bad_key,
+                     max(epoch_us(o_orderdate)) AS maxd,
+                     count(DISTINCT o_orderpriority) AS dprio
+              FROM orders GROUP BY 1),
+            uq AS (
+              SELECT part, sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS u1,
+                     sum(c) AS nn
+              FROM (SELECT 'o_orderstatus=' || o_orderstatus AS part,
+                           o_orderkey, count(*) AS c
+                    FROM orders GROUP BY 1, 2) GROUP BY 1),
+            v AS (
+              SELECT part, 'prio_pattern' AS con, bad_prio AS nv FROM g
+              UNION ALL SELECT part, 'key_pattern', bad_key FROM g
+              UNION ALL SELECT part, 'mean_price',
+                CASE WHEN mp < 251000.0 THEN 1 ELSE 0 END FROM g
+              UNION ALL SELECT part, 'status_rows',
+                CASE WHEN n < 5000 THEN 1 ELSE 0 END FROM g
+              UNION ALL SELECT part, 'recent',
+                CASE WHEN maxd <
+                  epoch_us(TIMESTAMP '2001-08-10 00:00:00')
+                  - 820800000000 THEN 1 ELSE 0 END FROM g
+              UNION ALL SELECT part, 'prio_card',
+                CASE WHEN dprio * 1.0 / n > 0.001 THEN 1 ELSE 0 END
+                FROM g
+              UNION ALL SELECT g.part, 'key_unique',
+                CASE WHEN u1 * 1.0 / nn < 1.0 THEN 1 ELSE 0 END
+                FROM g JOIN uq ON g.part = uq.part)
+            SELECT part AS "partition", con AS "constraint",
+                   CAST(nv AS BIGINT) AS n_violations,
+                   nv = 0 AS passed
+            FROM v ORDER BY 1, 2
         """,
         "dq_constraint_kinds": """
             WITH base AS (

@@ -23,12 +23,26 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from data_validation_spark.plans.suite import Constraint, ValidationSuite
+from data_validation_spark.plans.suite import (
+    DISTINCTNESS_METRICS,
+    STAT_BOUNDS_STATS,
+    Constraint,
+    ValidationSuite,
+)
 
-ROW_LEVEL_KINDS = ("bounds", "in_domain", "not_null", "expression")
+ROW_LEVEL_KINDS = ("bounds", "in_domain", "not_null", "expression",
+                   "pattern")
 SET_LEVEL_KINDS = ("unique", "referential", "fd", "completeness",
                    "join_rule")
-SUPPORTED_KINDS = ROW_LEVEL_KINDS + SET_LEVEL_KINDS + ("drift",)
+#: set-level METRIC assertions (deequ's hasSize/hasMean/hasDistinctness/
+#: freshness family): no violation rows exist — a breached table-level
+#: metric is one fact, not a set of rows — so a breach surfaces as a
+#: single failed verdict with n_violations=1.  A stat the run could not
+#: produce (empty partition, wrong ctype) fails CLOSED: it cannot prove
+#: the assertion, so passed=false (same stance as `expression` NULLs).
+METRIC_KINDS = ("stat_bounds", "row_count", "freshness", "distinctness")
+SUPPORTED_KINDS = (ROW_LEVEL_KINDS + SET_LEVEL_KINDS + METRIC_KINDS
+                   + ("drift",))
 
 
 def partition_label_col(partition_cols: list[str]) -> Column:
@@ -57,6 +71,15 @@ def _row_violation_cond(c: Constraint) -> Column:
     if c.kind == "expression":
         # row passes iff the SQL predicate is true; NULL result = violation
         return ~F.coalesce(F.expr(p["sql"]), F.lit(False))
+    if c.kind == "pattern":
+        # deequ hasPattern: non-null values must MATCH the (Java) regex.
+        # Containment semantics like rlike — anchor with ^...$ to pin the
+        # whole value.  Values render via CAST AS STRING so the check
+        # composes with numeric/date columns; NULL is not a pattern
+        # violation (that's not_null's job).  Keep patterns RE2-portable
+        # (no backrefs/lookaround) so oracles replay engine-identically.
+        col = F.expr(p.get("expr", p["component"])).cast("string")
+        return col.isNotNull() & ~col.rlike(p["pattern"])
     raise ValueError(f"not a row-level constraint: {c.kind}")
 
 
@@ -302,6 +325,26 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
                 .withColumn("passed", F.col("n_violations") == 0))
     if not names:
         verdicts = verdicts.filter(F.lit(False))
+
+    # metric assertions: measured by the shared scans, evaluated driver-
+    # side (numPartitions-bounded rows), appended as explicit verdicts —
+    # they contribute no violation rows by definition (see METRIC_KINDS)
+    metric_cs = [c for c in constraints if c.kind in METRIC_KINDS]
+    if metric_cs:
+        vals = metric_fused_values(df, metric_cs, pcols)
+        for c in metric_cs:
+            if c.kind == "distinctness":
+                vals[c.name] = distinctness_values(df, c, pcols)
+        observed = sorted({p for d in vals.values() for p in d}) \
+            or ["<global>"]
+        mrows = metric_verdict_rows(vals, metric_cs, observed)
+        mdf = spark.createDataFrame(
+            [(r["partition"], r["constraint"], r["n_violations"],
+              r["passed"]) for r in mrows],
+            "partition string, constraint string, n_violations long, "
+            "passed boolean")
+        verdicts = verdicts.unionByName(mdf)
+        names += [c.name for c in metric_cs]
     return ConstraintRun(violations=violations, verdicts=verdicts,
                          constraint_names=names)
 
@@ -403,3 +446,179 @@ def functional_dependency_violations(df: DataFrame, determinant: list[str],
             .agg(F.count(F.lit(1)).alias("n_distinct_dependents"),
                  F.sum("__n").alias("n_rows"))
             .filter(F.col("n_distinct_dependents") > 1))
+
+
+# ---------------------------------------------------------------------------
+# METRIC assertions (deequ hasSize / hasMean / hasDistinctness / freshness)
+# ---------------------------------------------------------------------------
+#
+# Shared by evaluate_constraints and plans/runner.run_validation so both
+# paths compute identical verdicts:
+#   * value scan  — metric_fused_values (ONE column-pruned grouped agg for
+#                   every stat_bounds + freshness + row_count constraint) and
+#                   distinctness_values (one two-phase value-collapse per
+#                   constraint; different group keys cannot fuse);
+#   * evaluation  — metric_breach (driver-side, ~numPartitions rows).
+# run_validation additionally reads stat_bounds values straight from the
+# fused profile (zero extra scans); a parity test pins the two sources to
+# identical verdicts.
+
+
+
+def as_of_micros(params: dict) -> int:
+    """freshness ``as_of`` → epoch microseconds.  Accepts epoch seconds
+    (int/float) or an ISO-8601 string; a naive string is interpreted as
+    UTC (never the driver's local zone — a validation verdict must not
+    depend on where the driver runs)."""
+    import datetime as _dt
+    v = params["as_of"]
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return int(v * 1_000_000)
+    ts = _dt.datetime.fromisoformat(str(v))
+    if ts.tzinfo is None:
+        ts = ts.replace(tzinfo=_dt.timezone.utc)
+    return int(ts.timestamp() * 1_000_000)
+
+
+def _stat_bounds_agg(c: Constraint) -> Column:
+    p = c.params
+    expr = F.expr(p.get("expr", p["component"]))
+    stat = p["stat"]
+    if stat == "min":
+        return F.min(expr)
+    if stat == "max":
+        return F.max(expr)
+    if stat == "mean":
+        return F.avg(expr)
+    if stat == "std":
+        # sample stddev — matches the profile's np.std(ddof=1)
+        return F.stddev_samp(expr)
+    if stat == "pinv":
+        bad = expr.isNull() | F.isnan(expr.cast("double"))
+        return F.avg(bad.cast("double"))
+    if stat == "n":
+        return F.count(F.lit(1))
+    raise ValueError(f"stat_bounds {c.name!r}: unknown stat {stat!r} "
+                     f"(supported: {STAT_BOUNDS_STATS})")
+
+
+def metric_fused_values(df: DataFrame, metric_cs: list[Constraint],
+                        pcols: list[str],
+                        skip_stat_bounds: bool = False
+                        ) -> dict[str, dict[str, object]]:
+    """ONE grouped aggregation measuring every stat_bounds / freshness /
+    row_count constraint per partition — the scan projects only
+    (partition cols ∪ referenced exprs), so on parquet a row_count-only
+    suite degenerates to a metadata-weight count scan.  Returns
+    ``values[constraint][partition] = measured value`` (freshness values
+    are epoch micros)."""
+    aggs: list[Column] = []
+    keep: list[Constraint] = []
+    for c in metric_cs:
+        if c.kind == "stat_bounds" and not skip_stat_bounds:
+            aggs.append(_stat_bounds_agg(c).alias(f"__m_{len(keep)}"))
+        elif c.kind == "freshness":
+            ts = F.expr(c.params.get("expr", c.params["component"])) \
+                .cast("timestamp")
+            aggs.append(F.max(F.unix_micros(ts)).alias(f"__m_{len(keep)}"))
+        elif c.kind == "row_count":
+            aggs.append(F.count(F.lit(1)).alias(f"__m_{len(keep)}"))
+        else:
+            continue
+        keep.append(c)
+    if not keep:
+        return {}
+    label = partition_label_col(pcols).alias("__label")
+    # no explicit select: Catalyst prunes the scan to (pcols ∪ referenced
+    # exprs) from the agg alone — asserted in PLANS.md
+    rows = df.groupBy(label).agg(*aggs).collect()
+    out: dict[str, dict[str, object]] = {c.name: {} for c in keep}
+    for r in rows:
+        for i, c in enumerate(keep):
+            out[c.name][r["__label"]] = r[f"__m_{i}"]
+    return out
+
+
+def distinctness_values(df: DataFrame, c: Constraint,
+                        pcols: list[str]) -> dict[str, float]:
+    """Per-partition distinctness metric for one constraint:
+    ``distinct_ratio`` = #distinct value-tuples / #rows, ``unique_ratio``
+    = #tuples occurring exactly once / #rows (deequ hasDistinctness /
+    hasUniqueValueRatio).  NULL counts as a value — a NULL-riddled "key"
+    must not read as unique.  Two-phase: value-collapse groupBy (map-side
+    combinable; shuffle carries value cardinality, never rows), then a
+    per-partition integer agg; one exact division at the end."""
+    p = c.params
+    cols = list(p["columns"])
+    metric = p.get("metric", "distinct_ratio")
+    if metric not in DISTINCTNESS_METRICS:
+        raise ValueError(f"distinctness {c.name!r}: unknown metric "
+                         f"{metric!r} (supported: {DISTINCTNESS_METRICS})")
+    label = partition_label_col(pcols).alias("__label")
+    per_val = (df.select(label, *cols)
+               .groupBy("__label", *cols)
+               .agg(F.count(F.lit(1)).alias("__c")))
+    rows = (per_val.groupBy("__label")
+            .agg(F.count(F.lit(1)).alias("__d"),
+                 F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                 .alias("__u"),
+                 F.sum("__c").alias("__n")).collect())
+    out: dict[str, float] = {}
+    for r in rows:
+        num = r["__d"] if metric == "distinct_ratio" else r["__u"]
+        out[r["__label"]] = (num / r["__n"]) if r["__n"] else None
+    return out
+
+
+def stat_value_from_profile(profile, c: Constraint):
+    """stat_bounds value source inside run_validation: the fused stats
+    pass already computed every component stat, so the assertion is free
+    post-processing.  Returns ``{partition: value}`` over the profile's
+    partitions plus '<global>'."""
+    p = c.params
+    comp, stat = p["component"], p["stat"]
+    out: dict[str, object] = {}
+    gl = profile.components.get(comp)
+    out["<global>"] = getattr(gl.stats, stat, None) \
+        if gl is not None and gl.stats is not None else None
+    for part, comps in profile.partitions.items():
+        pc = comps.get(comp)
+        out[part] = getattr(pc.stats, stat, None) \
+            if pc is not None and pc.stats is not None else None
+    return out
+
+
+def metric_breach(c: Constraint, value) -> bool:
+    """Shared verdict rule for every METRIC kind.  ``value`` is the
+    measured metric (freshness: max epoch micros).  None (no rows /
+    stat not produced) fails closed."""
+    p = c.params
+    if value is None:
+        return True
+    if c.kind == "freshness":
+        threshold = as_of_micros(p) - int(float(p["max_age_seconds"])
+                                          * 1_000_000)
+        return int(value) < threshold
+    lo, hi = p.get("min"), p.get("max")
+    v = float(value)
+    return ((lo is not None and v < float(lo))
+            or (hi is not None and v > float(hi)))
+
+
+def metric_verdict_rows(values_by_constraint: dict[str, dict[str, object]],
+                        constraints: list[Constraint],
+                        all_parts: list[str]) -> list[dict]:
+    """Compose measured values into verdict dicts over the FULL
+    partition universe: a partition the metric scan never saw (no rows)
+    still gets an explicit fail-closed row for assertions that demand
+    evidence."""
+    by_name = {c.name: c for c in constraints}
+    rows: list[dict] = []
+    for name, per_part in values_by_constraint.items():
+        c = by_name[name]
+        for part in all_parts:
+            breach = metric_breach(c, per_part.get(part))
+            rows.append({"partition": part, "constraint": name,
+                         "n_violations": 1 if breach else 0,
+                         "passed": not breach})
+    return rows

@@ -20,17 +20,22 @@ from pyspark.sql import functions as F
 from pyspark import StorageLevel
 
 from data_validation_spark.operators.constraints import (
+    METRIC_KINDS,
     ROW_LEVEL_KINDS,
     SUPPORTED_KINDS,
     _row_violation_cond,
     completeness_violation_frames,
+    distinctness_values,
     fd_violation_frame,
     join_rule_violation_frame,
+    metric_fused_values,
+    metric_verdict_rows,
     partition_label_col,
     referential_violation_counts,
     referential_violations,
     row_level_violations,
     row_violation_count_exprs,
+    stat_value_from_profile,
     uniqueness_violation_counts,
     uniqueness_violations,
 )
@@ -243,6 +248,23 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
 
     actions: dict[str, object] = {"__fused__": _fused}
 
+    # -- metric assertions (deequ hasSize/hasMean/freshness family) ------
+    # stat_bounds reads the fused profile (zero extra scans — evaluated
+    # after the pool below); freshness + row_count share ONE column-
+    # pruned grouped agg; each distinctness is its own value-collapse
+    # pass (distinct group keys cannot fuse).  All are verdict-only.
+    metric_cs = [c for c in suite.constraints if c.kind in METRIC_KINDS]
+    scan_metric_cs = [c for c in metric_cs
+                      if c.kind in ("freshness", "row_count")]
+    if scan_metric_cs:
+        actions["__metric_fused__"] = (
+            lambda: metric_fused_values(df, scan_metric_cs, pcols,
+                                        skip_stat_bounds=True))
+    for c in metric_cs:
+        if c.kind == "distinctness":
+            actions[f"__dist__{c.name}"] = (
+                lambda c=c: distinctness_values(df, c, pcols))
+
     # -- set-level constraints -------------------------------------------
     # Without a sink: counts-only, column-pruned scans per constraint
     # (S8 salted uniqueness, J1 broadcast referential) — violation ROWS
@@ -316,13 +338,21 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         results = {k: v() for k, v in actions.items()}
     profile, counts_by_part = results.pop("__fused__")
     set_counts.update(results.pop("__viol_counts__", {}))
+    metric_values: dict[str, dict] = results.pop("__metric_fused__", {})
+    for k in [k for k in results if k.startswith("__dist__")]:
+        metric_values[k[len("__dist__"):]] = results.pop(k)
     set_counts.update(results)
+    for c in metric_cs:
+        if c.kind == "stat_bounds":
+            metric_values[c.name] = stat_value_from_profile(profile, c)
 
     # -- verdict assembly (driver-side; universe = every observed
     #    partition × every constraint, explicit passed=true rows) --------
-    all_parts = sorted(set(counts_by_part)
-                       | set(profile.partitions)
-                       | {p for d in set_counts.values() for p in d}) \
+    all_parts = sorted((set(counts_by_part)
+                        | set(profile.partitions)
+                        | {p for d in set_counts.values() for p in d}
+                        | {p for d in metric_values.values() for p in d})
+                       - ({"<global>"} if pcols else set())) \
         or ["<global>"]
     if todo is None:                  # non-resume run: observed = worked
         todo = all_parts
@@ -337,6 +367,7 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
             n = int(per_part.get(part, 0))
             verdicts.append({"partition": part, "constraint": cname,
                              "n_violations": n, "passed": n == 0})
+    verdicts += metric_verdict_rows(metric_values, metric_cs, all_parts)
 
     # -- drift (D1-D3) vs the frozen reference profile -------------------
     drift = None

@@ -26,6 +26,14 @@ QUANTILE_PROBS = [i / 100.0 for i in range(N_QUANTILES)]
 #: categoric component is profiled as top-k + other (operators/profile.py)
 OTHER_KEY = "__other__"
 
+#: stats a `stat_bounds` metric assertion may reference (they are exactly
+#: the fused profile's scalar stats, so inside run_validation the
+#: assertion costs zero extra scans) and the distinctness metrics
+#: (defined here, not in operators/constraints.py, to keep the import
+#: direction suite → constraints acyclic)
+STAT_BOUNDS_STATS = ("min", "max", "mean", "std", "pinv", "n")
+DISTINCTNESS_METRICS = ("distinct_ratio", "unique_ratio")
+
 
 class NotBuiltError(RuntimeError):
     """Raised when validating/contrasting with an unbuilt profile
@@ -171,6 +179,16 @@ class Constraint:
       unique        {keys: [col,...]}                — salted distinct (S8)
       referential   {column, dimension: [values] | table} — J1 anti-join
       drift         {component, tests: [chi2|ks|psi], threshold(s)} — D1-D3
+      pattern       {component|expr, pattern}        — rlike regex (row)
+      stat_bounds   {component, stat, min?, max?}    — metric assertion
+                    over a fused-profile stat (free post-processing)
+      row_count     {min?, max?}                     — per-partition size
+      freshness     {component|expr, max_age_seconds, as_of} — max(ts)
+                    recency; as_of explicit for deterministic replays
+      distinctness  {columns, metric: distinct_ratio|unique_ratio,
+                     min?, max?}                     — deequ distinctness
+    Metric kinds (stat_bounds/row_count/freshness/distinctness) are
+    verdict-only: no violation rows, a breach = one failed verdict.
     """
 
     name: str
@@ -294,6 +312,18 @@ class ValidationSuite:
                         f"freq_strategy='exact'")
                 c = Constraint(name=c.name, kind=c.kind,
                                params={**c.params, "values": list(domain)})
+            if (c.kind in ("pattern", "stat_bounds", "freshness")
+                    and "expr" not in c.params and "component" in c.params):
+                # a metric/pattern constraint over a DERIVED component
+                # (one with an extractor) must evaluate the extractor,
+                # not the component name — same params.expr convention
+                # suggest_suite uses
+                comp = next((cc for cc in self.components
+                             if cc.name == c.params["component"]
+                             and cc.extractor), None)
+                if comp is not None:
+                    c = Constraint(name=c.name, kind=c.kind,
+                                   params={**c.params, "expr": comp.expr})
             out.append(c)
         return out
 
@@ -387,6 +417,65 @@ class ValidationSuite:
                 for k in p.get("on", []):
                     if k not in cols:
                         errs.append(f"{what}: join column {k!r} missing")
+            elif con.kind == "pattern":
+                if not p.get("pattern"):
+                    errs.append(f"{what}: needs 'pattern'")
+                expr = p.get("expr", p.get("component"))
+                if expr is None:
+                    errs.append(f"{what}: needs 'component' or 'expr'")
+                else:
+                    resolve(expr, what)
+            elif con.kind == "stat_bounds":
+                comp_by_name = {c.name: c for c in self.components}
+                comp = comp_by_name.get(p.get("component"))
+                if comp is None:
+                    errs.append(
+                        f"{what}: 'component' must name a suite component "
+                        f"(got {p.get('component')!r}; declared: "
+                        f"{sorted(comp_by_name)})")
+                stat = p.get("stat")
+                if stat not in STAT_BOUNDS_STATS:
+                    errs.append(f"{what}: 'stat' must be one of "
+                                f"{STAT_BOUNDS_STATS} (got {stat!r})")
+                elif (comp is not None and comp.ctype != "numeric"
+                        and stat in ("min", "max", "mean", "std")):
+                    errs.append(f"{what}: stat {stat!r} needs a numeric "
+                                f"component ({p['component']!r} is "
+                                f"{comp.ctype})")
+                if p.get("min") is None and p.get("max") is None:
+                    errs.append(f"{what}: needs 'min' or 'max'")
+            elif con.kind == "row_count":
+                if p.get("min") is None and p.get("max") is None:
+                    errs.append(f"{what}: needs 'min' or 'max'")
+            elif con.kind == "freshness":
+                for need in ("max_age_seconds", "as_of"):
+                    if need not in p:
+                        errs.append(f"{what}: needs {need!r}")
+                if "as_of" in p:
+                    try:
+                        from data_validation_spark.operators.constraints \
+                            import as_of_micros
+                        as_of_micros(p)
+                    except Exception as e:
+                        errs.append(f"{what}: 'as_of' not an ISO-8601 "
+                                    f"string or epoch seconds: {e}")
+                expr = p.get("expr", p.get("component"))
+                if expr is None:
+                    errs.append(f"{what}: needs 'component' or 'expr'")
+                else:
+                    resolve(f"CAST(({expr}) AS TIMESTAMP)", what)
+            elif con.kind == "distinctness":
+                if not p.get("columns"):
+                    errs.append(f"{what}: needs 'columns'")
+                for k in p.get("columns", []):
+                    if k not in cols:
+                        errs.append(f"{what}: column {k!r} missing")
+                metric = p.get("metric", "distinct_ratio")
+                if metric not in DISTINCTNESS_METRICS:
+                    errs.append(f"{what}: 'metric' must be one of "
+                                f"{DISTINCTNESS_METRICS} (got {metric!r})")
+                if p.get("min") is None and p.get("max") is None:
+                    errs.append(f"{what}: needs 'min' or 'max'")
             elif con.kind not in ("drift",):
                 errs.append(f"{what}: unknown constraint kind "
                             f"{con.kind!r}")
