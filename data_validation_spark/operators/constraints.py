@@ -56,7 +56,7 @@ def partition_label_col(partition_cols: list[str]) -> Column:
 def _row_violation_cond(c: Constraint) -> Column:
     p = c.params
     if c.kind == "bounds":
-        col = F.expr(p.get("expr", p["component"]))
+        col = F.expr((p["expr"] if "expr" in p else p["component"]))
         cond = F.lit(False)
         if p.get("min") is not None:
             cond = cond | (col < F.lit(p["min"]))
@@ -64,10 +64,10 @@ def _row_violation_cond(c: Constraint) -> Column:
             cond = cond | (col > F.lit(p["max"]))
         return F.coalesce(cond, F.lit(False))  # NULL → not a bounds error
     if c.kind == "in_domain":
-        col = F.expr(p.get("expr", p["component"]))
+        col = F.expr((p["expr"] if "expr" in p else p["component"]))
         return col.isNotNull() & ~col.isin(list(p["values"]))
     if c.kind == "not_null":
-        return F.expr(p.get("expr", p["component"])).isNull()
+        return F.expr((p["expr"] if "expr" in p else p["component"])).isNull()
     if c.kind == "expression":
         # row passes iff the SQL predicate is true; NULL result = violation
         return ~F.coalesce(F.expr(p["sql"]), F.lit(False))
@@ -78,7 +78,7 @@ def _row_violation_cond(c: Constraint) -> Column:
         # composes with numeric/date columns; NULL is not a pattern
         # violation (that's not_null's job).  Keep patterns RE2-portable
         # (no backrefs/lookaround) so oracles replay engine-identically.
-        col = F.expr(p.get("expr", p["component"])).cast("string")
+        col = F.expr((p["expr"] if "expr" in p else p["component"])).cast("string")
         return col.isNotNull() & ~col.rlike(p["pattern"])
     raise ValueError(f"not a row-level constraint: {c.kind}")
 
@@ -361,7 +361,7 @@ def completeness_violation_frames(df: DataFrame, comp_cs: list[Constraint],
     (shared by evaluate_constraints and run_validation)."""
     if not comp_cs:
         return []
-    exprs = {c.name: F.expr(c.params.get("expr", c.params["component"]))
+    exprs = {c.name: F.expr((c.params["expr"] if "expr" in c.params else c.params["component"]))
              for c in comp_cs}
     ratios = df.agg(*[(F.count(exprs[c.name]) / F.count(F.lit(1)))
                       .alias(f"__r_{i}")
@@ -482,7 +482,7 @@ def as_of_micros(params: dict) -> int:
 
 def _stat_bounds_agg(c: Constraint) -> Column:
     p = c.params
-    expr = F.expr(p.get("expr", p["component"]))
+    expr = F.expr((p["expr"] if "expr" in p else p["component"]))
     stat = p["stat"]
     if stat == "min":
         return F.min(expr)
@@ -502,23 +502,23 @@ def _stat_bounds_agg(c: Constraint) -> Column:
                      f"(supported: {STAT_BOUNDS_STATS})")
 
 
-def metric_fused_values(df: DataFrame, metric_cs: list[Constraint],
-                        pcols: list[str],
-                        skip_stat_bounds: bool = False
-                        ) -> dict[str, dict[str, object]]:
+def metric_fused_frame(df: DataFrame, metric_cs: list[Constraint],
+                       pcols: list[str],
+                       skip_stat_bounds: bool = False
+                       ) -> tuple[DataFrame | None, list[Constraint]]:
     """ONE grouped aggregation measuring every stat_bounds / freshness /
-    row_count constraint per partition — the scan projects only
-    (partition cols ∪ referenced exprs), so on parquet a row_count-only
-    suite degenerates to a metadata-weight count scan.  Returns
-    ``values[constraint][partition] = measured value`` (freshness values
-    are epoch micros)."""
+    row_count constraint per partition — no explicit select: Catalyst
+    prunes the scan to (pcols ∪ referenced exprs) from the agg alone
+    (asserted in PLANS.md), so on parquet a row_count-only suite
+    degenerates to a metadata-weight count scan.  Returns the frame
+    (columns ``__label, __m_0..``) and the constraints in column order."""
     aggs: list[Column] = []
     keep: list[Constraint] = []
     for c in metric_cs:
         if c.kind == "stat_bounds" and not skip_stat_bounds:
             aggs.append(_stat_bounds_agg(c).alias(f"__m_{len(keep)}"))
         elif c.kind == "freshness":
-            ts = F.expr(c.params.get("expr", c.params["component"])) \
+            ts = F.expr((c.params["expr"] if "expr" in c.params else c.params["component"])) \
                 .cast("timestamp")
             aggs.append(F.max(F.unix_micros(ts)).alias(f"__m_{len(keep)}"))
         elif c.kind == "row_count":
@@ -527,16 +527,44 @@ def metric_fused_values(df: DataFrame, metric_cs: list[Constraint],
             continue
         keep.append(c)
     if not keep:
-        return {}
+        return None, []
     label = partition_label_col(pcols).alias("__label")
-    # no explicit select: Catalyst prunes the scan to (pcols ∪ referenced
-    # exprs) from the agg alone — asserted in PLANS.md
-    rows = df.groupBy(label).agg(*aggs).collect()
+    return df.groupBy(label).agg(*aggs), keep
+
+
+def metric_fused_values(df: DataFrame, metric_cs: list[Constraint],
+                        pcols: list[str],
+                        skip_stat_bounds: bool = False
+                        ) -> dict[str, dict[str, object]]:
+    """Collected form of ``metric_fused_frame``: ``values[constraint]
+    [partition] = measured value`` (freshness values are epoch micros).
+    Driver-bounded: one row per logical partition."""
+    frame, keep = metric_fused_frame(df, metric_cs, pcols,
+                                     skip_stat_bounds)
+    if frame is None:
+        return {}
     out: dict[str, dict[str, object]] = {c.name: {} for c in keep}
-    for r in rows:
+    for r in frame.collect():
         for i, c in enumerate(keep):
             out[c.name][r["__label"]] = r[f"__m_{i}"]
     return out
+
+
+def distinctness_frame(df: DataFrame, c: Constraint,
+                       pcols: list[str]) -> DataFrame:
+    """The two-phase distinctness plan (see ``distinctness_values``):
+    value-collapse groupBy then per-partition integer agg.  Exposed for
+    the plan audit; columns ``__label, __d, __u, __n``."""
+    cols = list(c.params["columns"])
+    label = partition_label_col(pcols).alias("__label")
+    per_val = (df.select(label, *cols)
+               .groupBy("__label", *cols)
+               .agg(F.count(F.lit(1)).alias("__c")))
+    return (per_val.groupBy("__label")
+            .agg(F.count(F.lit(1)).alias("__d"),
+                 F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
+                 .alias("__u"),
+                 F.sum("__c").alias("__n")))
 
 
 def distinctness_values(df: DataFrame, c: Constraint,
@@ -549,20 +577,11 @@ def distinctness_values(df: DataFrame, c: Constraint,
     combinable; shuffle carries value cardinality, never rows), then a
     per-partition integer agg; one exact division at the end."""
     p = c.params
-    cols = list(p["columns"])
     metric = p.get("metric", "distinct_ratio")
     if metric not in DISTINCTNESS_METRICS:
         raise ValueError(f"distinctness {c.name!r}: unknown metric "
                          f"{metric!r} (supported: {DISTINCTNESS_METRICS})")
-    label = partition_label_col(pcols).alias("__label")
-    per_val = (df.select(label, *cols)
-               .groupBy("__label", *cols)
-               .agg(F.count(F.lit(1)).alias("__c")))
-    rows = (per_val.groupBy("__label")
-            .agg(F.count(F.lit(1)).alias("__d"),
-                 F.sum(F.when(F.col("__c") == 1, 1).otherwise(0))
-                 .alias("__u"),
-                 F.sum("__c").alias("__n")).collect())
+    rows = distinctness_frame(df, c, pcols).collect()
     out: dict[str, float] = {}
     for r in rows:
         num = r["__d"] if metric == "distinct_ratio" else r["__u"]

@@ -240,6 +240,22 @@ def test_concurrent_jobs_identical_verdicts(spark, mdf):
     assert serial == pooled
 
 
+def test_expr_only_constraints_no_component_key(spark, mdf):
+    # regression: expr-without-component used to crash with KeyError
+    # (dict.get's default evaluated p["component"] eagerly)
+    suite = _suite([
+        Constraint("len_pat", "pattern",
+                   {"expr": "size(tokens)", "pattern": "^[123]$"}),
+        Constraint("fresh_expr", "freshness",
+                   {"expr": "cast(day as timestamp)",
+                    "max_age_seconds": 86400 * 40,
+                    "as_of": "2026-02-01T00:00:00"}),
+    ])
+    res = run_validation(spark, mdf, suite, concurrent_jobs=1)
+    assert _verdict(res, "source=web", "len_pat")["passed"]
+    assert not _verdict(res, "source=api", "fresh_expr")["passed"]
+
+
 # -- schema pre-flight --------------------------------------------------------
 
 def test_preflight_rejects_bad_metric_params(spark, mdf):
