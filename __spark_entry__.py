@@ -1775,6 +1775,28 @@ def q_metric_constraints(spark, sf_dir):
         .orderBy("partition", "constraint"))
 
 
+def q_entropy(spark, sf_dir):
+    """Shannon-entropy column triage (deequ hasEntropy): one melt scan
+    for all requested columns, value-collapse counts, entropy as the
+    ln(n) − Σc·ln(c)/n float tail rounded 6 dp — the oracle replays the
+    identical op sequence, so a wrong collapse/NULL policy flips the
+    hash."""
+    from data_validation_spark.operators.health import entropy_report
+    docs = _t(spark, sf_dir, "documents")
+    return entropy_report(docs, ["lang", "source"]).orderBy("column")
+
+
+def q_mutual_info(spark, sf_dir):
+    """Per-cell mutual information lang × source (deequ MI analyzer):
+    observed cells only (empty cells contribute 0 by limit), exact
+    integer margins broadcast onto the collapsed cell frame, one float
+    op sequence per cell rounded 6 dp and replayed verbatim in SQL."""
+    from data_validation_spark.operators.health import mutual_information
+    docs = _t(spark, sf_dir, "documents")
+    return (mutual_information(docs, "lang", "source")
+            .orderBy("lang", "source"))
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -2106,6 +2128,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "dq_constraint_kinds": q_dq_constraint_kinds,
         "metric_constraints": q_metric_constraints,
+        "entropy": q_entropy,
+        "mutual_info": q_mutual_info,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3407,6 +3431,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey_a, c_custkey_b, pos_a, pos_b,
                    CAST(levenshtein(na, nb) AS INT) AS dist
             FROM p WHERE levenshtein(na, nb) <= 1
+        """,
+        "entropy": """
+            WITH p AS (
+              SELECT 'lang' AS col,
+                     coalesce(CAST(lang AS VARCHAR), '__null__') AS v
+              FROM documents
+              UNION ALL
+              SELECT 'source',
+                     coalesce(CAST(source AS VARCHAR), '__null__')
+              FROM documents),
+            c AS (SELECT col, v, count(*) AS c FROM p GROUP BY 1, 2),
+            a AS (SELECT col, sum(c) AS n_rows, count(*) AS n_distinct,
+                         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+                           AS clogc
+                  FROM c GROUP BY 1)
+            SELECT col AS "column",
+                   CAST(n_rows AS BIGINT) AS n_rows,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   round(ln(CAST(n_rows AS DOUBLE))
+                         - clogc / CAST(n_rows AS DOUBLE), 6)
+                     AS entropy_nats,
+                   CASE WHEN n_distinct > 1 THEN
+                     round((ln(CAST(n_rows AS DOUBLE))
+                            - clogc / CAST(n_rows AS DOUBLE))
+                           / ln(CAST(n_distinct AS DOUBLE)), 6)
+                   END AS entropy_norm
+            FROM a ORDER BY 1
+        """,
+        "mutual_info": """
+            WITH c AS (
+              SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS a,
+                     coalesce(CAST(source AS VARCHAR), '__null__') AS b,
+                     count(*) AS n_ij
+              FROM documents GROUP BY 1, 2),
+            ma AS (SELECT a, sum(n_ij) AS n_i FROM c GROUP BY 1),
+            mb AS (SELECT b, sum(n_ij) AS n_j FROM c GROUP BY 1),
+            t AS (SELECT sum(n_ij) AS n FROM c)
+            SELECT c.a AS lang, c.b AS source,
+                   CAST(n_ij AS BIGINT) AS n_ij,
+                   CAST(n_i AS BIGINT) AS n_i,
+                   CAST(n_j AS BIGINT) AS n_j,
+                   CAST(n AS BIGINT) AS n,
+                   round((CAST(n_ij AS DOUBLE) / CAST(n AS DOUBLE))
+                         * ln((CAST(n AS DOUBLE) * CAST(n_ij AS DOUBLE))
+                               / (CAST(n_i AS DOUBLE)
+                                  * CAST(n_j AS DOUBLE))), 6)
+                     AS mi_term
+            FROM c, ma, mb, t
+            WHERE c.a = ma.a AND c.b = mb.b
+            ORDER BY 1, 2
         """,
         "metric_constraints": """
             WITH g AS (

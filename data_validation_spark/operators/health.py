@@ -457,6 +457,82 @@ def distinctness_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         .alias("uniqueness"))
 
 
+def entropy_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy per categorical column (deequ hasEntropy) — the
+    "how informative is this column" triage that catches a feed whose
+    `source` collapsed to one value while counts still look healthy.
+
+    ONE melt scan for all N columns: each row explodes to (column,
+    value) pairs — at table scale, exploding a handful of narrow
+    columns beats N separate scans because the payload columns are
+    pruned and the table is read once — then a value-collapse groupBy
+    (map-side combinable; shuffle carries Σ per-column cardinalities,
+    never rows) and a per-column agg of the collapsed counts.
+
+    NULL counts as its own symbol (a 50%-NULL column IS less certain).
+    Arithmetic: counts stay exact integers; entropy uses the
+    ``ln(n) − Σ c·ln(c) / n`` form so the only float work is one
+    ln + multiply per DISTINCT value and a final divide — rounded to
+    6 dp, replayable on any engine.  ``entropy_norm`` divides by
+    ``ln(n_distinct)`` (0..1; NULL for constant columns, never a
+    guess)."""
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    kv = []
+    for c in cols:
+        kv += [F.lit(c), F.coalesce(F.col(c).cast("string"),
+                                    F.lit("__null__"))]
+    pairs = df.select(F.explode(F.create_map(*kv)).alias("column", "value"))
+    counts = (pairs.groupBy("column", "value")
+              .agg(F.count(F.lit(1)).alias("c")))
+    agg = counts.groupBy("column").agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c").cast("double")
+              * F.log(F.col("c").cast("double"))).alias("__clogc"))
+    ent = (F.log(F.col("n_rows").cast("double"))
+           - F.col("__clogc") / F.col("n_rows").cast("double"))
+    return agg.select(
+        "column", "n_rows", "n_distinct",
+        F.round(ent, 6).alias("entropy_nats"),
+        F.round(F.when(F.col("n_distinct") > 1,
+                       ent / F.log(F.col("n_distinct").cast("double")))
+                , 6).alias("entropy_norm"))
+
+
+def mutual_information(df: DataFrame, col_a: str, col_b: str) -> DataFrame:
+    """Per-cell mutual information between two categorical columns
+    (deequ's MI analyzer) — the dependence screen that catches "lang is
+    now determined by source" class regressions; the statistic is
+    ``sum(mi_term)`` (driver-side fsum over |A|×|B| cells, same contract
+    as independence_cells).
+
+    Only OBSERVED cells appear (an empty cell's ``p·ln(·)`` term is 0 by
+    limit, so the spine needs no cross product).  One count shuffle over
+    the table; margins broadcast back onto the collapsed cell frame.
+    NULL counts as a value in both columns.  Each cell's term is
+    ``(c_ij/n) · ln(n·c_ij / (c_i·c_j))``: exact integer counts in, the
+    ln ratio built from ONE integer-exact double cast per factor,
+    rounded to 6 dp — the identical op sequence on every engine."""
+    a = F.coalesce(F.col(col_a).cast("string"), F.lit("__null__"))
+    b = F.coalesce(F.col(col_b).cast("string"), F.lit("__null__"))
+    counts = (df.select(a.alias("a"), b.alias("b"))
+              .groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_ij")))
+    ma = counts.groupBy("a").agg(F.sum("n_ij").alias("n_i"))
+    mb = counts.groupBy("b").agg(F.sum("n_ij").alias("n_j"))
+    tot = counts.agg(F.sum("n_ij").alias("n"))
+    cells = (counts.join(F.broadcast(ma), "a")
+             .join(F.broadcast(mb), "b")
+             .crossJoin(F.broadcast(tot)))
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    term = ((d("n_ij") / d("n"))
+            * F.log((d("n") * d("n_ij")) / (d("n_i") * d("n_j"))))
+    return cells.select(
+        F.col("a").alias(col_a), F.col("b").alias(col_b),
+        "n_ij", "n_i", "n_j", "n",
+        F.round(term, 6).alias("mi_term"))
+
+
 def value_shapes(df: DataFrame, col: str, top_n: int = 5) -> DataFrame:
     """Pattern profiling / format discovery: collapse every value to a
     shape signature — runs of uppercase → ``A``, lowercase → ``a``,
