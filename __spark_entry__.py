@@ -1797,6 +1797,50 @@ def q_mutual_info(spark, sf_dir):
             .orderBy("lang", "source"))
 
 
+def q_ann_index_query(spark, sf_dir):
+    """Persisted IVF ANN index lifecycle, exact mode: build the cell-
+    partitioned index table + centroid sidecar in a temp TableProvider,
+    RELOAD the handle from disk (round-trip, not the in-memory object),
+    then batch-query 20 vectors with every cell probed — exact kNN, so
+    the oracle replays it as per-query brute-force cosine top-5.  The
+    probe read carries a cell partition filter (pruning asserted in
+    PLANS.md); production uses small n_probe for ~n_probe/√N scan
+    cost."""
+    import tempfile
+    from data_validation_spark.operators.ann_index import (
+        ann_index_query, build_ann_index, load_ann_index)
+    from data_validation_spark.sources.table_provider import TableProvider
+    emb = _t(spark, sf_dir, "embeddings")
+    tp = TableProvider(spark, tempfile.mkdtemp(prefix="dvs_annidx_"))
+    build_ann_index(emb, tp, dim=64, n_centroids=16)
+    idx = load_ann_index(tp)
+    out = ann_index_query(idx, emb.filter(F.col("vec_id") < 20),
+                          k=5, n_probe=16)
+    return _r6(out, "cosine")
+
+
+def q_ann_index_increment(spark, sf_dir):
+    """Incremental ANN ingest: the index is built over the corpus MINUS
+    the first 100 vectors, the missing 100 arrive as a batch through
+    ann_index_append (assigned against the frozen centroids, appended
+    to the partitioned table — the standing corpus is never re-read),
+    and an exact query afterwards must return the same top-5 as a
+    fresh index over the FULL corpus — replayed by the brute-force
+    oracle over all embeddings."""
+    import tempfile
+    from data_validation_spark.operators.ann_index import (
+        ann_index_append, ann_index_query, build_ann_index)
+    from data_validation_spark.sources.table_provider import TableProvider
+    emb = _t(spark, sf_dir, "embeddings")
+    tp = TableProvider(spark, tempfile.mkdtemp(prefix="dvs_annincr_"))
+    idx = build_ann_index(emb.filter(F.col("vec_id") >= 100), tp,
+                          dim=64, n_centroids=16)
+    ann_index_append(idx, emb.filter(F.col("vec_id") < 100))
+    out = ann_index_query(idx, emb.filter(F.col("vec_id") < 20),
+                          k=5, n_probe=16)
+    return _r6(out, "cosine")
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -2130,6 +2174,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_constraints": q_metric_constraints,
         "entropy": q_entropy,
         "mutual_info": q_mutual_info,
+        "ann_index_query": q_ann_index_query,
+        "ann_index_increment": q_ann_index_increment,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3431,6 +3477,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey_a, c_custkey_b, pos_a, pos_b,
                    CAST(levenshtein(na, nb) AS INT) AS dist
             FROM p WHERE levenshtein(na, nb) <= 1
+        """,
+        "ann_index_query": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 20),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                         AS cosine
+              FROM q, embeddings e),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rk
+              FROM p)
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine
+            FROM r WHERE rk <= 5
+        """,
+        "ann_index_increment": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id < 20),
+            p AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+                         AS cosine
+              FROM q, embeddings e),
+            r AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY cosine DESC, vec_id ASC) AS rk
+              FROM p)
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine
+            FROM r WHERE rk <= 5
         """,
         "entropy": """
             WITH p AS (
