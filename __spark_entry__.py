@@ -2189,6 +2189,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fd_violations": q_fd_violations,
         "fuzzy_pairs": q_fuzzy_pairs,
         "retention": q_retention,
+        # never-driver-checked r4 queries promoted into the 50-query
+        # window (swapped with three r3-green queries now below it)
+        "semantic_multiprobe": q_semantic_multiprobe,
+        "increment_near_dups": q_increment_near_dups,
+        "pixel_stats": q_pixel_stats,
+        # -- below the driver's 50-query correctness window (all
+        #    driver-green in an earlier round; rotate again in r5) ----
         "repetition_stats": q_repetition_stats,
         "filter_report": q_filter_report,
         "drift_by_source": q_drift_by_source,
@@ -2197,10 +2204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_near_dups": q_minhash_near_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
-        # -- added in r4 (below the 50-query window; rotate in r5) ----
-        "semantic_multiprobe": q_semantic_multiprobe,
-        "increment_near_dups": q_increment_near_dups,
-        "pixel_stats": q_pixel_stats,
         "url_canonical": q_url_canonical,
         "unicode_normalize": q_unicode_normalize,
         "bigram_topk": q_bigram_topk,
