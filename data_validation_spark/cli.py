@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
                         "observed range on each side")
     s.add_argument("--partition-cols", default="",
                    help="comma-separated partition columns for the suite")
+    s.add_argument("--row-count-margin", type=float, default=None,
+                   help="also suggest a per-partition row_count floor: "
+                        "min = (1-m) x the smallest observed partition")
+    s.add_argument("--mean-margin", type=float, default=None,
+                   help="also suggest stat_bounds mean envelopes widened "
+                        "by this fraction of each component's range")
 
     args = ap.parse_args(argv)
 
@@ -96,7 +102,9 @@ def main(argv: list[str] | None = None) -> int:
         pcols = [c for c in args.partition_cols.split(",") if c]
         suite = suggest_suite(prof, name=f"{prof.name}_suggested",
                               partition_cols=pcols,
-                              bounds_margin=args.bounds_margin)
+                              bounds_margin=args.bounds_margin,
+                              row_count_margin=args.row_count_margin,
+                              mean_margin=args.mean_margin)
         suite.save(args.out)
         print(json.dumps({
             "saved": args.out,

@@ -520,7 +520,9 @@ class ValidationSuite:
 def suggest_suite(profile: Profile, name: str = "suggested",
                   partition_cols: list[str] | None = None,
                   bounds_margin: float = 0.0,
-                  max_domain: int = 1000) -> ValidationSuite:
+                  max_domain: int = 1000,
+                  row_count_margin: float | None = None,
+                  mean_margin: float | None = None) -> ValidationSuite:
     """Constraint suggestion (deequ ConstraintSuggestion / rdv
     build-then-validate): derive a ``ValidationSuite`` from a BUILT
     reference profile, so "yesterday's data defines today's contract"
@@ -541,11 +543,38 @@ def suggest_suite(profile: Profile, name: str = "suggested",
       exact failure mode resolved_constraints refuses (suite.py
       in_domain guard).
 
+    Metric-kind suggestions (opt-in — each needs an explicit margin, a
+    silent default would encode a tolerance the user never chose):
+
+    * ``row_count_margin=m`` → a ``row_count`` assertion with
+      ``min = floor((1−m) × n_floor)`` where ``n_floor`` is the
+      SMALLEST per-partition row count the profile observed (global n
+      when unpartitioned) — the "feed went quiet" tripwire sized so
+      every already-observed partition passes;
+    * ``mean_margin=m`` → per numeric component a ``stat_bounds`` on
+      the mean, widened by ``m × (max − min)`` each side — level-shift
+      detection cheaper than full drift (it reads the fused profile,
+      zero extra scans).
+
     Pure driver logic over the profile dict — no jobs.  The result is
     an ordinary suite: serialize it, review it, run it.
     """
     profile.require_built()
     comps, cons = [], []
+    if row_count_margin is not None:
+        per_part = []
+        for comps_by_name in profile.partitions.values():
+            ns = [c.stats.n for c in comps_by_name.values()
+                  if c.stats is not None and c.stats.n is not None]
+            if ns:
+                per_part.append(max(ns))
+        n_floor = min(per_part) if per_part else next(
+            (c.stats.n for c in profile.components.values()
+             if c.stats is not None and c.stats.n is not None), None)
+        if n_floor is not None:
+            cons.append(Constraint(
+                "row_count_min", "row_count",
+                {"min": int((1.0 - float(row_count_margin)) * n_floor)}))
     for comp_name, comp in profile.components.items():
         comps.append(Component(comp_name, comp.ctype,
                                 extractor=comp.extractor))
@@ -568,6 +597,13 @@ def suggest_suite(profile: Profile, name: str = "suggested",
                     f"{comp_name}_bounds", "bounds",
                     {"component": comp_name, "min": lo - pad,
                      "max": hi + pad, **extra}))
+                if mean_margin is not None and s.mean is not None:
+                    mpad = (hi - lo) * float(mean_margin)
+                    cons.append(Constraint(
+                        f"{comp_name}_mean", "stat_bounds",
+                        {"component": comp_name, "stat": "mean",
+                         "min": float(s.mean) - mpad,
+                         "max": float(s.mean) + mpad}))
             if comp.ctype == "tokens" and s.elem_min is not None \
                     and s.elem_max is not None:
                 cons.append(Constraint(

@@ -249,6 +249,52 @@ def test_suggest_suite_roundtrip(spark):
     assert "n_tok_bounds" in errs and "source_in_domain" in errs
 
 
+def test_suggest_suite_metric_kinds(spark):
+    """Opt-in metric suggestions: row_count min sized from the SMALLEST
+    observed partition (every profiled partition passes), stat_bounds
+    mean envelope flags a level shift the bounds check cannot see."""
+    from data_validation_spark.operators.profile import build_profile
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import Component, suggest_suite
+    from data_validation_spark.sources.sequences import synth_sequences
+    from pyspark.sql import functions as F
+
+    df = synth_sequences(spark, 2000).filter(F.col("tokens").isNotNull())
+    comps = [Component("n_tok", "numeric")]
+    prof = build_profile(df, comps, ["source"])
+    suite = suggest_suite(prof, partition_cols=["source"],
+                          row_count_margin=0.1, mean_margin=0.05)
+    kinds = {c.name: c.kind for c in suite.constraints}
+    assert kinds["row_count_min"] == "row_count"
+    assert kinds["n_tok_mean"] == "stat_bounds"
+
+    clean = run_validation(spark, df, suite, concurrent_jobs=1)
+    assert clean.passed
+
+    # a level shift: +400 on a [29, 2010] envelope — most rows stay in
+    # bounds, but every partition's mean leaves the ±0.05·range pad
+    # (clean per-source deviation from the global mean is ≤ 50.1 on
+    # this seeded data; the pad is 99, the shifted deviation ≥ 350)
+    shifted = df.withColumn("n_tok", F.col("n_tok") + F.lit(400))
+    res = run_validation(spark, shifted, suite, concurrent_jobs=1)
+    mean_vs = [v for v in res.verdicts if v["constraint"] == "n_tok_mean"]
+    assert mean_vs and all(not v["passed"] for v in mean_vs)
+
+    # a truncated feed (web dropped to ~1 row, below the 16-row floor)
+    trunc = df.filter((F.col("source") != "web")
+                      | (F.xxhash64("doc_id") % 1000 == 0))
+    res2 = run_validation(spark, trunc, suite, concurrent_jobs=1)
+    rc = {v["partition"]: v["passed"] for v in res2.verdicts
+          if v["constraint"] == "row_count_min"}
+    assert not rc["source=web"]
+    assert any(rc[p] for p in rc if p != "source=web")
+
+    # default: no metric suggestions without an explicit margin
+    plain = suggest_suite(prof, partition_cols=["source"])
+    assert all(c.kind not in ("row_count", "stat_bounds")
+               for c in plain.constraints)
+
+
 def test_suggest_suite_refuses_truncated_domain(spark):
     from data_validation_spark.plans.suite import (
         CategoricStats, Component, Profile, suggest_suite)
