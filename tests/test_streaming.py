@@ -74,6 +74,50 @@ def test_validate_stream_matches_batch(spark, stream_input, tmp_path):
     assert sink.read(STREAM_VERDICTS_TABLE).count() == n_before
 
 
+def test_validate_stream_metric_kinds(spark, tmp_path):
+    """Metric assertions evaluate PER MICRO-BATCH through the same
+    evaluate_constraints path: row_count floors each batch, freshness
+    judges each batch's max(ts) against the suite's explicit as_of."""
+    import datetime as dt
+    rows = [("d%d" % i, dt.datetime(2026, 1, 1 + (i % 3)), "web")
+            for i in range(40)]
+    path = str(tmp_path / "in")
+    df = spark.createDataFrame(
+        rows, "doc_id string, ts timestamp, source string")
+    df.coalesce(2).write.mode("overwrite").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    suite = ValidationSuite(
+        name="stream-metric",
+        constraints=[
+            Constraint("batch_floor", "row_count", {"min": 5}),
+            Constraint("fresh", "freshness",
+                       {"component": "ts", "max_age_seconds": 86400 * 30,
+                        "as_of": "2026-01-10T00:00:00"}),
+            Constraint("stale", "freshness",
+                       {"component": "ts", "max_age_seconds": 3600,
+                        "as_of": "2026-06-01T00:00:00"}),
+        ],
+        partition_cols=["source"])
+    stream_df = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", "1").parquet(path))
+    sink = TableProvider(spark, str(tmp_path / "sink"))
+    q = validate_stream(stream_df, suite, sink,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    v = sink.read(STREAM_VERDICTS_TABLE).collect()
+    by = {}
+    for r in v:
+        by.setdefault(r["constraint"], []).append(r)
+    # each micro-batch (2 files → ≥2 batches) emitted its own verdicts
+    assert len({r["batch_id"] for r in v}) >= 2
+    assert all(r["passed"] for r in by["batch_floor"])
+    assert all(r["passed"] for r in by["fresh"])
+    # every batch is months older than the stale as_of → every batch red
+    assert all(not r["passed"] for r in by["stale"])
+
+
 def test_streaming_stats_windowed(spark, tmp_path):
     rows = [(f"d{i}", i % 3, "2026-01-01 00:%02d:30" % (i % 4)) for i in range(120)]
     df = (spark.createDataFrame(rows, "doc_id string, v int, ts_s string")
