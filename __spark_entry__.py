@@ -1841,6 +1841,39 @@ def q_ann_index_increment(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_wav_headers(spark, sf_dir):
+    """Real audio-container decode, oracle-checked as synthesize∘parse
+    = identity: canonical RIFF/WAVE headers are BUILT IN-ENGINE from
+    each document's n_chars (little-endian hex assembly → unhex), then
+    parsed back by multimodal.parse_wav_headers — a pure Catalyst
+    projection (no audio library, no Python; plan asserted in tests).
+    A flipped endianness, wrong chunk offset, or broken pad-byte walk
+    flips the oracle."""
+    from data_validation_spark.operators.multimodal import (
+        parse_wav_headers)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.pmod("n_chars", F.lit(2)) + 1).cast("long").alias("ch"),
+        (F.pmod("n_chars", F.lit(8)) * 1000 + 8000).cast("long")
+        .alias("rate"),
+        (F.pmod("n_chars", F.lit(1000)) + 1).cast("long").alias("nf"))
+    d = d.withColumn("block", F.col("ch") * 2) \
+         .withColumn("dsize", F.col("nf") * F.col("block"))
+
+    def le(col, nbytes):  # little-endian hex of an integer column
+        h = F.lpad(F.hex(col), nbytes * 2, "0")
+        return F.concat(*[F.substring(h, i * 2 + 1, 2)
+                          for i in range(nbytes - 1, -1, -1)])
+
+    payload = F.unhex(F.concat(
+        F.lit("52494646"), le(F.col("dsize") + 36, 4), F.lit("57415645"),
+        F.lit("666D7420"), le(F.lit(16), 4), le(F.lit(1), 2),
+        le(F.col("ch"), 2), le(F.col("rate"), 4),
+        le(F.col("rate") * F.col("block"), 4), le(F.col("block"), 2),
+        le(F.lit(16), 2), F.lit("64617461"), le(F.col("dsize"), 4)))
+    return parse_wav_headers(d.select("doc_id", payload.alias("payload")))
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -2176,6 +2209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_info": q_mutual_info,
         "ann_index_query": q_ann_index_query,
         "ann_index_increment": q_ann_index_increment,
+        "wav_headers": q_wav_headers,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3480,6 +3514,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey_a, c_custkey_b, pos_a, pos_b,
                    CAST(levenshtein(na, nb) AS INT) AS dist
             FROM p WHERE levenshtein(na, nb) <= 1
+        """,
+        "wav_headers": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS valid,
+                   1 AS audio_format,
+                   CAST(n_chars % 2 + 1 AS INT) AS channels,
+                   CAST(n_chars % 8 * 1000 + 8000 AS INT) AS sample_rate,
+                   16 AS bits,
+                   CAST(n_chars % 1000 + 1 AS BIGINT) AS n_frames,
+                   round(CAST(n_chars % 1000 + 1 AS DOUBLE)
+                         / CAST(n_chars % 8 * 1000 + 8000 AS DOUBLE), 6)
+                     AS duration_s
+            FROM documents
         """,
         "ann_index_query": """
             WITH q AS (

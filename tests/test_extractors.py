@@ -226,3 +226,66 @@ def test_decode_pixel_stats_hard_errors_without_decoder(spark):
         pytest.skip("PIL present: the hard-error branch is unreachable")
     with pytest.raises(NotImplementedError, match="PIL"):
         multimodal.decode_pixel_stats(df, allow_fake=False)
+
+
+def _wav_bytes(channels=2, rate=44100, bits=16, n_frames=100,
+               pre_chunks=(), truncate=None):
+    """Hand-build a canonical RIFF/WAVE payload; ``pre_chunks`` are
+    (tag, payload) chunks inserted between fmt and data."""
+    import struct
+    block = channels * bits // 8
+    data = b"\x00" * (n_frames * block)
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block,
+                      block, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    for tag, payload in pre_chunks:
+        body += tag + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            body += b"\x00"                      # RIFF even padding
+    body += b"data" + struct.pack("<I", len(data)) + data
+    out = b"RIFF" + struct.pack("<I", len(body)) + body
+    return out[:truncate] if truncate else out
+
+
+def test_parse_wav_headers_real_layouts(spark):
+    rows = [
+        ("plain", _wav_bytes(channels=1, rate=8000, bits=8, n_frames=4000)),
+        ("stereo", _wav_bytes(channels=2, rate=44100, bits=16,
+                              n_frames=44100)),
+        # LIST metadata chunk with an ODD size → pad byte honored
+        ("meta", _wav_bytes(channels=2, rate=16000, bits=16, n_frames=80,
+                            pre_chunks=[(b"LIST", b"INFOabc")])),
+        ("two_meta", _wav_bytes(channels=1, rate=22050, bits=16,
+                                n_frames=10,
+                                pre_chunks=[(b"fact", b"\x00" * 4),
+                                            (b"LIST", b"INFO")])),
+        ("truncated", _wav_bytes()[:20]),
+        ("not_wav", b"\x89PNG\r\n\x1a\n" + b"\x00" * 40),
+        # too many metadata chunks: past the hop budget → valid=false
+        ("deep", _wav_bytes(pre_chunks=[(b"LIST", b"a"), (b"LIST", b"b"),
+                                        (b"LIST", b"c"), (b"LIST", b"d")])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = {r.doc_id: r for r in
+           multimodal.parse_wav_headers(df).collect()}
+    p = out["plain"]
+    assert p.valid and (p.channels, p.sample_rate, p.bits) == (1, 8000, 8)
+    assert p.n_frames == 4000 and p.duration_s == 0.5
+    s = out["stereo"]
+    assert s.valid and s.n_frames == 44100 and s.duration_s == 1.0
+    m = out["meta"]
+    assert m.valid and (m.channels, m.sample_rate, m.n_frames) == (2, 16000, 80)
+    t = out["two_meta"]
+    assert t.valid and t.n_frames == 10
+    for bad in ("truncated", "not_wav", "deep"):
+        assert not out[bad].valid, bad
+        assert out[bad].n_frames is None
+
+
+def test_parse_wav_headers_is_pure_catalyst(spark):
+    df = spark.createDataFrame([("a", b"RIFF")],
+                               "doc_id string, payload binary")
+    plan = multimodal.parse_wav_headers(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
