@@ -205,6 +205,32 @@ def referential_violations(df: DataFrame, column: str, dim: DataFrame,
             .withColumn("partition", partition_label_col(partition_cols)))
 
 
+def split_valid_invalid(df: DataFrame, suite: ValidationSuite
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Quarantine split — the deploy-time shape of row-level
+    validation: ONE vectorized pass tags every row, then
+    ``(clean, quarantined)`` come back as two filters over the same
+    tagged frame (cache it if both sides are consumed): clean rows keep
+    the input schema exactly (downstream contracts unchanged),
+    quarantined rows carry ``errors`` + ``partition`` like every other
+    violation frame so they union straight into the violations sink.
+    Row-level kinds only — set/metric-level verdicts are table facts
+    and cannot condemn a specific row; run ``run_validation`` for
+    those."""
+    row_cs = [c for c in suite.resolved_constraints()
+              if c.kind in ROW_LEVEL_KINDS]
+    if not row_cs:
+        raise ValueError("split_valid_invalid: the suite has no "
+                         "row-level constraints")
+    flags = [F.when(_row_violation_cond(c), F.lit(c.name)) for c in row_cs]
+    tagged = df.withColumn("errors", F.array_compact(F.array(*flags)))
+    clean = tagged.filter(F.array_size("errors") == 0).drop("errors")
+    quarantined = (tagged.filter(F.array_size("errors") > 0)
+                   .withColumn("partition",
+                               partition_label_col(suite.partition_cols)))
+    return clean, quarantined
+
+
 def validation_tags(df: DataFrame, suite: ValidationSuite) -> DataFrame:
     """rdv-style per-row tag output (SURVEY.md O4/O5 tags): every input
     row gains ``tags: array<struct<type,name,value,group>>`` holding

@@ -457,6 +457,67 @@ def distinctness_profile(df: DataFrame, cols: list[str]) -> DataFrame:
         .alias("uniqueness"))
 
 
+def metrics_regression_report(metrics: DataFrame, k: float = 3.0,
+                              min_history: int = 3,
+                              min_deviation: float = 0.0) -> DataFrame:
+    """Cross-RUN anomaly screen over the validation metrics sink — the
+    monitoring loop that closes after `run_validation` has written a
+    few cycles: for every (partition, component, metric) series, the
+    LATEST run's value is judged against the median/MAD of all PRIOR
+    runs (robust — one bad historical run cannot shift the envelope the
+    way a mean/std would).
+
+    Shape: the input is the metrics TABLE (run_id, partition,
+    component, metric, value, ts) — one row per metric per run, i.e.
+    series length = run-history depth, bounded by retention and
+    NEVER by data size; `collect_list` per series is therefore
+    driver-safe by construction, and the median/MAD/verdict compute as
+    pure Catalyst array expressions (sort_array + element_at — no UDF,
+    no pandas).  Flag rule: ``|last − median| > k·1.4826·MAD`` AND
+    ``> min_deviation`` (the absolute floor keeps an all-but-constant
+    series from flagging on noise when MAD≈0), with at least
+    ``min_history`` prior runs — early series report NULL verdicts,
+    never a guess (the rolling_count_anomalies stance).
+    """
+    series = (metrics
+              .groupBy("partition", "component", "metric")
+              .agg(F.sort_array(F.collect_list(
+                  F.struct("ts", "run_id", "value"))).alias("__h")))
+    h = F.col("__h")
+    n = F.size(h)
+    last = F.element_at(h, -1)
+    prior = F.expr("transform(slice(__h, 1, size(__h) - 1), x -> x.value)")
+    ps = F.array_sort(prior)
+    m = F.size(ps)
+    # median of prior values (lower-middle for even length: exact,
+    # order-stable on every engine — no float averaging of middles)
+    # guarded index: a single-run series has an empty prior array and
+    # mid = 0, which even try_element_at refuses (INVALID_INDEX_OF_ZERO
+    # predates the out-of-bounds nulling) — NULL index → NULL median
+    mid = F.when(m > 0, F.floor((m + 1) / 2).cast("int"))
+    med = F.try_element_at(ps, mid)
+    absdev = F.expr("array_sort(transform(slice(__h, 1, size(__h) - 1), "
+                    "x -> abs(x.value - __med)))")
+    out = (series
+           .withColumn("__med", med)
+           .withColumn("__ad", absdev)
+           .withColumn("__mad", F.try_element_at(F.col("__ad"), mid)))
+    dev = F.abs(last["value"] - F.col("__med"))
+    flagged = F.when(
+        m < F.lit(int(min_history)), F.lit(None).cast("boolean")
+    ).otherwise((dev > F.lit(float(k)) * 1.4826 * F.col("__mad"))
+                & (dev > F.lit(float(min_deviation))))
+    return out.select(
+        "partition", "component", "metric",
+        n.alias("n_runs"),
+        last["run_id"].alias("last_run_id"),
+        F.round(last["value"], 6).alias("last_value"),
+        F.round(F.col("__med"), 6).alias("median_prev"),
+        F.round(F.col("__mad"), 6).alias("mad_prev"),
+        F.round(dev, 6).alias("abs_deviation"),
+        flagged.alias("flagged"))
+
+
 def entropy_report(df: DataFrame, cols: list[str]) -> DataFrame:
     """Shannon entropy per categorical column (deequ hasEntropy) — the
     "how informative is this column" triage that catches a feed whose
