@@ -1797,6 +1797,20 @@ def q_mutual_info(spark, sf_dir):
             .orderBy("lang", "source"))
 
 
+def q_emd_by_source(spark, sf_dir):
+    """Per-source Wasserstein-1 (earth-mover) distance of the n_chars
+    distribution vs the global corpus over a shared 32-bin equi-width
+    grid — the drift lens that ranks 'which source slid furthest'
+    proportionally where chi²/PSI explode on a one-bin shift.  Exact
+    integer binning (`div`), exact DECIMAL cross-product CDF terms,
+    one float division at the end; the oracle replays the identical
+    op sequence so any binning/NULL-policy drift flips the hash."""
+    from data_validation_spark.operators.health import emd_report
+    docs = _t(spark, sf_dir, "documents")
+    return (emd_report(docs, "source", "n_chars", n_bins=32)
+            .orderBy("source"))
+
+
 def q_ann_index_query(spark, sf_dir):
     """Persisted IVF ANN index lifecycle, exact mode: build the cell-
     partitioned index table + centroid sidecar in a temp TableProvider,
@@ -2207,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_constraints": q_metric_constraints,
         "entropy": q_entropy,
         "mutual_info": q_mutual_info,
+        "emd_by_source": q_emd_by_source,
         "ann_index_query": q_ann_index_query,
         "ann_index_increment": q_ann_index_increment,
         "wav_headers": q_wav_headers,
@@ -3610,6 +3625,50 @@ def oracle_sql() -> dict[str, str]:
             FROM c, ma, mb, t
             WHERE c.a = ma.a AND c.b = mb.b
             ORDER BY 1, 2
+        """,
+        "emd_by_source": """
+            WITH rows_ AS (
+              SELECT source AS g, CAST(n_chars AS BIGINT) AS x
+              FROM documents WHERE n_chars IS NOT NULL),
+            span AS (SELECT min(x) AS lo, max(x) AS hi FROM rows_),
+            b AS (SELECT g,
+                         CAST(((x - lo) * 32) // (hi - lo + 1) AS BIGINT)
+                           AS bin
+                  FROM rows_, span),
+            counts AS (SELECT g, bin, count(*) AS c FROM b GROUP BY 1, 2),
+            totals AS (SELECT g, sum(c) AS n_g FROM counts GROUP BY 1),
+            gbin AS (SELECT bin, sum(c) AS c_all FROM counts GROUP BY 1),
+            n_tot AS (SELECT sum(c_all) AS n_all FROM gbin),
+            spine AS (SELECT g, n_g, unnest(range(0, 32)) AS bin
+                      FROM totals),
+            cells AS (
+              SELECT s.g, s.n_g, s.bin,
+                     coalesce(c.c, 0) AS c, coalesce(gl.c_all, 0) AS c_all
+              FROM spine s
+              LEFT JOIN counts c ON c.g = s.g AND c.bin = s.bin
+              LEFT JOIN gbin gl ON gl.bin = s.bin),
+            cum AS (
+              SELECT g, n_g, bin,
+                     sum(c) OVER (PARTITION BY g ORDER BY bin) AS cum_g,
+                     sum(c_all) OVER (PARTITION BY g ORDER BY bin)
+                       AS cum_all
+              FROM cells),
+            agg AS (
+              SELECT g, n_g,
+                     sum(abs(cum_g * (SELECT n_all FROM n_tot)
+                             - cum_all * n_g)) AS num
+              FROM cum GROUP BY 1, 2),
+            fin AS (
+              SELECT g, n_g, (SELECT n_all FROM n_tot) AS n_all,
+                     CAST((2 * num * 1000000
+                           + n_g * (SELECT n_all FROM n_tot) * 32)
+                          // (2 * n_g * (SELECT n_all FROM n_tot) * 32)
+                          AS BIGINT) AS emd_micro
+              FROM agg)
+            SELECT g AS source, CAST(n_g AS BIGINT) AS n_g,
+                   CAST(n_all AS BIGINT) AS n_all, emd_micro,
+                   CAST(emd_micro AS DOUBLE) / 1000000.0 AS emd_norm
+            FROM fin ORDER BY 1
         """,
         "metric_constraints": """
             WITH g AS (

@@ -651,3 +651,87 @@ def inclusion_check(left: DataFrame, left_col: str,
             .select("n_values", "n_matched",
                     F.round(F.col("n_matched") / F.col("n_values"), 6)
                     .alias("containment")))
+
+
+def emd_report(df: DataFrame, group_col: str, value_col: str,
+               n_bins: int = 32) -> DataFrame:
+    """Per-group 1-D earth-mover (Wasserstein-1) distance between each
+    group's distribution of an integral column and the GLOBAL
+    distribution, over a shared equi-width binning — the drift lens
+    chi²/PSI lack: EMD sees "the whole histogram slid one bin" as a
+    small, proportional distance where chi² explodes, so it ranks
+    "which source drifted FURTHEST" usefully.
+
+    Shape at scale: the table collapses to (group, bin) counts in ONE
+    map-side-combined shuffle (reduce cardinality = groups × n_bins,
+    never rows) and that frame is persisted MEMORY_AND_DISK — it feeds
+    three branches (per-group totals, global histogram, the cells
+    join) and without the persist Spark re-scans the raw table once
+    per branch.  The global histogram is the persisted frame
+    re-aggregated; the per-group bin spine is ``sequence(0, n_bins-1)``
+    exploded from the groups frame (groups × n_bins rows); CDFs are
+    window cumsums over n_bins-row partitions.
+
+    Determinism: binning is pure integer floor division on an exact
+    span; cumulative counts are exact integers; each bin's term is the
+    exact DECIMAL(38,0) cross product ``|cum_g·n − cum_all·n_g|``
+    (ANSI-loud at 10^38, never wrapped).  The 6-dp value is rounded IN
+    INTEGERS — ``emd_micro = (2·Σterms·10⁶ + den) div (2·den)`` is an
+    exact half-up integral division (den = n_g·n·n_bins), so no engine
+    can disagree at a rounding boundary; ``emd_norm = emd_micro/10⁶``
+    is one correctly-rounded IEEE division of small integers,
+    bit-identical everywhere.  ``emd_norm`` ∈ [0, 1]: 0 = identical
+    CDFs, 1 = all mass at opposite ends.
+
+    Constant-width bins over [min, max] make the distance comparable
+    ACROSS groups (a per-group binning would not be).  NULLs are
+    excluded (they carry no position on the value axis).
+    """
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    v = F.col(value_col)
+    rows = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.cast("long").alias("x"))
+    # exact global span, broadcast as 1-row frame (integer arithmetic)
+    span = rows.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
+    binned = rows.crossJoin(F.broadcast(span)).select(
+        "g",
+        # `div` = exact integer division (no double detour that could
+        # mis-bin once (x-lo)*n_bins crosses 2^53); span+1 puts max in
+        # the last bin without a float-epsilon guard
+        F.expr(f"((x - __lo) * {int(n_bins)}) "
+               f"div (__hi - __lo + 1)").alias("bin"))
+    from pyspark import StorageLevel
+    counts = (binned.groupBy("g", "bin")
+              .agg(F.count(F.lit(1)).alias("c"))
+              .persist(StorageLevel.MEMORY_AND_DISK))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n_g"))
+    glob = counts.groupBy("bin").agg(F.sum("c").alias("c_all"))
+    n_tot = glob.agg(F.sum("c_all").alias("n_all"))
+    # dense bin spine per group so empty bins still contribute their
+    # |CDF diff| term (skipping them would undercount the distance)
+    spine = totals.select(
+        "g", "n_g",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin"))
+    cells = (spine.join(counts, ["g", "bin"], "left")
+             .join(F.broadcast(glob), "bin", "left")
+             .fillna(0, ["c", "c_all"])
+             .crossJoin(F.broadcast(n_tot)))
+    wg = Window.partitionBy("g").orderBy("bin")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    cum = cells.select(
+        "g", "n_g", "n_all", "bin",
+        F.sum("c").over(wg).alias("cum_g"),
+        F.sum("c_all").over(wg).alias("cum_all"))
+    term = F.abs(dec("cum_g") * dec("n_all") - dec("cum_all") * dec("n_g"))
+    agg = (cum.groupBy("g", "n_g", "n_all")
+           .agg(F.sum(term).alias("__num")))
+    den = (dec("n_g") * dec("n_all") * F.lit(n_bins).cast("decimal(38,0)"))
+    return (agg.withColumn("__den", den)
+            .withColumn("emd_micro",
+                        F.expr("(2 * __num * 1000000 + __den) "
+                               "div (2 * __den)").cast("long"))
+            .select(F.col("g").alias(group_col), "n_g", "n_all",
+                    "emd_micro",
+                    (F.col("emd_micro").cast("double") / F.lit(1e6))
+                    .alias("emd_norm")))

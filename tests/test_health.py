@@ -333,3 +333,55 @@ def test_inclusion_check(spark):
     # distinct non-null left values {1,2,3}; {1,2} contained
     assert (r.n_values, r.n_matched) == (3, 2)
     assert r.containment == round(2 / 3, 6)
+
+
+def test_emd_report_hand_computed(spark):
+    from data_validation_spark.operators.health import emd_report
+    # group "a": all mass at 0; group "b": all mass at 9; 2 bins over
+    # span [0,9].  Global CDF after bin0 = 4/8; a's = 1, b's = 0, so
+    # both |CDF diffs| at bin0 are 1/2 and bin1 terms are 0 →
+    # emd_norm = (1/2) / 2 bins = 0.25 for each group, symmetric.
+    rows = [("a", 0)] * 4 + [("b", 9)] * 4
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: r for r in emd_report(df, "g", "x", n_bins=2).collect()}
+    assert out["a"].emd_norm == 0.25 and out["b"].emd_norm == 0.25
+    assert out["a"].n_g == 4 and out["a"].n_all == 8
+
+
+def test_emd_zero_for_identical_distribution(spark):
+    from data_validation_spark.operators.health import emd_report
+    # both groups carry the SAME values → per-group CDF == global CDF
+    rows = [(g, v) for g in ("a", "b") for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, x long")
+    for r in emd_report(df, "g", "x", n_bins=16).collect():
+        assert r.emd_norm == 0.0
+
+
+def test_emd_orders_shift_distance_and_skips_nulls(spark):
+    from data_validation_spark.operators.health import emd_report
+    # base uniform [0,100); "near" shifted +10, "far" shifted +50.
+    # The global mix centers at 69.5, so distance-to-global ranks
+    # far (99.5) > base (49.5) > near (59.5) > 0; a NULL row must not
+    # change any count.
+    rows = ([("base", v) for v in range(0, 100)]
+            + [("near", v + 10) for v in range(0, 100)]
+            + [("far", v + 50) for v in range(0, 100)]
+            + [("base", None)])
+    df = spark.createDataFrame(rows, "g string, x long")
+    out = {r.g: r for r in emd_report(df, "g", "x", n_bins=30).collect()}
+    assert out["base"].n_g == 100          # NULL excluded
+    assert out["far"].emd_norm > out["base"].emd_norm > 0.0
+    assert out["base"].emd_norm > out["near"].emd_norm > 0.0
+
+
+def test_emd_constant_column_and_bad_bins(spark):
+    from data_validation_spark.operators.health import emd_report
+    import pytest as _pt
+    # degenerate span (all values equal): every row lands in bin 0,
+    # every group matches the global → 0 distance, no div-by-zero
+    df = spark.createDataFrame([("a", 5), ("b", 5), ("b", 5)],
+                               "g string, x long")
+    for r in emd_report(df, "g", "x", n_bins=8).collect():
+        assert r.emd_norm == 0.0
+    with _pt.raises(ValueError):
+        emd_report(df, "g", "x", n_bins=1)
