@@ -1888,6 +1888,86 @@ def q_wav_headers(spark, sf_dir):
     return parse_wav_headers(d.select("doc_id", payload.alias("payload")))
 
 
+def q_mp4_headers(spark, sf_dir):
+    """Real video-container decode, oracle-checked as synthesize∘parse
+    = identity: canonical ISO-BMFF files (ftyp → free hop box → moov
+    (mvhd v0/v1 + trak stubs)) are BUILT IN-ENGINE from each document's
+    n_chars as big-endian hex assembly → unhex, then parsed back by
+    multimodal.parse_mp4_headers — an F.aggregate-looped pure Catalyst
+    box walk (no video library, no Python; plan asserted in tests).
+    A wrong box offset, a broken mvhd v1 64-bit duration recompose, or
+    a mis-stepped hop over the free box flips the oracle."""
+    from data_validation_spark.operators.multimodal import (
+        parse_mp4_headers)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.pmod("n_chars", F.lit(3)).cast("long").alias("brand_k"),
+        F.pmod("n_chars", F.lit(7)).cast("long").alias("minor"),
+        F.pmod("n_chars", F.lit(2)).cast("long").alias("ver"),
+        (F.pmod("n_chars", F.lit(6)) * 100 + 600).cast("long")
+        .alias("ts"),
+        (F.pmod("n_chars", F.lit(997)) + 100).cast("long").alias("dur"),
+        (F.pmod("n_chars", F.lit(3)) + 1).cast("long").alias("ntrak"),
+        F.pmod("n_chars", F.lit(5)).cast("long").alias("pad"))
+
+    def be(col, nbytes):  # big-endian hex of an integer column
+        return F.lpad(F.hex(col), nbytes * 2, "0")
+
+    brand = F.element_at(
+        F.array(F.lit("69736F6D"), F.lit("6D703432"),
+                F.lit("61766331")),                # isom / mp42 / avc1
+        (F.col("brand_k") + 1).cast("int"))
+    ftyp = F.concat(F.lit("00000010"), F.lit("66747970"),
+                    brand, be(F.col("minor"), 4))
+    free = F.concat(be(F.col("pad") + 8, 4), F.lit("66726565"),
+                    F.repeat(F.lit("00"), F.col("pad").cast("int")))
+    mvhd = F.when(
+        F.col("ver") == 0,
+        F.concat(be(F.lit(108), 4), F.lit("6D766864"), F.lit("00000000"),
+                 be(F.lit(1), 4), be(F.lit(2), 4), be(F.col("ts"), 4),
+                 be(F.col("dur"), 4), F.lit("00" * 80))) \
+        .otherwise(
+        F.concat(be(F.lit(120), 4), F.lit("6D766864"), F.lit("01000000"),
+                 be(F.lit(1), 8), be(F.lit(2), 8), be(F.col("ts"), 4),
+                 be(F.col("dur"), 8), F.lit("00" * 80)))
+    mvhd_size = F.when(F.col("ver") == 0, F.lit(108)).otherwise(120) \
+        .cast("long")
+    traks = F.repeat(F.lit("000000087472616B"),
+                     F.col("ntrak").cast("int"))
+    moov = F.concat(be(mvhd_size + 8 * F.col("ntrak") + 8, 4),
+                    F.lit("6D6F6F76"), mvhd, traks)
+    payload = F.unhex(F.concat(ftyp, free, moov))
+    return parse_mp4_headers(d.select("doc_id",
+                                      payload.alias("payload")))
+
+
+def q_scd2_customer_status(spark, sf_dir):
+    """Type-2 slowly-changing-dimension build over the orders change
+    stream: each customer's (status, priority) history collapsed to
+    versions with [valid_from, valid_to) intervals — consecutive
+    restatements never mint a version, reverts do; ONE Exchange
+    (plan-asserted in tests).  Oracle replays the identical
+    lag / IS DISTINCT FROM / lead window program in DuckDB; intervals
+    compare as unix micros (engine-portable int64)."""
+    from data_validation_spark.operators.history import scd2_intervals
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+        "o_orderpriority")
+    h = scd2_intervals(o, ["o_custkey"], "o_orderdate",
+                       ["o_orderstatus", "o_orderpriority"],
+                       order_cols=("o_orderkey",))
+    return h.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        .alias("valid_to_us"),
+        F.col("version").cast("int").alias("version"),
+        "is_current")
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -2225,6 +2305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_query": q_ann_index_query,
         "ann_index_increment": q_ann_index_increment,
         "wav_headers": q_wav_headers,
+        "mp4_headers": q_mp4_headers,
+        "scd2_customer_status": q_scd2_customer_status,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3541,6 +3623,45 @@ def oracle_sql() -> dict[str, str]:
                          / CAST(n_chars % 8 * 1000 + 8000 AS DOUBLE), 6)
                      AS duration_s
             FROM documents
+        """,
+        "mp4_headers": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS valid,
+                   CASE CAST(n_chars % 3 AS INT)
+                        WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+                        ELSE 'avc1' END AS major_brand,
+                   CAST(n_chars % 7 AS INT) AS minor_version,
+                   CAST(n_chars % 2 AS INT) AS mvhd_version,
+                   CAST(n_chars % 6 * 100 + 600 AS BIGINT) AS timescale,
+                   CAST(n_chars % 997 + 100 AS BIGINT) AS duration,
+                   CAST(n_chars % 3 + 1 AS INT) AS n_tracks,
+                   round(CAST(n_chars % 997 + 100 AS DOUBLE)
+                         / CAST(n_chars % 6 * 100 + 600 AS DOUBLE), 6)
+                     AS duration_s
+            FROM documents
+        """,
+        "scd2_customer_status": """
+            WITH s AS (
+              SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+                     o_orderpriority,
+                     row_number() OVER w AS rn,
+                     lag(o_orderstatus) OVER w AS ps,
+                     lag(o_orderpriority) OVER w AS pp
+              FROM orders
+              WINDOW w AS (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)),
+            c AS (
+              SELECT * FROM s
+              WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM ps)
+                 OR (o_orderpriority IS DISTINCT FROM pp))
+            SELECT o_custkey AS custkey, o_orderstatus AS status,
+                   o_orderpriority AS priority,
+                   epoch_us(o_orderdate) AS valid_from_us,
+                   epoch_us(lead(o_orderdate) OVER w2) AS valid_to_us,
+                   CAST(row_number() OVER w2 AS INT) AS version,
+                   (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+            FROM c
+            WINDOW w2 AS (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
         """,
         "ann_index_query": """
             WITH q AS (

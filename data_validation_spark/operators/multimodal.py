@@ -384,3 +384,180 @@ def parse_wav_headers(df: DataFrame, id_col: str = "doc_id",
         F.when(valid, F.round(n_frames.cast("double")
                               / sample_rate.cast("double"), 6))
         .alias("duration_s"))
+
+
+_MP4_MAX_HOPS = 4          # top-level boxes hopped looking for `moov`
+_MP4_MAX_CHILDREN = 6      # moov children walked (mvhd + trak count)
+
+
+def parse_mp4_headers(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL video-container decode without a video library: MP4/ISO
+    BMFF is a tree of length-prefixed boxes (``[size:4 BE][type:4]``),
+    so — like the WAV/image siblings — the whole parse is ONE pure
+    Catalyst projection of big-endian ``conv(hex(substring(...)))``
+    recomposes at dynamic offsets (JVM-side, no Python anywhere).
+
+    The two bounded walks (top-level hop to ``moov``, children of
+    ``moov``) are ``F.aggregate`` loops over ``sequence(1, N)`` with a
+    struct accumulator — NOT unrolled ``when``-chains.  Unrolling
+    inlines each hop's full expression tree into the next hop's
+    several times over, so the tree grows exponentially with the hop
+    budget and Catalyst analysis/codegen stalls (observed: a 4-hop
+    unroll blew past the 10 s RPC timeout); the aggregate form keeps
+    the tree constant-size regardless of budget.
+
+    Layout walked: ``ftyp`` must be the FIRST box (major_brand,
+    minor_version) → up to ``_MP4_MAX_HOPS`` top-level hops over
+    ``free``/``skip``/``mdat``/... to find ``moov`` (a 64-bit
+    ``largesize`` box is hopped when its high word is 0 — a sampled
+    payload cell never legitimately exceeds 2^32 — and fails closed
+    otherwise) → up to ``_MP4_MAX_CHILDREN`` children of ``moov`` to
+    find ``mvhd`` and count ``trak`` boxes.  ``mvhd`` v0 reads
+    timescale/duration as BE32 at body offsets +8/+12; v1 at +16/+20
+    with a BE64 duration recomposed from two BE32 words (high word
+    guarded < 2^31 so the ANSI long add can never overflow-throw).
+    ``duration_s = duration / timescale`` is the one float division,
+    rounded 6 dp.  Truncated payloads, non-ftyp-first files, zero or
+    sub-header box sizes, a moov deeper than the hop budget, a missing
+    mvhd, or zero timescale all return ``valid=false`` — the
+    corrupt-payload screen, never a guess.
+    """
+    p = F.col(payload_col)
+    _IMAX = F.lit(2147483647)
+
+    def ipos(pos):      # ANSI-safe long→int offset: a garbage 4 GiB
+        # box size must fail closed (NULL substring), not overflow-throw
+        return F.when(pos <= _IMAX, pos).cast("int")
+
+    def byte_at(pos):   # 1-based Column offset → 0..255 (NULL past end)
+        return F.conv(F.hex(F.substring(p, ipos(pos), F.lit(1))),
+                      16, 10).cast("long")
+
+    def be32(pos):      # big-endian: hex order IS the number
+        return F.conv(F.hex(F.substring(p, ipos(pos), F.lit(4))),
+                      16, 10).cast("long")
+
+    def btype(pos):     # hex of the 4-byte type field of the box at pos
+        return F.hex(F.substring(p, ipos(pos + 4), F.lit(4)))
+
+    ftyp_ok = btype(F.lit(1).cast("long")) == "66747970"     # "ftyp"
+    ftyp_size = be32(F.lit(1))
+    major_brand = F.substring(p, 9, 4).cast("string")
+    minor_version = be32(F.lit(13))
+
+    null_long = F.lit(None).cast("long")
+
+    # -- bounded top-level walk to `moov` --------------------------------
+    def hop(acc, _):
+        pos = acc["pos"]
+        t = btype(pos)
+        s32 = be32(pos)
+        is_large = s32 == 1
+        size = F.when(is_large,
+                      F.when(be32(pos + 8) == 0, be32(pos + 12))
+                      .otherwise(null_long)) \
+            .otherwise(s32)
+        is_moov = (t == F.lit("6D6F6F76")) & ~is_large         # "moov"
+        # size 0 ("to EOF"), a >4 GiB largesize, or a sub-header size
+        # would stall or run away — corrupt for a header sample
+        bad_here = F.coalesce(
+            ~is_moov & (size.isNull() | (size < 8)), F.lit(False))
+        return F.when(acc["found"] | acc["bad"], acc).otherwise(F.struct(
+            F.when(is_moov | bad_here, pos)
+            .otherwise(pos + size).alias("pos"),
+            is_moov.alias("found"),
+            F.when(is_moov, pos).otherwise(acc["moov_pos"])
+            .alias("moov_pos"),
+            F.when(is_moov, s32).otherwise(acc["moov_size"])
+            .alias("moov_size"),
+            bad_here.alias("bad")))
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MP4_MAX_HOPS)),
+        F.struct((F.lit(1).cast("long") + ftyp_size).alias("pos"),
+                 F.lit(False).alias("found"),
+                 null_long.alias("moov_pos"),
+                 null_long.alias("moov_size"),
+                 F.lit(False).alias("bad")),
+        hop)
+
+    # Each walk lands in its OWN projection stage and later stages read
+    # its struct ATTRIBUTE — never re-inline the aggregate expression.
+    # (A single-projection version referenced each aggregate ~10× and
+    # serialized an 80 MiB task binary; CollapseProject keeps these
+    # stages apart because a multi-referenced aggregate is not cheap,
+    # and they still fuse into one codegen stage physically.)
+    s1 = df.select(F.col(id_col).cast("string").alias("doc_id"),
+                   F.col(payload_col), walk.alias("_w"))
+    w = F.col("_w")
+    found = w["found"]
+    moov_pos, moov_size = w["moov_pos"], w["moov_size"]
+
+    # -- bounded children walk inside moov: mvhd + trak count ------------
+    cend = moov_pos + moov_size
+
+    def child_hop(acc, _):
+        cpos = acc["cpos"]
+        within = F.coalesce(cpos < cend, F.lit(False))
+        ct = btype(cpos)
+        cs = be32(cpos)
+        is_mvhd = ct == F.lit("6D766864")                      # "mvhd"
+        bad_here = F.coalesce(cs < 8, F.lit(True))
+        return F.when(~within | acc["bad"], acc).otherwise(F.struct(
+            F.when(bad_here, cpos).otherwise(cpos + cs).alias("cpos"),
+            F.when(acc["mvhd_pos"].isNull() & is_mvhd, cpos)
+            .otherwise(acc["mvhd_pos"]).alias("mvhd_pos"),
+            (acc["n_trak"] + F.when(ct == F.lit("7472616B"), F.lit(1))
+             .otherwise(F.lit(0)).cast("long")).alias("n_trak"),
+            bad_here.alias("bad")))
+
+    children = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_MP4_MAX_CHILDREN)),
+        F.struct((moov_pos + 8).alias("cpos"),
+                 null_long.alias("mvhd_pos"),
+                 F.lit(0).cast("long").alias("n_trak"),
+                 F.lit(False).alias("bad")),
+        child_hop)
+
+    s2 = s1.select("doc_id", payload_col, "_w", children.alias("_c"))
+    c = F.col("_c")
+    mvhd_pos, n_trak = c["mvhd_pos"], c["n_trak"]
+
+    # -- mvhd FullBox: version @ +8; body @ +12 ---------------------------
+    ver = byte_at(mvhd_pos + 8)
+    timescale = F.when(ver == 0, be32(mvhd_pos + 20)) \
+        .when(ver == 1, be32(mvhd_pos + 28))
+    dur_hi = be32(mvhd_pos + 32)
+    duration = F.when(ver == 0, be32(mvhd_pos + 24)) \
+        .when(ver == 1,
+              F.when(dur_hi < F.lit(2147483648),
+                     dur_hi * F.lit(4294967296) + be32(mvhd_pos + 36)))
+
+    s3 = s2.select(
+        "doc_id", ftyp_ok.alias("_ftyp_ok"),
+        major_brand.alias("_brand"), minor_version.alias("_minor"),
+        found.alias("_found"),
+        (w["bad"] | F.coalesce(c["bad"], F.lit(False))).alias("_bad"),
+        mvhd_pos.alias("_mvhd_pos"), n_trak.alias("_n_trak"),
+        ver.alias("_ver"), timescale.alias("_ts"),
+        duration.alias("_dur"))
+
+    ts, dur, ntr = F.col("_ts"), F.col("_dur"), F.col("_n_trak")
+    valid = (F.col("_ftyp_ok") & F.coalesce(F.col("_found"), F.lit(False))
+             & ~F.coalesce(F.col("_bad"), F.lit(True))
+             & F.col("_mvhd_pos").isNotNull()
+             & ts.isNotNull() & (ts > 0)
+             & dur.isNotNull() & (ntr >= 1))
+    return s3.select(
+        "doc_id",
+        F.coalesce(valid, F.lit(False)).alias("valid"),
+        F.when(valid, F.col("_brand")).alias("major_brand"),
+        F.when(valid, F.col("_minor")).try_cast("int")
+        .alias("minor_version"),
+        F.when(valid, F.col("_ver")).cast("int").alias("mvhd_version"),
+        F.when(valid, ts).cast("bigint").alias("timescale"),
+        F.when(valid, dur).cast("bigint").alias("duration"),
+        F.when(valid, ntr).cast("int").alias("n_tracks"),
+        F.when(valid, F.round(dur.cast("double") / ts.cast("double"), 6))
+        .alias("duration_s"))

@@ -289,3 +289,86 @@ def test_parse_wav_headers_is_pure_catalyst(spark):
         .executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def _mp4_bytes(brand=b"isom", minor=512, version=0, timescale=1000,
+               duration=2500, n_trak=2, pre_boxes=(), large_mdat=None,
+               truncate=None):
+    """Hand-build a canonical ISO-BMFF payload: ftyp first, optional
+    hop boxes (free/skip/mdat), then moov(mvhd + n_trak empty trak
+    stubs).  ``large_mdat`` inserts a 64-bit-largesize mdat whose
+    declared size is only header-deep (payload elided — the walk only
+    reads offsets)."""
+    import struct
+
+    def box(tag, body):
+        return struct.pack(">I", 8 + len(body)) + tag + body
+
+    out = box(b"ftyp", brand + struct.pack(">I", minor))
+    for tag, body in pre_boxes:
+        out += box(tag, body)
+    if large_mdat is not None:
+        # size=1 → 64-bit largesize follows the type (includes header)
+        out += struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", large_mdat)
+        out += b"\x00" * (large_mdat - 16)
+    if version == 0:
+        mvhd = box(b"mvhd", struct.pack(">BxxxIIII", 0, 1, 2, timescale,
+                                        duration) + b"\x00" * 80)
+    else:
+        mvhd = box(b"mvhd", struct.pack(">BxxxQQIQ", 1, 1, 2, timescale,
+                                        duration) + b"\x00" * 80)
+    moov = box(b"moov", mvhd + b"".join(box(b"trak", b"")
+                                        for _ in range(n_trak)))
+    out += moov
+    return out[:truncate] if truncate else out
+
+
+def test_parse_mp4_headers_real_layouts(spark):
+    rows = [
+        ("plain", _mp4_bytes()),
+        ("v1", _mp4_bytes(brand=b"mp42", version=1, timescale=600,
+                          duration=1500, n_trak=1)),
+        # free + mdat hopped before moov
+        ("hops", _mp4_bytes(pre_boxes=[(b"free", b"xx"),
+                                       (b"mdat", b"\x00" * 32)],
+                            timescale=1000, duration=250, n_trak=3)),
+        # 64-bit largesize mdat with zero high word → hopped fine
+        ("large", _mp4_bytes(large_mdat=48, duration=4000)),
+        ("truncated", _mp4_bytes()[:15]),
+        ("not_mp4", b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 32),
+        # moov past the hop budget → valid=false
+        ("deep", _mp4_bytes(pre_boxes=[(b"free", b"a"), (b"free", b"b"),
+                                       (b"free", b"c"), (b"free", b"d"),
+                                       (b"free", b"e")])),
+        # size-0 box ("to EOF") before moov → corrupt for a sample
+        ("size0", _mp4_bytes(pre_boxes=[])[:16]
+         + b"\x00\x00\x00\x00mdat" + _mp4_bytes()[16:]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = {r.doc_id: r for r in
+           multimodal.parse_mp4_headers(df).collect()}
+    pl = out["plain"]
+    assert pl.valid and pl.major_brand == "isom" and pl.minor_version == 512
+    assert (pl.timescale, pl.duration, pl.n_tracks) == (1000, 2500, 2)
+    assert pl.duration_s == 2.5 and pl.mvhd_version == 0
+    v1 = out["v1"]
+    assert v1.valid and v1.mvhd_version == 1 and v1.major_brand == "mp42"
+    assert (v1.timescale, v1.duration, v1.n_tracks) == (600, 1500, 1)
+    assert v1.duration_s == 2.5
+    h = out["hops"]
+    assert h.valid and (h.duration, h.n_tracks) == (250, 3)
+    assert h.duration_s == 0.25
+    lg = out["large"]
+    assert lg.valid and lg.duration == 4000 and lg.duration_s == 4.0
+    for bad in ("truncated", "not_mp4", "deep", "size0"):
+        assert not out[bad].valid, bad
+        assert out[bad].duration is None, bad
+
+
+def test_parse_mp4_headers_is_pure_catalyst(spark):
+    df = spark.createDataFrame([("a", b"ftyp")],
+                               "doc_id string, payload binary")
+    plan = multimodal.parse_mp4_headers(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in plan
