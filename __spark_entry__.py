@@ -1786,6 +1786,22 @@ def q_entropy(spark, sf_dir):
     return entropy_report(docs, ["lang", "source"]).orderBy("column")
 
 
+def q_iqr_outliers(spark, sf_dir):
+    """Tukey-fence outlier screen over lineitem price/quantity in
+    exact integers: quartiles as order statistics over a distinct-value
+    collapse (one melt scan for both columns, no global sort, no
+    sketch), fences evaluated as 2v < 5·q1 − 3·q3 — pure BIGINT, so no
+    engine can disagree at a float boundary.  Oracle replays the
+    identical collapse → cumsum → fence program."""
+    from data_validation_spark.operators.health import iqr_outlier_report
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("long").alias("quantity"))
+    return iqr_outlier_report(li, ["price_cents", "quantity"]) \
+        .orderBy("column")
+
+
 def q_mutual_info(spark, sf_dir):
     """Per-cell mutual information lang × source (deequ MI analyzer):
     observed cells only (empty cells contribute 0 by limit), exact
@@ -2300,6 +2316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraint_kinds": q_dq_constraint_kinds,
         "metric_constraints": q_metric_constraints,
         "entropy": q_entropy,
+        "iqr_outliers": q_iqr_outliers,
         "mutual_info": q_mutual_info,
         "emd_by_source": q_emd_by_source,
         "ann_index_query": q_ann_index_query,
@@ -3696,6 +3713,43 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT query_id, vec_id, round(cosine, 6) AS cosine
             FROM r WHERE rk <= 5
+        """,
+        "iqr_outliers": """
+            WITH m AS (
+              SELECT 'price_cents' AS col,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+              FROM lineitem
+              UNION ALL
+              SELECT 'quantity', CAST(l_quantity AS BIGINT)
+              FROM lineitem),
+            c AS (SELECT col, v, count(*) AS cnt FROM m GROUP BY 1, 2),
+            t AS (SELECT col, CAST(sum(cnt) AS BIGINT) AS n
+                  FROM c GROUP BY 1),
+            cc AS (SELECT c.col, c.v, c.cnt,
+                          CAST(sum(c.cnt) OVER (PARTITION BY c.col
+                                                ORDER BY c.v)
+                               AS BIGINT) AS cum, t.n
+                   FROM c JOIN t ON c.col = t.col),
+            q AS (SELECT col, n,
+                         min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+                         min(CASE WHEN cum * 4 >= 3 * n THEN v END)
+                           AS q3
+                  FROM cc GROUP BY 1, 2)
+            SELECT c.col AS "column", q.n AS n_rows,
+                   CAST(0 AS BIGINT) AS n_null, q.q1, q.q3,
+                   CAST(sum(CASE WHEN 2 * c.v < 5 * q.q1 - 3 * q.q3
+                            THEN c.cnt ELSE 0 END) AS BIGINT)
+                     AS n_below,
+                   CAST(sum(CASE WHEN 2 * c.v > 5 * q.q3 - 3 * q.q1
+                            THEN c.cnt ELSE 0 END) AS BIGINT)
+                     AS n_above,
+                   round(CAST(sum(CASE WHEN 2 * c.v < 5 * q.q1 - 3 * q.q3
+                                    OR 2 * c.v > 5 * q.q3 - 3 * q.q1
+                                  THEN c.cnt ELSE 0 END) AS DOUBLE)
+                         / CAST(q.n AS DOUBLE), 6) AS outlier_ratio
+            FROM c JOIN q ON c.col = q.col
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY 1
         """,
         "entropy": """
             WITH p AS (

@@ -735,3 +735,70 @@ def emd_report(df: DataFrame, group_col: str, value_col: str,
                     "emd_micro",
                     (F.col("emd_micro").cast("double") / F.lit(1e6))
                     .alias("emd_norm")))
+
+
+def iqr_outlier_report(df: DataFrame, cols: list[str],
+                       k_num: int = 3, k_den: int = 2) -> DataFrame:
+    """Tukey-fence outlier screen per integral column (deequ's
+    KLL-quantile outlier check, made exact): quartiles as ORDER
+    STATISTICS over a distinct-value collapse — never a global sort,
+    never an approximate sketch — then counts outside
+    ``[q1 - k*iqr, q3 + k*iqr]`` with ``k = k_num/k_den`` evaluated in
+    pure integers (``k_den*x < (k_den+k_num)*q1 - k_num*q3``), so the
+    fence can never flake across engines at a float boundary.
+
+    ONE melt scan for all N columns (same shape as entropy_report:
+    payload columns prune, the table is read once) collapses to
+    (column, value) counts — map-side combinable; the shuffle carries
+    Σ per-column cardinalities, never rows — persisted and read by
+    both the quartile branch (window cumsum over |distinct| rows) and
+    the outlier-count branch (broadcast fence join).
+
+    Quartile definition: ``q`` = smallest value whose cumulative count
+    reaches ``ceil(q_frac * n)`` (4*cum >= n for q1, >= 3n for q3) —
+    the discrete lower-quartile convention, integer-exact on both
+    engines.  NULLs are excluded from quartiles and counted in
+    ``n_null``.  Columns must be integral (scale currency to cents
+    first — same contract as price_histogram / benford).
+    """
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    from pyspark import StorageLevel
+    kv = []
+    for c in cols:
+        kv += [F.lit(c), F.col(c).cast("long")]
+    pairs = df.select(F.explode(F.create_map(*kv)).alias("column", "v"))
+    counts = (pairs.groupBy("column", "v")
+              .agg(F.count(F.lit(1)).alias("c")))
+    counts.persist(StorageLevel.MEMORY_AND_DISK)
+
+    nn = counts.where(F.col("v").isNotNull())
+    nulls = (counts.where(F.col("v").isNull())
+             .select("column", F.col("c").alias("n_null")))
+    tot = nn.groupBy("column").agg(F.sum("c").alias("n"))
+    wcum = (Window.partitionBy("column").orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = nn.withColumn("cum", F.sum("c").over(wcum)) \
+        .join(F.broadcast(tot), "column")
+    quart = cum.groupBy("column", "n").agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v")))
+        .alias("q1"),
+        F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("v")))
+        .alias("q3"))
+
+    kd, kn = F.lit(int(k_den)), F.lit(int(k_num))
+    lo_breach = kd * F.col("v") < (kd + kn) * F.col("q1") - kn * F.col("q3")
+    hi_breach = kd * F.col("v") > (kd + kn) * F.col("q3") - kn * F.col("q1")
+    out = (nn.join(F.broadcast(quart), "column")
+           .groupBy("column", "n", "q1", "q3")
+           .agg(F.sum(F.when(lo_breach, F.col("c")).otherwise(0))
+                .alias("n_below"),
+                F.sum(F.when(hi_breach, F.col("c")).otherwise(0))
+                .alias("n_above")))
+    return (out.join(F.broadcast(nulls), "column", "left")
+            .select("column", F.col("n").alias("n_rows"),
+                    F.coalesce("n_null", F.lit(0)).alias("n_null"),
+                    "q1", "q3", "n_below", "n_above",
+                    F.round((F.col("n_below") + F.col("n_above"))
+                            .cast("double") / F.col("n").cast("double"),
+                            6).alias("outlier_ratio")))

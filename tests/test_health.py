@@ -385,3 +385,64 @@ def test_emd_constant_column_and_bad_bins(spark):
         assert r.emd_norm == 0.0
     with _pt.raises(ValueError):
         emd_report(df, "g", "x", n_bins=1)
+
+
+# -- iqr_outlier_report ------------------------------------------------
+
+def test_iqr_textbook(spark):
+    """Hand-computed quartiles + fences: 11 values, 2 below, 1 above."""
+    from data_validation_spark.operators.health import iqr_outlier_report
+    vals = [-100, -100, 1, 2, 3, 4, 5, 6, 7, 8, 1000]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    r = iqr_outlier_report(df, ["x"]).collect()[0]
+    # n=11: q1 = 3rd smallest (ceil(11/4)=3) = 1; q3 = 9th = 7
+    assert (r.n_rows, r.q1, r.q3) == (11, 1, 7)
+    # k=3/2: below iff 2v < 5*1-3*7 = -16; above iff 2v > 5*7-3*1 = 32
+    assert (r.n_below, r.n_above) == (2, 1)
+    assert r.outlier_ratio == round(3 / 11, 6)
+    assert r.n_null == 0
+
+
+def test_iqr_nulls_and_constant(spark):
+    from data_validation_spark.operators.health import iqr_outlier_report
+    rows = [(v, 5) for v in [-100, -100, 1, 2, 3, 4, 5, 6, 7, 8, 1000]]
+    rows += [(None, 5), (None, None)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {r.column: r for r in iqr_outlier_report(df, ["x", "y"])
+           .collect()}
+    assert out["x"].n_null == 2 and out["x"].n_rows == 11
+    assert (out["x"].q1, out["x"].q3) == (1, 7)   # NULLs don't shift
+    y = out["y"]                                   # constant: iqr = 0
+    assert (y.q1, y.q3) == (5, 5)
+    assert (y.n_below, y.n_above) == (0, 0)
+    assert y.n_null == 1 and y.n_rows == 12
+
+
+def test_iqr_matches_numpy_definition(spark):
+    """Random ints vs the same discrete order-statistic definition."""
+    import numpy as np
+    from data_validation_spark.operators.health import iqr_outlier_report
+    rng = np.random.RandomState(7)
+    vals = rng.randint(-500, 500, size=999).tolist()
+    df = spark.createDataFrame([(int(v),) for v in vals], "x long")
+    r = iqr_outlier_report(df, ["x"], k_num=3, k_den=2).collect()[0]
+    s = sorted(vals)
+    n = len(s)
+    q1, q3 = s[-(-n // 4) - 1], s[-(-3 * n // 4) - 1]
+    assert (r.q1, r.q3) == (q1, q3)
+    below = sum(1 for v in s if 2 * v < 5 * q1 - 3 * q3)
+    above = sum(1 for v in s if 2 * v > 5 * q3 - 3 * q1)
+    assert (r.n_below, r.n_above) == (below, above)
+
+
+def test_iqr_single_scan(spark):
+    """The melt reads the input once; both branches reuse the
+    persisted (column, value) collapse."""
+    from data_validation_spark.operators.health import iqr_outlier_report
+    df = spark.range(100).select(F.col("id").alias("a"),
+                                 (F.col("id") * 2).alias("b"))
+    plan = iqr_outlier_report(df, ["a", "b"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    # every consumer (quartile cumsum, fence counts, null counts)
+    # reads the persisted collapse, never re-derives it from the input
+    assert plan.count("InMemoryTableScan") >= 3
