@@ -2010,6 +2010,20 @@ def q_bigram_topk(spark, sf_dir):
     return top.withColumn("rank", F.row_number().over(win))
 
 
+def q_bigram_pmi(spark, sf_dir):
+    """Top-25 collocations by pointwise mutual information — the
+    glue-text tell raw bigram frequency misses.  The ranking never
+    touches a float: PMI order for fixed corpus totals == order of the
+    exact rational c_xy/(c1·c2), compared as DECIMAL(38,0) integral
+    division with (w1,w2) tie-breaks; ln runs once per surviving row.
+    TakeOrdered heap, never a window over the bigram vocabulary
+    (plan-asserted in tests).  Oracle replays the identical HUGEINT
+    key + ln op sequence."""
+    from data_validation_spark.operators.vocab import bigram_pmi_topk
+    return bigram_pmi_topk(_t(spark, sf_dir, "documents"),
+                           min_count=5, k=25)
+
+
 def q_image_headers(spark, sf_dir):
     """Real image-header parsing, oracle-checked as synthesize∘parse =
     identity: PNG and JPEG payload BYTES are built in-engine from each
@@ -2317,6 +2331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metric_constraints": q_metric_constraints,
         "entropy": q_entropy,
         "iqr_outliers": q_iqr_outliers,
+        "bigram_pmi": q_bigram_pmi,
         "mutual_info": q_mutual_info,
         "emd_by_source": q_emd_by_source,
         "ann_index_query": q_ann_index_query,
@@ -3713,6 +3728,47 @@ def oracle_sql() -> dict[str, str]:
               FROM p)
             SELECT query_id, vec_id, round(cosine, 6) AS cosine
             FROM r WHERE rk <= 5
+        """,
+        "bigram_pmi": """
+            WITH d AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM documents
+              WHERE text IS NOT NULL AND length(trim(text)) > 0),
+            uni AS (
+              SELECT word, count(*) AS c
+              FROM (SELECT unnest(w) AS word FROM d) GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+                     CAST(sum(len(w) - 1) AS BIGINT) AS n_pairs
+              FROM d),
+            b AS (
+              SELECT w[i] AS w1, w[i + 1] AS w2
+              FROM d, unnest(range(1, len(w))) t(i)
+              WHERE len(w) >= 2),
+            bc AS (
+              SELECT w1, w2, count(*) AS c_xy FROM b GROUP BY 1, 2
+              HAVING count(*) >= 5),
+            j AS (
+              SELECT bc.w1, bc.w2, bc.c_xy, u1.c AS c1, u2.c AS c2,
+                     CAST(CAST(bc.c_xy AS HUGEINT) * 1000000000000
+                          // (CAST(u1.c AS HUGEINT)
+                              * CAST(u2.c AS HUGEINT)) AS BIGINT)
+                       AS rank_key
+              FROM bc JOIN uni u1 ON bc.w1 = u1.word
+                      JOIN uni u2 ON bc.w2 = u2.word),
+            top AS (SELECT * FROM j
+                    ORDER BY rank_key DESC, w1, w2 LIMIT 25)
+            SELECT w1, w2, CAST(c_xy AS BIGINT) AS c_xy,
+                   CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+                   rank_key,
+                   round(ln((CAST(c_xy AS DOUBLE)
+                             / CAST(n_pairs AS DOUBLE))
+                            / ((CAST(c1 AS DOUBLE)
+                                / CAST(n_tokens AS DOUBLE))
+                               * (CAST(c2 AS DOUBLE)
+                                  / CAST(n_tokens AS DOUBLE)))), 6)
+                     AS pmi
+            FROM top, tot
         """,
         "iqr_outliers": """
             WITH m AS (

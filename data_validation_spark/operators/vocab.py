@@ -163,3 +163,64 @@ def vocab_health(df: DataFrame, unit) -> DataFrame:
         F.round(F.count(F.lit(1)).cast("double") /
                 F.sum("cnt").cast("double"), 6)
          .alias("type_token_ratio"))
+
+
+def bigram_pmi_topk(df: DataFrame, text_col: str = "text",
+                    min_count: int = 5, k: int = 25) -> DataFrame:
+    """Top-k collocations by pointwise mutual information — the
+    template/boilerplate tell raw bigram frequency misses (a frequent
+    bigram of two frequent words is unremarkable; a frequent bigram of
+    two RARE words is glue text).
+
+    PMI = ln(p(xy) / (p(x)p(y))) with p(xy) = c_xy/n_pairs and
+    p(x) = c_x/n_tokens.  The RANKING never touches a float: for fixed
+    corpus totals, PMI order == order of the exact rational
+    c_xy / (c_x * c_y), compared as the DECIMAL(38,0) integral
+    ``c_xy * 10^12 div (c_x * c_y)`` with (w1, w2) tie-breaks — so the
+    returned set is engine-exact even when two collocations' PMIs
+    differ past float precision.  The ln itself is ONE float op
+    sequence per SURVIVING row (k rows, identical on every engine,
+    rounded 6 dp).
+
+    Shape: two value-collapse shuffles (unigrams, bigrams — map-side
+    combinable, cardinality = vocab sizes), two narrow equi-joins of
+    bigram counts to unigram counts (ordinary AQE-skew-splittable
+    joins), then TakeOrdered (orderBy+limit heap) — NEVER a rank
+    window over the bigram vocabulary.  ``min_count`` prunes the
+    hapax-bigram tail before the joins.
+    """
+    words = df.select(F.split(F.trim(text_col), r"\s+").alias("w")) \
+        .where(F.col(text_col).isNotNull()
+               & (F.length(F.trim(text_col)) > 0))
+    uni = (words.select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count(F.lit(1)).alias("c")))
+    pairs = words.where(F.size("w") >= 2).select(F.explode(F.expr(
+        "transform(sequence(1, size(w) - 1), "
+        "i -> struct(element_at(w, i) AS w1, "
+        "element_at(w, i + 1) AS w2))")).alias("b")) \
+        .select("b.w1", "b.w2")
+    bi = (pairs.groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("c_xy"))
+          .where(F.col("c_xy") >= min_count))
+    j = (bi.join(uni.select(F.col("word").alias("w1"),
+                            F.col("c").alias("c1")), "w1")
+         .join(uni.select(F.col("word").alias("w2"),
+                          F.col("c").alias("c2")), "w2"))
+    dec = "decimal(38,0)"
+    key = F.expr(f"(CAST(c_xy AS {dec}) * 1000000000000) "
+                 f"div (CAST(c1 AS {dec}) * CAST(c2 AS {dec}))")
+    top = (j.withColumn("rank_key", key.cast("long"))
+           .orderBy(F.col("rank_key").desc(), F.col("w1").asc(),
+                    F.col("w2").asc())
+           .limit(k))
+    totals = words.agg(
+        F.sum(F.size("w")).cast("long").alias("n_tokens"),
+        F.sum(F.size("w") - 1).cast("long").alias("n_pairs"))
+    pmi = F.log(
+        (F.col("c_xy").cast("double") / F.col("n_pairs").cast("double"))
+        / ((F.col("c1").cast("double") / F.col("n_tokens").cast("double"))
+           * (F.col("c2").cast("double")
+              / F.col("n_tokens").cast("double"))))
+    return (top.crossJoin(F.broadcast(totals))
+            .select("w1", "w2", "c_xy", "c1", "c2", "rank_key",
+                    F.round(pmi, 6).alias("pmi")))

@@ -113,3 +113,50 @@ def test_plan_has_no_window_over_vocab(spark):
     plan = vocab_top_movers(cur, cur, _unit(), k=5) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_pmi_matches_bruteforce(spark):
+    """PMI ranks glue pairs of RARE words above frequent-word bigrams;
+    result replayed exactly (rank keys, counts, 6-dp pmi) in python."""
+    import math
+    from data_validation_spark.operators.vocab import bigram_pmi_topk
+    docs = (["the cat sat on the mat"] * 10
+            + ["san francisco"] * 4
+            + ["the the the"] * 5
+            + ["new york city"] * 3
+            + ["solo"] * 7          # 1-word docs: tokens yes, pairs no
+            + ["   ", None])        # blank/NULL: dropped entirely
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    got = [(r.w1, r.w2, r.c_xy, r.c1, r.c2, r.rank_key, r.pmi)
+           for r in bigram_pmi_topk(df, min_count=3, k=5).collect()]
+
+    toks = [t.split() for t in docs if t and t.strip()]
+    n_tokens = sum(len(w) for w in toks)
+    n_pairs = sum(len(w) - 1 for w in toks)
+    uni, bi = {}, {}
+    for w in toks:
+        for x in w:
+            uni[x] = uni.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    cand = [(a, b, c, uni[a], uni[b],
+             c * 10**12 // (uni[a] * uni[b]))
+            for (a, b), c in bi.items() if c >= 3]
+    cand.sort(key=lambda t: (-t[5], t[0], t[1]))
+    want = [t + (round(math.log((t[2] / n_pairs)
+                                / ((t[3] / n_tokens)
+                                   * (t[4] / n_tokens))), 6),)
+            for t in cand[:5]]
+    assert got == want
+    # the glue pair outranks every 'the *' bigram despite lower count
+    assert got[0][:2] in {("san", "francisco"), ("new", "york"),
+                          ("york", "city")}
+
+
+def test_bigram_pmi_no_vocab_wide_window(spark):
+    from data_validation_spark.operators.vocab import bigram_pmi_topk
+    df = spark.createDataFrame([("a b a b",)], "text string")
+    plan = bigram_pmi_topk(df)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
