@@ -1984,6 +1984,49 @@ def q_scd2_customer_status(spark, sf_dir):
         "is_current")
 
 
+def q_scd2_incremental(spark, sf_dir):
+    """The STREAMING maintenance path proven against the batch oracle:
+    orders split into two ts-ordered batches and folded through
+    scd2_apply_batch (empty state → fold 1 → fold 2, exactly what
+    streaming_scd2 does per micro-batch); the reassembled history ∪
+    current must hash-match the one-shot window SQL — same oracle text
+    as scd2_customer_status.  Restatement collapse across the batch
+    boundary and version-number continuation are what this gate
+    actually exercises."""
+    from data_validation_spark.operators.history import scd2_apply_batch
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+        "o_orderpriority")
+    cut = F.to_timestamp(F.lit("1995-01-01"))
+    b1 = o.where(F.col("o_orderdate").cast("timestamp") < cut)
+    b2 = o.where(F.col("o_orderdate").cast("timestamp") >= cut)
+    keys, attrs = ["o_custkey"], ["o_orderstatus", "o_orderpriority"]
+    empty = o.select(*keys, *attrs,
+                     F.lit(0).cast("int").alias("version"),
+                     F.col("o_orderdate").alias("valid_from")).limit(0)
+    h1, c1, _ = scd2_apply_batch(b1, empty, keys, "o_orderdate",
+                                 attrs, order_cols=("o_orderkey",))
+    h2, c2, _ = scd2_apply_batch(b2, c1, keys, "o_orderdate",
+                                 attrs, order_cols=("o_orderkey",))
+    untouched = c1.join(c2.select(*keys).distinct(), keys, "left_anti")
+    cur = c2.unionByName(untouched).select(
+        *keys, *attrs, "valid_from",
+        F.lit(None).cast(dict(c2.dtypes)["valid_from"])
+        .alias("valid_to"),
+        "version", F.lit(True).alias("is_current"))
+    full = h1.unionByName(h2).select(*cur.columns).unionByName(cur)
+    return full.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp"))
+        .alias("valid_to_us"),
+        F.col("version").cast("int").alias("version"),
+        "is_current")
+
+
 def q_bigram_topk(spark, sf_dir):
     """Corpus phrase diagnostics: top-25 word bigrams (the tokenizer/
     boilerplate tell — a bigram that dominates the head is template
@@ -2339,6 +2382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_headers": q_wav_headers,
         "mp4_headers": q_mp4_headers,
         "scd2_customer_status": q_scd2_customer_status,
+        "scd2_incremental": q_scd2_incremental,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -2426,6 +2470,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "dedup_increment": q_dedup_increment,
     }
+
+
+SCD2_ORACLE = """
+    WITH s AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
+             o_orderpriority,
+             row_number() OVER w AS rn,
+             lag(o_orderstatus) OVER w AS ps,
+             lag(o_orderpriority) OVER w AS pp
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey)),
+    c AS (
+      SELECT * FROM s
+      WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM ps)
+         OR (o_orderpriority IS DISTINCT FROM pp))
+    SELECT o_custkey AS custkey, o_orderstatus AS status,
+           o_orderpriority AS priority,
+           epoch_us(o_orderdate) AS valid_from_us,
+           epoch_us(lead(o_orderdate) OVER w2) AS valid_to_us,
+           CAST(row_number() OVER w2 AS INT) AS version,
+           (lead(o_orderdate) OVER w2 IS NULL) AS is_current
+    FROM c
+    WINDOW w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3671,30 +3741,8 @@ def oracle_sql() -> dict[str, str]:
                      AS duration_s
             FROM documents
         """,
-        "scd2_customer_status": """
-            WITH s AS (
-              SELECT o_custkey, o_orderdate, o_orderkey, o_orderstatus,
-                     o_orderpriority,
-                     row_number() OVER w AS rn,
-                     lag(o_orderstatus) OVER w AS ps,
-                     lag(o_orderpriority) OVER w AS pp
-              FROM orders
-              WINDOW w AS (PARTITION BY o_custkey
-                           ORDER BY o_orderdate, o_orderkey)),
-            c AS (
-              SELECT * FROM s
-              WHERE rn = 1 OR (o_orderstatus IS DISTINCT FROM ps)
-                 OR (o_orderpriority IS DISTINCT FROM pp))
-            SELECT o_custkey AS custkey, o_orderstatus AS status,
-                   o_orderpriority AS priority,
-                   epoch_us(o_orderdate) AS valid_from_us,
-                   epoch_us(lead(o_orderdate) OVER w2) AS valid_to_us,
-                   CAST(row_number() OVER w2 AS INT) AS version,
-                   (lead(o_orderdate) OVER w2 IS NULL) AS is_current
-            FROM c
-            WINDOW w2 AS (PARTITION BY o_custkey
-                          ORDER BY o_orderdate, o_orderkey)
-        """,
+        "scd2_customer_status": SCD2_ORACLE,
+        "scd2_incremental": SCD2_ORACLE,
         "ann_index_query": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -74,3 +74,98 @@ def as_of_snapshot(scd2: DataFrame, at) -> DataFrame:
     return scd2.where((F.col("valid_from") <= at)
                       & (F.col("valid_to").isNull()
                          | (F.col("valid_to") > at)))
+
+
+def scd2_apply_batch(batch_df: DataFrame, current_df: DataFrame,
+                     key_cols: list[str], ts_col: str,
+                     attr_cols: list[str],
+                     order_cols: tuple[str, ...] = ()
+                     ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Incrementally fold ONE batch of change records into a
+    maintained SCD2 split — the merge step ``streaming_scd2`` runs per
+    micro-batch, exposed batch-side so the invariant is testable:
+    *(history ∪ current) after folding batches 1..n one at a time ==
+    ``scd2_intervals`` over the concatenation* (pinned by test).
+
+    ``current_df`` holds the open version per key (``key_cols +
+    attr_cols + version + valid_from``).  Returns ``(history_rows,
+    new_current, late_rows)``:
+
+    * ``history_rows`` — intervals CLOSED by this batch (batch-local
+      closures, plus each affected key's previous open version closed
+      at the batch's first change), shaped like ``scd2_intervals``
+      output with ``is_current=false``;
+    * ``new_current`` — replacement open rows for exactly the keys the
+      batch touched on time (delete those keys from the current table,
+      then append this);
+    * ``late_rows`` — batch records older than their key's open
+      ``valid_from`` (out-of-order CDC): SCD2 cannot splice history
+      retroactively, so they are returned for quarantine/accounting,
+      never silently folded.  Re-delivery AT the open version's exact
+      instant is NOT late (at-least-once feeds re-send the last
+      record; the NULL-safe collapse absorbs it).
+
+    Everything is key-partitioned joins/windows — the batch side
+    shuffles, the current table contributes one row per touched key.
+    """
+    cur = current_df.select(
+        *key_cols,
+        *[F.col(a).alias(f"__cur_{a}") for a in attr_cols],
+        F.col("version").alias("__cur_version"),
+        F.col("valid_from").alias("__cur_from"))
+
+    tagged = batch_df.join(cur.select(*key_cols, "__cur_from"),
+                           key_cols, "left")
+    late_rows = tagged.where(F.col(ts_col) < F.col("__cur_from")) \
+        .select(*batch_df.columns)
+    on_time = tagged.where(F.col("__cur_from").isNull()
+                           | (F.col(ts_col) >= F.col("__cur_from"))) \
+        .select(*batch_df.columns)
+
+    b = scd2_intervals(on_time, key_cols, ts_col, attr_cols,
+                       order_cols).join(cur, key_cols, "left")
+    has_cur = F.col("__cur_version").isNotNull()
+    same = F.lit(True)
+    for a in attr_cols:
+        same = same & F.col(a).eqNullSafe(F.col(f"__cur_{a}"))
+    merged_v1 = (F.col("version") == 1) & has_cur & same
+    wk = Window.partitionBy(*key_cols)
+    key_merged = F.max(merged_v1.cast("int")).over(wk) == 1
+    shift = (F.when(~has_cur, F.lit(0))
+             .when(key_merged, F.col("__cur_version") - 1)
+             .otherwise(F.col("__cur_version")))
+    b = b.withColumn("__new_version",
+                     (F.col("version") + shift).cast("int")) \
+         .withColumn("__merged_v1", merged_v1)
+
+    live = b.where(~F.col("__merged_v1"))
+    hist_batch = live.where(F.col("valid_to").isNotNull()).select(
+        *key_cols, *attr_cols, "valid_from", "valid_to",
+        F.col("__new_version").alias("version"),
+        F.lit(False).alias("is_current"))
+    # the previous open version, closed by this batch's first change
+    # (merged: it absorbed v1, so it closes where v1 would have —
+    # v1.valid_to; unmerged: at v1.valid_from); stays open iff merged
+    # and the batch never moved past it
+    v1 = b.where(F.col("version") == 1).where(has_cur)
+    closed_at = F.when(F.col("__merged_v1"), F.col("valid_to")) \
+        .otherwise(F.col("valid_from"))
+    hist_cur = v1.where(closed_at.isNotNull()).select(
+        *key_cols,
+        *[F.col(f"__cur_{a}").alias(a) for a in attr_cols],
+        F.col("__cur_from").alias("valid_from"),
+        closed_at.alias("valid_to"),
+        F.col("__cur_version").alias("version"),
+        F.lit(False).alias("is_current"))
+
+    open_batch = live.where(F.col("valid_to").isNull()).select(
+        *key_cols, *attr_cols,
+        F.col("__new_version").alias("version"), "valid_from")
+    open_cur = v1.where(F.col("__merged_v1")
+                        & F.col("valid_to").isNull()).select(
+        *key_cols,
+        *[F.col(f"__cur_{a}").alias(a) for a in attr_cols],
+        F.col("__cur_version").alias("version"),
+        F.col("__cur_from").alias("valid_from"))
+    return (hist_batch.unionByName(hist_cur),
+            open_batch.unionByName(open_cur), late_rows)

@@ -514,3 +514,79 @@ def streaming_ingest_dedup(stream_df: DataFrame, sink: TableProvider,
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SCD2_CURRENT_TABLE = "scd2_current"
+SCD2_HISTORY_TABLE = "scd2_history"
+SCD2_LATE_TABLE = "scd2_late"
+SCD2_REPORT_TABLE = "scd2_report"
+
+
+def streaming_scd2(stream_df: DataFrame, sink: TableProvider,
+                   key_cols: list[str], ts_col: str,
+                   attr_cols: list[str],
+                   order_cols: tuple[str, ...] = (),
+                   checkpoint_dir: str | None = None,
+                   trigger_available_now: bool = True) -> StreamingQuery:
+    """Continuously maintained SCD2 split from a CDC change stream:
+    every micro-batch folds into a compact CURRENT table (one open
+    version per key) + an append-only HISTORY table (closed
+    intervals), via ``operators.history.scd2_apply_batch`` — whose
+    invariant (incremental fold == batch ``scd2_intervals`` over the
+    concatenated stream) is pinned by test.  Out-of-order records
+    land in a LATE quarantine table with a per-batch accounting row,
+    never silently folded.
+
+    Why ``foreachBatch`` + tables rather than ``applyInPandasWithState``:
+    the open-version state is one row per ENTITY — beyond a state
+    store's per-batch rewrite budget at 10^9 keys, but exactly what a
+    keyed table holds; the merge join shuffles only the batch side.
+    Per batch the current table pays one targeted ``delete_keys``
+    rewrite (atomic two-rename swap — readers never see a half state);
+    on the Iceberg seam that step becomes a metadata-native
+    ``MERGE INTO``.  Exactly-once caveat matches
+    ``streaming_ingest_dedup``: idempotence at batch granularity on
+    raw parquet, atomic commits on the Iceberg branch.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        from data_validation_spark.operators.history import (
+            scd2_apply_batch)
+        if sink.exists(SCD2_CURRENT_TABLE):
+            cur = sink.read(SCD2_CURRENT_TABLE)
+        else:
+            cur = batch_df.select(
+                *key_cols, *attr_cols,
+                F.lit(0).cast("int").alias("version"),
+                F.col(ts_col).alias("valid_from")).limit(0)
+        hist, new_cur, late = scd2_apply_batch(
+            batch_df, cur, key_cols, ts_col, attr_cols, order_cols)
+        # Materialize EVERYTHING that lazily reads the current table
+        # BEFORE delete_keys swaps it (localCheckpoint: eviction-proof,
+        # unlike persist) — the ingest-dedup ordering lesson.
+        new_cur = new_cur.localCheckpoint(eager=True)
+        late = late.localCheckpoint(eager=True)
+        n_late = late.count()
+        sink.append(hist, SCD2_HISTORY_TABLE)       # materializes hist
+        if n_late:
+            sink.append(late, SCD2_LATE_TABLE)
+        report = spark.createDataFrame(
+            [(int(batch_id), batch_df.count(), n_late, new_cur.count())],
+            "batch_id long, n_batch long, n_late long, n_open long")
+        sink.append(report, SCD2_REPORT_TABLE)
+        if sink.exists(SCD2_CURRENT_TABLE):
+            sink.delete_keys(SCD2_CURRENT_TABLE,
+                             new_cur.select(*key_cols), key_cols)
+        sink.append(new_cur, SCD2_CURRENT_TABLE)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(process_batch)
+              .outputMode("update"))
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

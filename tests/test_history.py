@@ -95,3 +95,127 @@ def test_single_exchange(stream):
 def test_requires_attrs(stream):
     with pytest.raises(ValueError):
         scd2_intervals(stream, ["key"], "ts", [])
+
+
+# -- incremental fold (scd2_apply_batch / streaming_scd2) ----------------
+
+def _fold(spark, batches, schema):
+    """Fold batches through scd2_apply_batch, tracking current/history
+    as plain lists — the table-free replay of streaming_scd2."""
+    from data_validation_spark.operators.history import scd2_apply_batch
+    cur_schema = ("key string, status string, tier string, "
+                  "version int, valid_from long")
+    cur_rows, hist_rows, late_rows = [], [], []
+    for batch in batches:
+        bdf = spark.createDataFrame(batch, schema)
+        cdf = spark.createDataFrame(cur_rows, cur_schema)
+        hist, new_cur, late = scd2_apply_batch(
+            bdf, cdf, ["key"], "ts", ["status", "tier"],
+            order_cols=("seq",))
+        hist_rows += [tuple(r) for r in hist.collect()]
+        late_rows += [tuple(r) for r in late.collect()]
+        touched = {r[0] for r in new_cur.collect()}
+        cur_rows = ([r for r in cur_rows if r[0] not in touched]
+                    + [(r.key, r.status, r.tier, r.version, r.valid_from)
+                       for r in new_cur.collect()])
+    return cur_rows, hist_rows, late_rows
+
+
+def test_incremental_fold_equals_batch_rebuild(spark):
+    """The streaming invariant: folding batches one at a time must
+    reproduce scd2_intervals over the concatenated stream exactly —
+    versions, intervals, open rows."""
+    from data_validation_spark.operators.history import scd2_intervals
+    schema = "key string, ts long, seq long, status string, tier string"
+    batches = [
+        [("k1", 10, 1, "A", "g"), ("k1", 20, 2, "A", "g"),   # restate
+         ("k2", 10, 3, "X", None)],
+        [("k1", 30, 4, "B", "g"),                            # change
+         ("k2", 40, 5, "X", None),                           # restate @ boundary
+         ("k3", 35, 6, "Q", "s")],                           # new key
+        [("k1", 50, 7, "A", "g"),                            # revert
+         ("k1", 60, 8, "A", "s"),                            # tier flip
+         ("k3", 55, 9, "Q", "s")],                           # restate
+    ]
+    cur_rows, hist_rows, _ = _fold(spark, batches, schema)
+
+    all_df = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    want = scd2_intervals(all_df, ["key"], "ts", ["status", "tier"],
+                          order_cols=("seq",))
+    want_hist = {tuple(r) for r in
+                 want.where("valid_to IS NOT NULL").collect()}
+    want_cur = {(r.key, r.status, r.tier, r.version, r.valid_from)
+                for r in want.where("valid_to IS NULL").collect()}
+    assert set(hist_rows) == want_hist
+    assert set(cur_rows) == want_cur
+
+
+def test_fold_quarantines_late_rows(spark):
+    """A record older than its key's open valid_from is returned as
+    late, not folded; everything else proceeds."""
+    schema = "key string, ts long, seq long, status string, tier string"
+    batches = [
+        [("k1", 10, 1, "A", "g"), ("k1", 30, 2, "B", "g")],
+        [("k1", 20, 3, "C", "g"),                            # LATE (<30)
+         ("k1", 40, 4, "D", "g")],
+    ]
+    cur_rows, hist_rows, late_rows = _fold(spark, batches, schema)
+    assert late_rows == [("k1", 20, 3, "C", "g")]
+    assert {(r[0], r[1], r[2]) for r in cur_rows} == {("k1", "D", "g")}
+    versions = sorted((r[5], r[1]) for r in hist_rows)  # (version, status)
+    assert versions == [(1, "A"), (2, "B")]
+
+
+def test_streaming_scd2_end_to_end(spark, tmp_path):
+    """Two drains of a file source maintain current/history/late
+    tables that match the batch rebuild of the on-time stream."""
+    from data_validation_spark.operators.history import scd2_intervals
+    from data_validation_spark.sources.table_provider import TableProvider
+    from data_validation_spark.streaming.validate import (
+        SCD2_CURRENT_TABLE, SCD2_HISTORY_TABLE, SCD2_LATE_TABLE,
+        SCD2_REPORT_TABLE, streaming_scd2)
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = TableProvider(spark, str(tmp_path / "out"))
+    schema = "key string, ts long, seq long, status string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = streaming_scd2(stream, sink, ["key"], "ts", ["status"],
+                           order_cols=("seq",), checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    b1 = [("u1", 10, 1, "new"), ("u1", 20, 2, "new"),
+          ("u2", 15, 3, "trial")]
+    b2 = [("u1", 30, 4, "paid"), ("u2", 25, 5, "trial"),
+          ("u2", 5, 6, "stale"),                       # LATE
+          ("u3", 40, 7, "new")]
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    drain()
+
+    on_time = [r for r in b1 + b2 if r[:3] != ("u2", 5, 6)]
+    want = scd2_intervals(
+        spark.createDataFrame(on_time, schema), ["key"], "ts",
+        ["status"], order_cols=("seq",))
+    want_cur = {(r.key, r.status, r.version, r.valid_from)
+                for r in want.where("valid_to IS NULL").collect()}
+    want_hist = {(r.key, r.status, r.version, r.valid_from, r.valid_to)
+                 for r in want.where("valid_to IS NOT NULL").collect()}
+    got_cur = {(r.key, r.status, r.version, r.valid_from)
+               for r in sink.read(SCD2_CURRENT_TABLE).collect()}
+    got_hist = {(r.key, r.status, r.version, r.valid_from, r.valid_to)
+                for r in sink.read(SCD2_HISTORY_TABLE).collect()}
+    assert got_cur == want_cur
+    assert got_hist == want_hist
+    assert [tuple(r) for r in sink.read(SCD2_LATE_TABLE).collect()] \
+        == [("u2", 5, 6, "stale")]
+    reports = sorted((r.n_batch, r.n_late, r.n_open) for r in
+                     sink.read(SCD2_REPORT_TABLE).collect())
+    assert reports == [(3, 0, 2), (4, 1, 3)]
