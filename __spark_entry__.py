@@ -1984,6 +1984,31 @@ def q_scd2_customer_status(spark, sf_dir):
         "is_current")
 
 
+def q_scd2_snapshot(spark, sf_dir):
+    """Point-in-time reconstruction over the SCD2 build: every
+    customer's version open at 1996-06-15 (valid_from <= at <
+    valid_to, open version matches any later instant) — the filter a
+    persisted SCD2 table would push straight to the scan.  Oracle
+    wraps the shared window SQL and applies the identical interval
+    predicate on micros."""
+    from data_validation_spark.operators.history import (
+        as_of_snapshot, scd2_intervals)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_orderstatus",
+        "o_orderpriority")
+    h = scd2_intervals(o, ["o_custkey"], "o_orderdate",
+                       ["o_orderstatus", "o_orderpriority"],
+                       order_cols=("o_orderkey",))
+    snap = as_of_snapshot(h, "1996-06-15 00:00:00")
+    return snap.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.unix_micros(F.col("valid_from").cast("timestamp"))
+        .alias("valid_from_us"),
+        F.col("version").cast("int").alias("version"))
+
+
 def q_scd2_incremental(spark, sf_dir):
     """The STREAMING maintenance path proven against the batch oracle:
     orders split into two ts-ordered batches and folded through
@@ -2383,6 +2408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mp4_headers": q_mp4_headers,
         "scd2_customer_status": q_scd2_customer_status,
         "scd2_incremental": q_scd2_incremental,
+        "scd2_snapshot": q_scd2_snapshot,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3743,6 +3769,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scd2_customer_status": SCD2_ORACLE,
         "scd2_incremental": SCD2_ORACLE,
+        "scd2_snapshot": f"""
+            WITH scd2 AS ({SCD2_ORACLE})
+            SELECT custkey, status, priority, valid_from_us, version
+            FROM scd2
+            WHERE valid_from_us
+                    <= epoch_us(TIMESTAMP '1996-06-15 00:00:00')
+              AND (valid_to_us IS NULL OR valid_to_us
+                    > epoch_us(TIMESTAMP '1996-06-15 00:00:00'))
+        """,
         "ann_index_query": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
