@@ -1775,6 +1775,75 @@ def q_metric_constraints(spark, sf_dir):
         .orderBy("partition", "constraint"))
 
 
+def q_where_scoped(spark, sf_dir):
+    """`where`-scoped constraints (deequ's analyzer scope option)
+    end-to-end through run_validation: row-level scopes conjoin inside
+    the fused pass, scoped metrics ride the shared metric scan as
+    conditional aggregates, set-level scopes filter before the
+    operator.  Thresholds are placed BETWEEN the scoped and the global
+    value (F-mean 249,983.9 vs global 250,562.6 straddle the 250,100
+    floor; O-mean 251,429.9 vs global straddle 250,800) so an evaluator
+    that ignores the scope flips at least two verdicts — the oracle
+    re-derives every verdict from the identical scoped SQL."""
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    orders = _t(spark, sf_dir, "orders")
+    suite = ValidationSuite(
+        name="where-scoped",
+        components=[Component("o_totalprice", "numeric")],
+        partition_cols=[],
+        constraints=[
+            Constraint("f_price_cap", "bounds",
+                       {"component": "o_totalprice", "max": 400000.0,
+                        "where": "o_orderstatus = 'F'"}),
+            Constraint("o_prio_top", "pattern",
+                       {"component": "o_orderpriority",
+                        "pattern": "^[12]-",
+                        "where": "o_orderstatus = 'O'"}),
+            Constraint("f_mean_floor", "stat_bounds",
+                       {"component": "o_totalprice", "stat": "mean",
+                        "min": 250100.0,
+                        "where": "o_orderstatus = 'F'"}),
+            Constraint("o_mean_floor", "stat_bounds",
+                       {"component": "o_totalprice", "stat": "mean",
+                        "min": 250800.0,
+                        "where": "o_orderstatus = 'O'"}),
+            Constraint("p_floor_pass", "row_count",
+                       {"min": 5000, "where": "o_orderstatus = 'P'"}),
+            Constraint("p_floor_fail", "row_count",
+                       {"min": 5100, "where": "o_orderstatus = 'P'"}),
+            Constraint("f_fresh", "freshness",
+                       {"component": "o_orderdate",
+                        "max_age_seconds": 820800,
+                        "as_of": "2001-08-10T00:00:00",
+                        "where": "o_orderstatus = 'F'"}),
+            Constraint("p_fresh", "freshness",
+                       {"component": "o_orderdate",
+                        "max_age_seconds": 820800,
+                        "as_of": "2001-08-10T00:00:00",
+                        "where": "o_orderstatus = 'P'"}),
+            Constraint("p_cust_unique", "unique",
+                       {"keys": ["o_custkey"],
+                        "where": "o_orderstatus = 'P'"}),
+            Constraint("p_cust_card_pass", "distinctness",
+                       {"columns": ["o_custkey"],
+                        "metric": "distinct_ratio", "min": 0.25,
+                        "where": "o_orderstatus = 'P'"}),
+            Constraint("p_cust_card_fail", "distinctness",
+                       {"columns": ["o_custkey"],
+                        "metric": "distinct_ratio", "max": 0.27,
+                        "where": "o_orderstatus = 'P'"}),
+        ])
+    res = run_validation(spark, orders, suite)
+    rows = [(v["partition"], v["constraint"], int(v["n_violations"]),
+             bool(v["passed"])) for v in res.verdicts]
+    return (spark.createDataFrame(
+        rows, "partition string, constraint string, n_violations bigint, "
+              "passed boolean")
+        .orderBy("constraint"))
+
+
 def q_entropy(spark, sf_dir):
     """Shannon-entropy column triage (deequ hasEntropy): one melt scan
     for all requested columns, value-collapse counts, entropy as the
@@ -2397,6 +2466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sorted_neighborhood": q_sorted_neighborhood,
         "dq_constraint_kinds": q_dq_constraint_kinds,
         "metric_constraints": q_metric_constraints,
+        "where_scoped": q_where_scoped,
         "entropy": q_entropy,
         "iqr_outliers": q_iqr_outliers,
         "bigram_pmi": q_bigram_pmi,
@@ -4025,6 +4095,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(nv AS BIGINT) AS n_violations,
                    nv = 0 AS passed
             FROM v ORDER BY 1, 2
+        """,
+        "where_scoped": """
+            WITH f AS (
+              SELECT count(*) AS n, avg(o_totalprice) AS mp,
+                     max(epoch_us(o_orderdate)) AS maxd,
+                     sum(CASE WHEN o_totalprice > 400000.0
+                         THEN 1 ELSE 0 END) AS over_cap
+              FROM orders WHERE o_orderstatus = 'F'),
+            o AS (
+              SELECT avg(o_totalprice) AS mp,
+                     sum(CASE WHEN regexp_matches(
+                           CAST(o_orderpriority AS VARCHAR), '^[12]-')
+                         THEN 0 ELSE 1 END) AS bad_prio
+              FROM orders WHERE o_orderstatus = 'O'),
+            p AS (
+              SELECT count(*) AS n,
+                     max(epoch_us(o_orderdate)) AS maxd
+              FROM orders WHERE o_orderstatus = 'P'),
+            pk AS (
+              SELECT count(*) AS d, sum(c) AS n,
+                     coalesce(sum(CASE WHEN c > 1 THEN c END), 0)
+                       AS dup_rows
+              FROM (SELECT o_custkey, count(*) AS c FROM orders
+                    WHERE o_orderstatus = 'P' GROUP BY 1)),
+            v AS (
+              SELECT 'f_price_cap' AS con, over_cap AS nv FROM f
+              UNION ALL SELECT 'o_prio_top', bad_prio FROM o
+              UNION ALL SELECT 'f_mean_floor',
+                CASE WHEN mp < 250100.0 THEN 1 ELSE 0 END FROM f
+              UNION ALL SELECT 'o_mean_floor',
+                CASE WHEN mp < 250800.0 THEN 1 ELSE 0 END FROM o
+              UNION ALL SELECT 'p_floor_pass',
+                CASE WHEN n < 5000 THEN 1 ELSE 0 END FROM p
+              UNION ALL SELECT 'p_floor_fail',
+                CASE WHEN n < 5100 THEN 1 ELSE 0 END FROM p
+              UNION ALL SELECT 'f_fresh',
+                CASE WHEN maxd <
+                  epoch_us(TIMESTAMP '2001-08-10 00:00:00')
+                  - 820800000000 THEN 1 ELSE 0 END FROM f
+              UNION ALL SELECT 'p_fresh',
+                CASE WHEN maxd <
+                  epoch_us(TIMESTAMP '2001-08-10 00:00:00')
+                  - 820800000000 THEN 1 ELSE 0 END FROM p
+              UNION ALL SELECT 'p_cust_unique', dup_rows FROM pk
+              UNION ALL SELECT 'p_cust_card_pass',
+                CASE WHEN d * 1.0 / n < 0.25 THEN 1 ELSE 0 END FROM pk
+              UNION ALL SELECT 'p_cust_card_fail',
+                CASE WHEN d * 1.0 / n > 0.27 THEN 1 ELSE 0 END FROM pk)
+            SELECT '<global>' AS "partition", con AS "constraint",
+                   CAST(nv AS BIGINT) AS n_violations, nv = 0 AS passed
+            FROM v ORDER BY 2
         """,
         "dq_constraint_kinds": """
             WITH base AS (

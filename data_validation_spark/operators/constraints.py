@@ -53,8 +53,38 @@ def partition_label_col(partition_cols: list[str]) -> Column:
     return F.concat_ws("/", *parts)
 
 
+def _scope_cond(c: Constraint) -> Column | None:
+    """Optional ``params["where"]`` — deequ's analyzer ``where`` option:
+    a boolean SQL expression restricting the constraint to rows where it
+    evaluates TRUE.  NULL/false = out of scope (a row the filter cannot
+    prove in-scope is not judged — the scope is a filter, not an
+    assertion; assertions about the filter column belong in their own
+    constraint).  Every kind but ``drift`` honors it; schema pre-flight
+    rejects non-boolean scopes before any job runs."""
+    if "where" in c.params:
+        return F.coalesce(F.expr(c.params["where"]), F.lit(False))
+    return None
+
+
+def _scoped_df(df: DataFrame, c: Constraint) -> DataFrame:
+    """Set-level scope application: filter BEFORE the operator so the
+    predicate pushes down to the scan (a scoped uniqueness check over
+    1% of a 10^12-row table reads ~1% of the row groups when the scope
+    column is clustered — never pay the full pass then discard)."""
+    scope = _scope_cond(c)
+    return df.filter(scope) if scope is not None else df
+
+
 def _row_violation_cond(c: Constraint) -> Column:
     p = c.params
+    scope = _scope_cond(c)
+    if scope is not None:
+        # conjoin INSIDE the fused pass: scoped row-level checks still
+        # ride the single vectorized scan (out-of-scope rows simply
+        # never trip the flag), so N scopes cost zero extra jobs
+        return scope & _row_violation_cond(
+            Constraint(c.name, c.kind,
+                       {k: v for k, v in p.items() if k != "where"}))
     if c.kind == "bounds":
         col = F.expr((p["expr"] if "expr" in p else p["component"]))
         cond = F.lit(False)
@@ -304,13 +334,14 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
     for c in constraints:
         if c.kind == "unique":
             frames.append(uniqueness_violations(
-                df, list(c.params["keys"]), pcols, c.name))
+                _scoped_df(df, c), list(c.params["keys"]), pcols, c.name))
             names.append(c.name)
         elif c.kind == "fd":
-            frames.append(fd_violation_frame(df, c, pcols))
+            frames.append(fd_violation_frame(_scoped_df(df, c), c, pcols))
             names.append(c.name)
         elif c.kind == "join_rule":
-            frames.append(join_rule_violation_frame(df, c, dims, pcols))
+            frames.append(join_rule_violation_frame(
+                _scoped_df(df, c), c, dims, pcols))
             names.append(c.name)
         elif c.kind == "referential":
             p = c.params
@@ -321,7 +352,8 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
             else:
                 dim = dims[p["dim"]]
             frames.append(referential_violations(
-                df, p["column"], dim, pcols, p.get("dim_column"), c.name))
+                _scoped_df(df, c), p["column"], dim, pcols,
+                p.get("dim_column"), c.name))
             names.append(c.name)
 
     spark = df.sparkSession
@@ -389,17 +421,30 @@ def completeness_violation_frames(df: DataFrame, comp_cs: list[Constraint],
         return []
     exprs = {c.name: F.expr((c.params["expr"] if "expr" in c.params else c.params["component"]))
              for c in comp_cs}
-    ratios = df.agg(*[(F.count(exprs[c.name]) / F.count(F.lit(1)))
-                      .alias(f"__r_{i}")
+    scopes = {c.name: _scope_cond(c) for c in comp_cs}
+
+    def _ratio(c: Constraint) -> Column:
+        e, s = exprs[c.name], scopes[c.name]
+        if s is None:
+            return F.count(e) / F.count(F.lit(1))
+        # scoped ratio stays inside the SAME fused agg via conditional
+        # aggregation; an empty scope yields NULL (0/0) — no rows in
+        # scope means nothing to flag, the filter below stays empty
+        return (F.count(F.when(s, e))
+                / F.nullif(F.sum(F.when(s, 1).otherwise(0)), F.lit(0)))
+
+    ratios = df.agg(*[_ratio(c).alias(f"__r_{i}")
                       for i, c in enumerate(comp_cs)])
     with_r = df.crossJoin(F.broadcast(ratios))
     out = []
     for i, c in enumerate(comp_cs):
+        null_in_scope = exprs[c.name].isNull() if scopes[c.name] is None \
+            else (scopes[c.name] & exprs[c.name].isNull())
         out.append((c.name,
                     with_r.filter(
                         (F.col(f"__r_{i}")
                          < F.lit(float(c.params["min_ratio"])))
-                        & exprs[c.name].isNull())
+                        & null_in_scope)
                     .drop(*[f"__r_{j}" for j in range(len(comp_cs))])
                     .withColumn("errors", F.array(F.lit(c.name)))
                     .withColumn("partition", partition_label_col(pcols))))
@@ -508,7 +553,13 @@ def as_of_micros(params: dict) -> int:
 
 def _stat_bounds_agg(c: Constraint) -> Column:
     p = c.params
-    expr = F.expr((p["expr"] if "expr" in p else p["component"]))
+    raw = F.expr((p["expr"] if "expr" in p else p["component"]))
+    scope = _scope_cond(c)
+    # conditional aggregation: `when` without `otherwise` yields NULL
+    # for out-of-scope rows and every agg below ignores NULLs, so a
+    # scoped stat STILL rides the shared fused metric scan — N scoped
+    # assertions never multiply the number of passes
+    expr = raw if scope is None else F.when(scope, raw)
     stat = p["stat"]
     if stat == "min":
         return F.min(expr)
@@ -520,9 +571,11 @@ def _stat_bounds_agg(c: Constraint) -> Column:
         # sample stddev — matches the profile's np.std(ddof=1)
         return F.stddev_samp(expr)
     if stat == "pinv":
-        bad = expr.isNull() | F.isnan(expr.cast("double"))
-        return F.avg(bad.cast("double"))
+        bad = (raw.isNull() | F.isnan(raw.cast("double"))).cast("double")
+        return F.avg(bad if scope is None else F.when(scope, bad))
     if stat == "n":
+        if scope is not None:
+            return F.sum(F.when(scope, 1).otherwise(0))
         return F.count(F.lit(1))
     raise ValueError(f"stat_bounds {c.name!r}: unknown stat {stat!r} "
                      f"(supported: {STAT_BOUNDS_STATS})")
@@ -541,14 +594,24 @@ def metric_fused_frame(df: DataFrame, metric_cs: list[Constraint],
     aggs: list[Column] = []
     keep: list[Constraint] = []
     for c in metric_cs:
-        if c.kind == "stat_bounds" and not skip_stat_bounds:
+        scope = _scope_cond(c)
+        if c.kind == "stat_bounds" and not (skip_stat_bounds
+                                            and scope is None):
+            # skip_stat_bounds only skips UNSCOPED stat_bounds (those
+            # read the fused profile for free); a `where`-scoped stat
+            # cannot come from the unscoped profile, so it is measured
+            # here regardless
             aggs.append(_stat_bounds_agg(c).alias(f"__m_{len(keep)}"))
         elif c.kind == "freshness":
             ts = F.expr((c.params["expr"] if "expr" in c.params else c.params["component"])) \
                 .cast("timestamp")
-            aggs.append(F.max(F.unix_micros(ts)).alias(f"__m_{len(keep)}"))
+            us = F.unix_micros(ts)
+            aggs.append(F.max(us if scope is None else F.when(scope, us))
+                        .alias(f"__m_{len(keep)}"))
         elif c.kind == "row_count":
-            aggs.append(F.count(F.lit(1)).alias(f"__m_{len(keep)}"))
+            cnt = F.count(F.lit(1)) if scope is None \
+                else F.sum(F.when(scope, 1).otherwise(0))
+            aggs.append(cnt.alias(f"__m_{len(keep)}"))
         else:
             continue
         keep.append(c)
@@ -583,6 +646,7 @@ def distinctness_frame(df: DataFrame, c: Constraint,
     the plan audit; columns ``__label, __d, __u, __n``."""
     cols = list(c.params["columns"])
     label = partition_label_col(pcols).alias("__label")
+    df = _scoped_df(df, c)  # scope filter pushes down past the collapse
     per_val = (df.select(label, *cols)
                .groupBy("__label", *cols)
                .agg(F.count(F.lit(1)).alias("__c")))

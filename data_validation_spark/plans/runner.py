@@ -24,6 +24,8 @@ from data_validation_spark.operators.constraints import (
     ROW_LEVEL_KINDS,
     SUPPORTED_KINDS,
     _row_violation_cond,
+    _scope_cond,
+    _scoped_df,
     completeness_violation_frames,
     distinctness_values,
     fd_violation_frame,
@@ -216,7 +218,11 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
             vals = [v for v in vals if v is not None]
             if len(vals) <= _REF_INLINE_MAX:
                 col = F.col(p["column"])
-                row_conds[c.name] = col.isNull() | ~col.isin(vals)
+                cond = col.isNull() | ~col.isin(vals)
+                scope = _scope_cond(c)
+                if scope is not None:
+                    cond = scope & cond
+                row_conds[c.name] = cond
                 inline_ref.add(c.name)
 
     # The fused stats pass and every set-level count below are
@@ -254,8 +260,11 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
     # pruned grouped agg; each distinctness is its own value-collapse
     # pass (distinct group keys cannot fuse).  All are verdict-only.
     metric_cs = [c for c in suite.constraints if c.kind in METRIC_KINDS]
+    # `where`-scoped stat_bounds cannot read the (unscoped) fused
+    # profile — they join freshness/row_count in the shared metric scan
     scan_metric_cs = [c for c in metric_cs
-                      if c.kind in ("freshness", "row_count")]
+                      if c.kind in ("freshness", "row_count")
+                      or (c.kind == "stat_bounds" and "where" in c.params)]
     if scan_metric_cs:
         actions["__metric_fused__"] = (
             lambda: metric_fused_values(df, scan_metric_cs, pcols,
@@ -311,22 +320,24 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         for c in suite.constraints:
             if c.kind == "unique":
                 actions[c.name] = (
-                    lambda keys=list(c.params["keys"]):
-                    uniqueness_violation_counts(df, keys, pcols))
+                    lambda c=c, keys=list(c.params["keys"]):
+                    uniqueness_violation_counts(
+                        _scoped_df(df, c), keys, pcols))
             elif c.kind == "referential" and c.name not in inline_ref:
                 p = c.params
                 dim = _resolve_dim(spark, p, dims)
                 actions[c.name] = (
-                    lambda p=p, dim=dim: referential_violation_counts(
-                        df, p["column"], dim, pcols, p.get("dim_column")))
+                    lambda c=c, p=p, dim=dim: referential_violation_counts(
+                        _scoped_df(df, c), p["column"], dim, pcols,
+                        p.get("dim_column")))
             elif c.kind == "fd":
                 actions[c.name] = (
                     lambda c=c: _frame_counts(fd_violation_frame(
-                        df, c, pcols)))
+                        _scoped_df(df, c), c, pcols)))
             elif c.kind == "join_rule":
                 actions[c.name] = (
                     lambda c=c: _frame_counts(join_rule_violation_frame(
-                        df, c, dims, pcols)))
+                        _scoped_df(df, c), c, dims, pcols)))
 
     if concurrent_jobs > 1 and len(actions) > 1:
         from concurrent.futures import ThreadPoolExecutor
@@ -343,7 +354,7 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         metric_values[k[len("__dist__"):]] = results.pop(k)
     set_counts.update(results)
     for c in metric_cs:
-        if c.kind == "stat_bounds":
+        if c.kind == "stat_bounds" and "where" not in c.params:
             metric_values[c.name] = stat_value_from_profile(profile, c)
 
     # -- verdict assembly (driver-side; universe = every observed
@@ -445,16 +456,18 @@ def _violation_rows(spark: SparkSession, df: DataFrame,
     for c in suite.constraints:
         if c.kind == "unique":
             frames.append(uniqueness_violations(
-                df, list(c.params["keys"]), pcols, c.name))
+                _scoped_df(df, c), list(c.params["keys"]), pcols, c.name))
         elif c.kind == "referential":
             p = c.params
             frames.append(referential_violations(
-                df, p["column"], _resolve_dim(spark, p, dims), pcols,
+                _scoped_df(df, c), p["column"],
+                _resolve_dim(spark, p, dims), pcols,
                 p.get("dim_column"), c.name))
         elif c.kind == "fd":
-            frames.append(fd_violation_frame(df, c, pcols))
+            frames.append(fd_violation_frame(_scoped_df(df, c), c, pcols))
         elif c.kind == "join_rule":
-            frames.append(join_rule_violation_frame(df, c, dims, pcols))
+            frames.append(join_rule_violation_frame(
+                _scoped_df(df, c), c, dims, pcols))
     if not frames:
         return (df.limit(0)
                 .withColumn("errors", F.array(F.lit("")))

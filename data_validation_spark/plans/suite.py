@@ -189,6 +189,16 @@ class Constraint:
                      min?, max?}                     — deequ distinctness
     Metric kinds (stat_bounds/row_count/freshness/distinctness) are
     verdict-only: no violation rows, a breach = one failed verdict.
+
+    Every kind except ``drift`` also accepts ``where`` (deequ's
+    analyzer scope option): a boolean SQL expression restricting the
+    check to rows where it is TRUE (NULL/false = out of scope, never
+    judged).  Row-level scopes conjoin inside the fused pass; scoped
+    metric stats ride the shared metric scan via conditional
+    aggregation; set-level scopes filter before the operator so the
+    predicate pushes down to the scan — a scope never adds a pass.
+    A ``where``-scoped stat_bounds is measured by the metric scan
+    instead of the (unscoped) fused profile.
     """
 
     name: str
@@ -371,6 +381,19 @@ class ValidationSuite:
         for con in self.constraints:
             p = con.params
             what = f"constraint {con.name!r}"
+            if "where" in p:
+                # deequ-style scope filter: must resolve to boolean on
+                # this input; drift is profile-level (no row scope)
+                if con.kind == "drift":
+                    errs.append(f"{what}: 'where' is not supported on "
+                                "drift constraints (profile-level)")
+                else:
+                    dtype = resolve(p["where"], f"{what} scope")
+                    if dtype is not None \
+                            and dtype.simpleString() != "boolean":
+                        errs.append(
+                            f"{what}: 'where' scope {p['where']!r} is "
+                            f"{dtype.simpleString()}, not boolean")
             if con.kind in ("bounds", "in_domain", "not_null"):
                 expr = p.get("expr", p.get("component"))
                 if expr is None:
