@@ -1547,6 +1547,50 @@ def q_skew_report(spark, sf_dir):
                            shuffle_partitions=32)
 
 
+def q_missingness(spark, sf_dir):
+    """Null co-occurrence structure (health.missingness_report): three
+    deterministic null patterns injected over documents — `fa` and
+    `fb` null together on doc_id%5 (fb adds %7), `fc` independently on
+    %3 — and the report must read fa/fb as strongly co-missing
+    (phi≈+0.9) and fa/fc as near-independent.  ONE aggregate pass for
+    all pair sums; exact integer counts, phi = the identical
+    cast-sqrt-divide-round sequence in both engines."""
+    from data_validation_spark.operators.health import missingness_report
+    docs = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 5 != 0, F.col("lang")).alias("fa"),
+        F.when((F.col("doc_id") % 5 != 0) & (F.col("doc_id") % 7 != 0),
+               F.col("source")).alias("fb"),
+        F.when(F.col("doc_id") % 3 != 0, F.col("doc_id")).alias("fc"))
+    return (missingness_report(docs, ["fa", "fb", "fc"])
+            .orderBy("col_a", "col_b"))
+
+
+def q_join_explosion(spark, sf_dir):
+    """Two-sided pre-join fan-out audit (health.join_explosion_report):
+    events joined to the same users' purchase events — per-key count
+    collapses on both sides, ONE key-scale full-outer join carries
+    everything (matched/orphan key + row accounting, exact Σ-product
+    output size, integer-div amplification), top-10 keys by their
+    inner-join output.  All-integer output; decimals cast to BIGINT
+    here (sf-scale values fit) so no engine can disagree on
+    representation."""
+    from data_validation_spark.operators.health import (
+        join_explosion_report)
+    ev = _t(spark, sf_dir, "events")
+    rep = join_explosion_report(
+        ev, ev.filter(F.col("event_type") == "purchase"),
+        on=["user_id"], top_n=10)
+    return rep.select(
+        "user_id", "fact_rows", "dim_rows",
+        F.col("out_rows").cast("bigint").alias("out_rows"),
+        "n_fact_rows", "n_dim_rows", "n_matched_keys",
+        "n_fact_only_keys", "n_dim_only_keys",
+        "fact_rows_orphaned", "dim_rows_orphaned",
+        F.col("est_out_rows").cast("bigint").alias("est_out_rows"),
+        F.col("amplification_micro").cast("bigint")
+        .alias("amplification_micro"))
+
+
 def q_embedding_outliers(spark, sf_dir):
     """Per-label embedding outliers from an EXACT centroid: elements
     quantize to integers once, centroid moments sum as DECIMAL(38,0)
@@ -2453,6 +2497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_attribution": q_interval_attribution,
         "partition_anomalies": q_partition_anomalies,
         "skew_report": q_skew_report,
+        "join_explosion": q_join_explosion,
+        "missingness": q_missingness,
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
@@ -4528,6 +4574,94 @@ def oracle_sql() -> dict[str, str]:
             FROM c, t
             ORDER BY key_rows DESC, user_id ASC
             LIMIT 10
+        """,
+        "join_explosion": """
+            WITH fc AS (
+              SELECT user_id, count(*) AS fact_rows
+              FROM events GROUP BY 1),
+            dc AS (
+              SELECT user_id, count(*) AS dim_rows
+              FROM events WHERE event_type = 'purchase' GROUP BY 1),
+            k AS (
+              SELECT coalesce(fc.user_id, dc.user_id) AS user_id,
+                     fc.fact_rows, dc.dim_rows
+              FROM fc FULL OUTER JOIN dc ON fc.user_id = dc.user_id),
+            s AS (
+              SELECT CAST(coalesce(sum(fact_rows), 0) AS BIGINT)
+                       AS n_fact_rows,
+                     CAST(coalesce(sum(dim_rows), 0) AS BIGINT)
+                       AS n_dim_rows,
+                     CAST(sum(CASE WHEN fact_rows IS NOT NULL
+                              AND dim_rows IS NOT NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_matched_keys,
+                     CAST(sum(CASE WHEN dim_rows IS NULL THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_fact_only_keys,
+                     CAST(sum(CASE WHEN fact_rows IS NULL THEN 1 ELSE 0
+                              END) AS BIGINT) AS n_dim_only_keys,
+                     CAST(coalesce(sum(CASE WHEN dim_rows IS NULL
+                              THEN fact_rows END), 0) AS BIGINT)
+                       AS fact_rows_orphaned,
+                     CAST(coalesce(sum(CASE WHEN fact_rows IS NULL
+                              THEN dim_rows END), 0) AS BIGINT)
+                       AS dim_rows_orphaned,
+                     CAST(coalesce(sum(coalesce(fact_rows, 0)
+                              * coalesce(dim_rows, 0)), 0) AS BIGINT)
+                       AS est_out_rows
+              FROM k)
+            SELECT k.user_id, k.fact_rows, k.dim_rows,
+                   CAST(k.fact_rows * k.dim_rows AS BIGINT) AS out_rows,
+                   s.n_fact_rows, s.n_dim_rows, s.n_matched_keys,
+                   s.n_fact_only_keys, s.n_dim_only_keys,
+                   s.fact_rows_orphaned, s.dim_rows_orphaned,
+                   s.est_out_rows,
+                   CAST(s.est_out_rows * 1000000 // s.n_fact_rows
+                        AS BIGINT) AS amplification_micro
+            FROM k, s
+            WHERE k.fact_rows IS NOT NULL AND k.dim_rows IS NOT NULL
+            ORDER BY out_rows DESC, k.user_id ASC
+            LIMIT 10
+        """,
+        "missingness": """
+            WITH d AS (
+              SELECT CASE WHEN doc_id % 5 != 0 THEN lang END AS fa,
+                     CASE WHEN doc_id % 5 != 0 AND doc_id % 7 != 0
+                          THEN source END AS fb,
+                     CASE WHEN doc_id % 3 != 0 THEN doc_id END AS fc
+              FROM documents),
+            a AS (
+              SELECT count(*) AS n,
+                     sum(CASE WHEN fa IS NULL THEN 1 ELSE 0 END) AS ra,
+                     sum(CASE WHEN fb IS NULL THEN 1 ELSE 0 END) AS rb,
+                     sum(CASE WHEN fc IS NULL THEN 1 ELSE 0 END) AS rc,
+                     sum(CASE WHEN fa IS NULL AND fb IS NULL
+                         THEN 1 ELSE 0 END) AS bab,
+                     sum(CASE WHEN fa IS NULL AND fc IS NULL
+                         THEN 1 ELSE 0 END) AS bac,
+                     sum(CASE WHEN fb IS NULL AND fc IS NULL
+                         THEN 1 ELSE 0 END) AS bbc
+              FROM d),
+            p AS (
+              SELECT 'fa' AS col_a, 'fb' AS col_b,
+                     n, ra AS null_a, rb AS null_b, bab AS both_null
+              FROM a
+              UNION ALL SELECT 'fa', 'fc', n, ra, rc, bac FROM a
+              UNION ALL SELECT 'fb', 'fc', n, rb, rc, bbc FROM a)
+            SELECT col_a, col_b, CAST(n AS BIGINT) AS n_rows,
+                   CAST(null_a AS BIGINT) AS null_a,
+                   CAST(null_b AS BIGINT) AS null_b,
+                   CAST(both_null AS BIGINT) AS both_null,
+                   CAST(null_a * null_b * 1000000 // n AS BIGINT)
+                     AS expected_both_micro,
+                   CASE WHEN null_a > 0 AND null_a < n
+                         AND null_b > 0 AND null_b < n THEN
+                     round(CAST(n * both_null - null_a * null_b
+                                AS DOUBLE)
+                           / (sqrt(CAST(null_a * (n - null_a)
+                                        AS DOUBLE))
+                              * sqrt(CAST(null_b * (n - null_b)
+                                          AS DOUBLE))), 6)
+                   END AS phi
+            FROM p ORDER BY col_a, col_b
         """,
         "interval_attribution": """
             WITH p AS (

@@ -171,6 +171,64 @@ def completeness_profile(df: DataFrame,
                     .alias("completeness")))
 
 
+def missingness_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Null CO-OCCURRENCE structure — the DQ lens per-column
+    completeness cannot see: two columns can each be 95% complete
+    while their nulls land on the SAME rows (one upstream feed died)
+    or on disjoint rows (two independent feeds).  For every column
+    pair: joint null count, the count expected under independence,
+    and the phi coefficient of the two null-indicator variables
+    (+1 = nulls always together, −1 = never together, 0 =
+    independent).
+
+    ONE aggregate pass computes all N + N·(N−1)/2 conditional sums
+    (map-side combined — the shuffle carries one partial row per
+    task); pairs unfold from the single result row as a pure
+    projection.  Counts are exact integers; ``phi`` is one shared
+    float op sequence over them (two sqrts of DECIMAL(38,0) products
+    — n·r ≤ 10²⁴ stays exact — multiplied as doubles) rounded 6 dp,
+    NULL when either column is all-null or never-null (φ undefined,
+    never a guess).  ``expected_both_micro`` = r·c·10⁶ div n in pure
+    integers."""
+    cols = list(cols)
+    pairs = [(i, j) for i in range(len(cols))
+             for j in range(i + 1, len(cols))]
+    isnull = {i: F.col(c).isNull().cast("long")
+              for i, c in enumerate(cols)}
+    agg = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(isnull[i]).alias(f"__r_{i}") for i in range(len(cols))],
+        *[F.sum(isnull[i] * isnull[j]).alias(f"__b_{i}_{j}")
+          for i, j in pairs])
+    entries = F.array(*[
+        F.struct(F.lit(cols[i]).alias("col_a"),
+                 F.lit(cols[j]).alias("col_b"),
+                 F.col(f"__r_{i}").alias("null_a"),
+                 F.col(f"__r_{j}").alias("null_b"),
+                 F.col(f"__b_{i}_{j}").alias("both_null"))
+        for i, j in pairs])
+    e = (agg.select(F.col("__n").alias("n_rows"),
+                    F.explode(entries).alias("e"))
+         .select("n_rows", "e.col_a", "e.col_b", "e.null_a", "e.null_b",
+                 "e.both_null"))
+    n, ra, ca, b = (F.col("n_rows").cast("decimal(38,0)"),
+                    F.col("null_a").cast("decimal(38,0)"),
+                    F.col("null_b").cast("decimal(38,0)"),
+                    F.col("both_null").cast("decimal(38,0)"))
+    denom_ok = ((F.col("null_a") > 0) & (F.col("null_a") < F.col("n_rows"))
+                & (F.col("null_b") > 0)
+                & (F.col("null_b") < F.col("n_rows")))
+    phi = ((n * b - ra * ca).cast("double")
+           / (F.sqrt((ra * (n - ra)).cast("double"))
+              * F.sqrt((ca * (n - ca)).cast("double"))))
+    return e.select(
+        "col_a", "col_b", "n_rows", "null_a", "null_b", "both_null",
+        F.expr("CAST(CAST(null_a AS DECIMAL(38,0)) * null_b * 1000000 "
+               "AS DECIMAL(38,0)) div n_rows").cast("long")
+        .alias("expected_both_micro"),
+        F.when(denom_ok, F.round(phi, 6)).alias("phi"))
+
+
 def pattern_conformance(df: DataFrame,
                         patterns: dict[str, str]) -> DataFrame:
     """Format checks: per (column, regex), how many values match, are
@@ -651,6 +709,79 @@ def inclusion_check(left: DataFrame, left_col: str,
             .select("n_values", "n_matched",
                     F.round(F.col("n_matched") / F.col("n_values"), 6)
                     .alias("containment")))
+
+
+def join_explosion_report(fact: DataFrame, dim: DataFrame,
+                          on: list[str], dim_on: list[str] | None = None,
+                          top_n: int = 10) -> DataFrame:
+    """Pre-join fan-out audit — the two-sided pre-flight a 100 TB join
+    runs BEFORE committing to a strategy (``key_skew_report`` profiles
+    one side; a join blows up on the PRODUCT of both sides' key
+    multiplicities).  Both inputs collapse to per-key counts first
+    (map-side combinable — the only shuffles carry key cardinality,
+    never rows), then one key-scale full-outer join yields everything:
+
+    * per matched key: ``fact_rows, dim_rows, out_rows`` (the key's
+      inner-join output, exact DECIMAL(38,0) — two hot 10^6-row sides
+      make a 10^12 product, past BIGINT×BIGINT safety);
+    * broadcast on every row, the table-level summary: total rows and
+      keys per side, matched/fact-only/dim-only key counts, orphaned
+      row counts both directions, ``est_out_rows`` = Σ products (the
+      inner join's EXACT output size — this is a count, not an
+      estimate), and ``amplification_micro`` = est_out·10⁶ div
+      fact-row count in pure integers (≥ 10⁶ means the join grows the
+      fact table — reconsider pre-aggregation or dedup of the dim).
+
+    Top-``top_n`` keys by ``out_rows`` (ties: key ASC — deterministic),
+    TakeOrdered, never a global sort.  The key-scale join is evaluated
+    once per output branch (summary + top) — key-cardinality work,
+    same trade ``key_skew_report`` makes."""
+    dim_on = list(dim_on or on)
+    fc = (fact.groupBy(*[F.col(c) for c in on])
+          .agg(F.count(F.lit(1)).alias("fact_rows")))
+    dc = (dim.groupBy(*[F.col(d).alias(c) for c, d in zip(on, dim_on)])
+          .agg(F.count(F.lit(1)).alias("dim_rows")))
+    keys = fc.join(dc, on, "full_outer")
+    prod = (F.coalesce(F.col("fact_rows"), F.lit(0)).cast("decimal(38,0)")
+            * F.coalesce(F.col("dim_rows"), F.lit(0)).cast("decimal(38,0)"))
+    summary = keys.agg(
+        F.coalesce(F.sum("fact_rows"), F.lit(0)).cast("long")
+        .alias("n_fact_rows"),
+        F.coalesce(F.sum("dim_rows"), F.lit(0)).cast("long")
+        .alias("n_dim_rows"),
+        F.sum(F.when(F.col("fact_rows").isNotNull()
+                     & F.col("dim_rows").isNotNull(), 1).otherwise(0))
+        .cast("long").alias("n_matched_keys"),
+        F.sum(F.when(F.col("dim_rows").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_fact_only_keys"),
+        F.sum(F.when(F.col("fact_rows").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_dim_only_keys"),
+        F.coalesce(F.sum(F.when(F.col("dim_rows").isNull(),
+                                F.col("fact_rows"))), F.lit(0))
+        .cast("long").alias("fact_rows_orphaned"),
+        F.coalesce(F.sum(F.when(F.col("fact_rows").isNull(),
+                                F.col("dim_rows"))), F.lit(0))
+        .cast("long").alias("dim_rows_orphaned"),
+        F.coalesce(F.sum(prod), F.lit(0)).cast("decimal(38,0)")
+        .alias("est_out_rows"))
+    summary = summary.withColumn(
+        "amplification_micro",
+        # truncating integral `div`, never decimal `/`: engines round
+        # decimal division differently, div on exact integers cannot
+        F.when(F.col("n_fact_rows") > 0,
+               F.expr("CAST(est_out_rows * 1000000 AS DECIMAL(38,0)) "
+                      "div n_fact_rows")))
+    top = (keys.filter(F.col("fact_rows").isNotNull()
+                       & F.col("dim_rows").isNotNull())
+           .withColumn("out_rows", prod)
+           .orderBy(F.col("out_rows").desc(), *[F.asc(c) for c in on])
+           .limit(int(top_n)))
+    return top.crossJoin(F.broadcast(summary)).select(
+        *on, "fact_rows", "dim_rows", "out_rows",
+        "n_fact_rows", "n_dim_rows", "n_matched_keys",
+        "n_fact_only_keys", "n_dim_only_keys",
+        "fact_rows_orphaned", "dim_rows_orphaned",
+        "est_out_rows", "amplification_micro")
 
 
 def emd_report(df: DataFrame, group_col: str, value_col: str,

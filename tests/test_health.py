@@ -446,3 +446,95 @@ def test_iqr_single_scan(spark):
     # every consumer (quartile cumsum, fence counts, null counts)
     # reads the persisted collapse, never re-derives it from the input
     assert plan.count("InMemoryTableScan") >= 3
+
+
+# -- join_explosion_report ---------------------------------------------------
+
+def test_join_explosion_full_accounting(spark):
+    from data_validation_spark.operators.health import join_explosion_report
+    fact = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("b",), ("b",), ("c",)], "k string")
+    dim = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 1), ("d", 9), ("d", 8), ("d", 7)],
+        "k string, v int")
+    rows = join_explosion_report(fact, dim, on=["k"]).collect()
+    # matched keys a (3x2=6) and b (2x1=2); c fact-only; d dim-only
+    assert [(r.k, r.fact_rows, r.dim_rows, int(r.out_rows))
+            for r in rows] == [("a", 3, 2, 6), ("b", 2, 1, 2)]
+    s = rows[0]
+    assert (s.n_fact_rows, s.n_dim_rows) == (6, 6)
+    assert (s.n_matched_keys, s.n_fact_only_keys, s.n_dim_only_keys) \
+        == (2, 1, 1)
+    assert (s.fact_rows_orphaned, s.dim_rows_orphaned) == (1, 3)
+    assert int(s.est_out_rows) == 8
+    # 8 * 1e6 div 6 = 1_333_333 (truncating div, never decimal round)
+    assert int(s.amplification_micro) == 1_333_333
+
+
+def test_join_explosion_dim_key_rename_and_topn(spark):
+    from data_validation_spark.operators.health import join_explosion_report
+    fact = spark.createDataFrame(
+        [(k, i) for k in range(20) for i in range(k + 1)],
+        "k int, i int")
+    dim = spark.createDataFrame([(k,) for k in range(20)], "dk int")
+    rows = join_explosion_report(fact, dim, on=["k"], dim_on=["dk"],
+                                 top_n=3).collect()
+    # every dim key unique -> out_rows == fact_rows; top-3 = 19,18,17
+    assert [r.k for r in rows] == [19, 18, 17]
+    assert rows[0].dim_rows == 1 and int(rows[0].out_rows) == 20
+    assert int(rows[0].est_out_rows) == sum(k + 1 for k in range(20))
+    # exact join size == fact rows here -> amplification exactly 1e6
+    assert int(rows[0].amplification_micro) == 1_000_000
+
+
+def test_join_explosion_est_matches_real_join(spark):
+    """est_out_rows is the EXACT inner-join row count, not a guess."""
+    from data_validation_spark.operators.health import join_explosion_report
+    fact = spark.range(200).select((F.col("id") % 13).alias("k"))
+    dim = spark.range(50).select((F.col("id") % 7).alias("k"))
+    rep = join_explosion_report(fact, dim, on=["k"]).collect()[0]
+    assert int(rep.est_out_rows) == fact.join(dim, "k").count()
+
+
+# -- missingness_report ------------------------------------------------------
+
+def test_missingness_phi_known_values(spark):
+    from data_validation_spark.operators.health import missingness_report
+    # a,b nulls perfectly together; c independent-ish; d never null
+    rows = []
+    for i in range(8):
+        a = None if i < 4 else i
+        b = None if i < 4 else i * 2
+        c = None if i % 2 == 0 else i
+        rows.append((a, b, c, i))
+    df = spark.createDataFrame(rows, "a int, b int, c int, d int")
+    out = {(r.col_a, r.col_b): r
+           for r in missingness_report(df, ["a", "b", "c", "d"]).collect()}
+    ab = out[("a", "b")]
+    assert (ab.null_a, ab.null_b, ab.both_null) == (4, 4, 4)
+    assert ab.phi == 1.0                      # always together
+    assert ab.expected_both_micro == 2_000_000  # 4*4*1e6 div 8
+    # d never null -> phi undefined, never a guess
+    assert out[("a", "d")].phi is None
+    ac = out[("a", "c")]
+    assert ac.both_null == 2 and abs(ac.phi) < 1e-9  # independent
+
+
+def test_missingness_perfect_negative(spark):
+    from data_validation_spark.operators.health import missingness_report
+    rows = [(None, 1), (None, 2), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    r = missingness_report(df, ["a", "b"]).collect()[0]
+    assert r.both_null == 0 and r.phi == -1.0
+
+
+def test_missingness_single_pass(spark):
+    from data_validation_spark.operators.health import missingness_report
+    df = spark.range(50).select(
+        F.when(F.col("id") % 3 == 0, F.col("id")).alias("a"),
+        F.when(F.col("id") % 5 == 0, F.col("id")).alias("b"),
+        F.when(F.col("id") % 7 == 0, F.col("id")).alias("c"))
+    plan = missingness_report(df, ["a", "b", "c"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Join" not in plan          # pairs unfold from ONE agg row
+    assert plan.count("Scan") <= 1
