@@ -1547,6 +1547,19 @@ def q_skew_report(spark, sf_dir):
                            shuffle_partitions=32)
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Per-source distinctive terms (vocab.tfidf_distinctive_terms):
+    one explode → (source, term) collapse, group-level document
+    frequency, FLOAT-FREE tf·10⁶ div group-df ranking with (score
+    DESC, term ASC) ties — the oracle replays the identical integer
+    op sequence and row_number."""
+    from data_validation_spark.operators.vocab import (
+        tfidf_distinctive_terms)
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_distinctive_terms(docs, "source", "text", top_k=5,
+                                   min_tf=2)
+
+
 def q_missingness(spark, sf_dir):
     """Null co-occurrence structure (health.missingness_report): three
     deterministic null patterns injected over documents — `fa` and
@@ -2499,6 +2512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_report": q_skew_report,
         "join_explosion": q_join_explosion,
         "missingness": q_missingness,
+        "tfidf_terms": q_tfidf_terms,
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
@@ -4620,6 +4634,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.fact_rows IS NOT NULL AND k.dim_rows IS NOT NULL
             ORDER BY out_rows DESC, k.user_id ASC
             LIMIT 10
+        """,
+        "tfidf_terms": """
+            WITH gt AS (
+              SELECT source AS "group", term,
+                     CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT source,
+                           unnest(regexp_split_to_array(trim(text),
+                                                        '\\s+')) AS term
+                    FROM documents
+                    WHERE text IS NOT NULL
+                      AND length(trim(text)) > 0)
+              GROUP BY 1, 2
+              HAVING count(*) >= 2),
+            gdf AS (
+              SELECT term, CAST(count(*) AS BIGINT)
+                       AS n_groups_with_term
+              FROM gt GROUP BY 1),
+            scored AS (
+              SELECT gt."group", gt.term, gt.tf, gdf.n_groups_with_term,
+                     gt.tf * 1000000 // gdf.n_groups_with_term
+                       AS score_micro
+              FROM gt JOIN gdf USING (term)),
+            ranked AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY "group"
+                       ORDER BY score_micro DESC, term ASC) AS rank
+              FROM scored)
+            SELECT "group", CAST(rank AS INT) AS rank, term, tf,
+                   n_groups_with_term, score_micro
+            FROM ranked WHERE rank <= 5
         """,
         "missingness": """
             WITH d AS (

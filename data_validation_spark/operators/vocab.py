@@ -224,3 +224,50 @@ def bigram_pmi_topk(df: DataFrame, text_col: str = "text",
     return (top.crossJoin(F.broadcast(totals))
             .select("w1", "w2", "c_xy", "c1", "c2", "rank_key",
                     F.round(pmi, 6).alias("pmi")))
+
+
+def tfidf_distinctive_terms(df: DataFrame, group_col: str,
+                            text_col: str = "text", top_k: int = 5,
+                            min_tf: int = 1) -> DataFrame:
+    """Per-group distinctive vocabulary — "which words characterise
+    THIS source against the rest of the corpus?" (the tf-idf triage a
+    mixture pipeline runs before weighting sources).  Rarity is
+    group-level document frequency: a term appearing in few groups is
+    distinctive wherever it is frequent.
+
+    Ranking is FLOAT-FREE (same policy as ``bigram_pmi_topk``'s
+    rank_key): ``score_micro = tf·10⁶ div n_groups_with_term`` on
+    exact integers — monotone in tf and rarity like tf·idf for a
+    fixed group count, but no engine can disagree at a rounding
+    half-way.  Ties break (score DESC, term ASC): deterministic.
+
+    Scale shape: ONE explode → (group, term) collapse (map-side
+    combined; the shuffle carries per-group vocab, never tokens),
+    a vocab-sized agg for group-df, a vocab-scale equi-join back, and
+    the per-group top-k as a rank window over the collapsed frame —
+    each reducer holds ONE group's vocab (10⁶–10⁷ narrow rows at
+    100 TB), and ``min_tf`` > 1 drops the Zipf low-tf tail BEFORE both
+    the group-df agg and the window (rarity then counts only groups
+    clearing the floor — the cheap bound when the window matters)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    gt = (df.filter(F.col(text_col).isNotNull()
+                    & (F.length(F.trim(F.col(text_col))) > 0))
+          .select(F.col(group_col).alias("group"),
+                  F.explode(words).alias("term"))
+          .groupBy("group", "term").agg(F.count(F.lit(1)).alias("tf")))
+    if min_tf > 1:
+        gt = gt.filter(F.col("tf") >= int(min_tf))
+    gdf = (gt.groupBy("term")
+           .agg(F.count(F.lit(1)).alias("n_groups_with_term")))
+    scored = (gt.join(gdf, "term")
+              .withColumn("score_micro",
+                          F.expr("tf * CAST(1000000 AS BIGINT) "
+                                 "div n_groups_with_term")))
+    w = Window.partitionBy("group").orderBy(
+        F.col("score_micro").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(top_k))
+            .select("group", "rank", "term", "tf",
+                    "n_groups_with_term", "score_micro"))

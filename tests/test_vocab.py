@@ -160,3 +160,55 @@ def test_bigram_pmi_no_vocab_wide_window(spark):
         .toString()
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+# -- tfidf_distinctive_terms --------------------------------------------------
+
+def test_tfidf_distinctive_ranking(spark):
+    from data_validation_spark.operators.vocab import (
+        tfidf_distinctive_terms)
+    rows = [
+        ("s1", "alpha alpha alpha shared shared"),
+        ("s1", "alpha beta"),
+        ("s2", "gamma gamma shared"),
+        ("s2", "shared shared beta"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = tfidf_distinctive_terms(df, "source", "text", top_k=2)
+    got = {(r.group, r.rank): r for r in out.collect()}
+    # s1: alpha tf=4 df=1 -> 4e6; shared tf=2 df=2 -> 1e6; beta tf=1
+    # df=2 -> 5e5
+    assert got[("s1", 1)].term == "alpha"
+    assert got[("s1", 1)].score_micro == 4_000_000
+    assert got[("s1", 2)].term == "shared"
+    assert got[("s1", 2)].score_micro == 1_000_000
+    # s2: gamma tf=2 df=1 -> 2e6 beats shared tf=3 df=2 -> 1.5e6
+    assert got[("s2", 1)].term == "gamma"
+    assert got[("s2", 2)].term == "shared"
+    assert got[("s2", 2)].score_micro == 1_500_000
+
+
+def test_tfidf_min_tf_drops_tail_and_rescopes_df(spark):
+    from data_validation_spark.operators.vocab import (
+        tfidf_distinctive_terms)
+    rows = [("s1", "rare common common"), ("s2", "rare rare common")]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r.group, r.term): r for r in
+           tfidf_distinctive_terms(df, "source", "text", top_k=5,
+                                   min_tf=2).collect()}
+    # s1's rare (tf=1) is gone; s2's rare survives and its group-df
+    # counts only groups clearing the floor -> df=1
+    assert ("s1", "rare") not in out
+    assert out[("s2", "rare")].n_groups_with_term == 1
+    assert out[("s2", "rare")].score_micro == 2_000_000
+
+
+def test_tfidf_tie_break_deterministic(spark):
+    from data_validation_spark.operators.vocab import (
+        tfidf_distinctive_terms)
+    df = spark.createDataFrame([("s1", "zeta apple zeta apple")],
+                               "source string, text string")
+    out = tfidf_distinctive_terms(df, "source", "text", top_k=2).collect()
+    # equal scores -> term ASC
+    assert [r.term for r in sorted(out, key=lambda r: r.rank)] \
+        == ["apple", "zeta"]
