@@ -1547,6 +1547,25 @@ def q_skew_report(spark, sf_dir):
                            shuffle_partitions=32)
 
 
+def q_event_order(spark, sf_dir):
+    """Out-of-order arrival audit (health.event_order_report): per-user
+    cumulative event-time high-water mark over event_id arrival order,
+    lateness bucketed by CEILING-div to ms, watermark quantiles as
+    order statistics over the bucket collapse — every number integer
+    except one rounded ratio; the oracle replays the identical window
+    + collapse + order-statistic sequence."""
+    from data_validation_spark.operators.health import event_order_report
+    ev = _t(spark, sf_dir, "events")
+    # the parquet feed is event_id-ordered (in-order, n_late = 0) —
+    # emulate a racy ingest with a deterministic LCG arrival key;
+    # ×100000 + event_id keeps arrival UNIQUE (a tied arrival would
+    # make the running max order-dependent across engines)
+    arr = ("((event_id * 1103515245 + 12345) % 2147483648) * 100000 "
+           "+ event_id")
+    return event_order_report(ev.withColumn("arr", F.expr(arr)),
+                              "user_id", "ts", "arr")
+
+
 def q_tfidf_terms(spark, sf_dir):
     """Per-source distinctive terms (vocab.tfidf_distinctive_terms):
     one explode → (source, term) collapse, group-level document
@@ -2513,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_explosion": q_join_explosion,
         "missingness": q_missingness,
         "tfidf_terms": q_tfidf_terms,
+        "event_order": q_event_order,
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
@@ -4634,6 +4654,56 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.fact_rows IS NOT NULL AND k.dim_rows IS NOT NULL
             ORDER BY out_rows DESC, k.user_id ASC
             LIMIT 10
+        """,
+        "event_order": """
+            WITH t AS (
+              SELECT epoch_us(ts) AS ts_us,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ((event_id * 1103515245 + 12345)
+                                 % 2147483648) * 100000 + event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hwm
+              FROM events),
+            l AS (
+              SELECT CASE WHEN hwm - ts_us > 0
+                          THEN (hwm - ts_us + 999) // 1000 END AS b,
+                     hwm - ts_us AS lat
+              FROM t),
+            c AS (
+              SELECT b, count(*) AS c,
+                     max(CASE WHEN b IS NOT NULL THEN lat END) AS mx
+              FROM l GROUP BY 1),
+            tot AS (
+              SELECT CAST(sum(c) AS BIGINT) AS n_events,
+                     CAST(coalesce(sum(CASE WHEN b IS NOT NULL THEN c
+                                        END), 0) AS BIGINT) AS n_late,
+                     CAST(coalesce(max(mx), 0) AS BIGINT)
+                       AS max_lateness_us
+              FROM c),
+            cum AS (
+              SELECT b, sum(c) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM c WHERE b IS NOT NULL),
+            q AS (
+              SELECT
+                CAST(min(CASE WHEN cum * 100 >= tot.n_late * 50
+                          THEN b END) AS BIGINT) AS p50_lateness_ms,
+                CAST(min(CASE WHEN cum * 100 >= tot.n_late * 95
+                          THEN b END) AS BIGINT) AS p95_lateness_ms,
+                CAST(min(CASE WHEN cum * 100 >= tot.n_late * 99
+                          THEN b END) AS BIGINT) AS p99_lateness_ms
+              FROM tot LEFT JOIN cum ON true GROUP BY tot.n_late)
+            SELECT tot.n_events, tot.n_late,
+                   round(CAST(tot.n_late AS DOUBLE)
+                         / CAST(tot.n_events AS DOUBLE), 6) AS late_ratio,
+                   tot.max_lateness_us,
+                   q.p50_lateness_ms, q.p95_lateness_ms,
+                   q.p99_lateness_ms,
+                   coalesce(q.p99_lateness_ms, 0)
+                     AS suggested_watermark_ms
+            FROM tot, q
         """,
         "tfidf_terms": """
             WITH gt AS (

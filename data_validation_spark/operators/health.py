@@ -933,3 +933,78 @@ def iqr_outlier_report(df: DataFrame, cols: list[str],
                     F.round((F.col("n_below") + F.col("n_above"))
                             .cast("double") / F.col("n").cast("double"),
                             6).alias("outlier_ratio")))
+
+
+def event_order_report(df: DataFrame, key_col: str, ts_col: str,
+                       arrival_col: str,
+                       quantiles: tuple[int, ...] = (50, 95, 99),
+                       resolution_us: int = 1000) -> DataFrame:
+    """Out-of-order arrival audit — the number a streaming pipeline
+    needs BEFORE it picks a watermark: how late do events arrive
+    relative to the per-key event-time high-water mark, and what
+    delay covers p50/p95/p99 of the lateness?  (A watermark below the
+    real p99 silently drops data; one far above it bloats every
+    stateful operator's state window.)
+
+    Per key, arrival order (``arrival_col`` — an ingestion sequence,
+    file offset, or kafka offset) drives a cumulative event-time max
+    (ONE shuffle by key, in-partition sort by arrival — the sessionize
+    contract: one key's events fit a reducer); an event whose ts sits
+    BELOW the running max is late by the difference.  Lateness
+    buckets to ``resolution_us`` via CEILING division (a watermark of
+    ``p99_ms`` then really covers the µs values inside the bucket)
+    and collapses to (bucket, count) — the quantiles are ORDER
+    STATISTICS over that collapse (iqr_outlier_report's convention:
+    smallest bucket whose cumulative count reaches ⌈q·n/100⌉), never
+    a global sort, never a sketch.  On-time rows keep a NULL bucket
+    in the SAME collapse, so totals need no second pass.
+
+    One summary row, all-integer except the single rounded ratio:
+    ``n_events, n_late, late_ratio, max_lateness_us,
+    p<q>_lateness_ms.., suggested_watermark_ms`` (= the largest
+    requested quantile's bucket; 0 when nothing is late — an in-order
+    feed needs no watermark slack).  NULL quantiles when n_late = 0."""
+    from pyspark import StorageLevel
+
+    res = int(resolution_us)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (Window.partitionBy(key_col).orderBy(arrival_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = (df.select(F.col(key_col), F.col(arrival_col),
+                        ts_us.alias("__ts"))
+              .withColumn("__hwm", F.max("__ts").over(w))
+              .select((F.col("__hwm") - F.col("__ts")).alias("__lat")))
+    bucket = F.when(F.col("__lat") > 0,
+                    F.expr(f"(__lat + {res - 1}) div {res}"))
+    counts = (tagged.select(bucket.alias("b"), F.col("__lat"))
+              .groupBy("b")
+              .agg(F.count(F.lit(1)).alias("c"),
+                   F.max(F.when(F.col("b").isNotNull(), F.col("__lat")))
+                   .alias("mx")))
+    counts.persist(StorageLevel.MEMORY_AND_DISK)
+
+    tot = counts.agg(
+        F.sum("c").alias("n_events"),
+        F.coalesce(F.sum(F.when(F.col("b").isNotNull(), F.col("c"))),
+                   F.lit(0)).alias("n_late"),
+        F.max("mx").alias("max_lateness_us"))
+    late = counts.where(F.col("b").isNotNull())
+    wcum = (Window.orderBy("b")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (late.withColumn("cum", F.sum("c").over(wcum))
+           .crossJoin(F.broadcast(tot.select("n_late"))))
+    qs = sorted(set(int(q) for q in quantiles))
+    qcols = [F.min(F.when(F.col("cum") * 100 >= F.col("n_late") * q,
+                          F.expr(f"(b * {res}) div 1000")))
+             .alias(f"p{q}_lateness_ms") for q in qs]
+    quant = cum.agg(*qcols)
+    out = tot.crossJoin(F.broadcast(quant))
+    return out.select(
+        "n_events", "n_late",
+        F.round(F.col("n_late").cast("double")
+                / F.col("n_events").cast("double"), 6)
+        .alias("late_ratio"),
+        F.coalesce("max_lateness_us", F.lit(0)).alias("max_lateness_us"),
+        *[f"p{q}_lateness_ms" for q in qs],
+        F.coalesce(F.col(f"p{qs[-1]}_lateness_ms"), F.lit(0))
+        .alias("suggested_watermark_ms"))

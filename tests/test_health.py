@@ -538,3 +538,50 @@ def test_missingness_single_pass(spark):
         .queryExecution().executedPlan().toString()
     assert "Join" not in plan          # pairs unfold from ONE agg row
     assert plan.count("Scan") <= 1
+
+
+# -- event_order_report ------------------------------------------------------
+
+def test_event_order_known_lateness(spark):
+    from data_validation_spark.operators.health import event_order_report
+    # arrival order per key; ts in seconds -> lateness vs running max
+    rows = [
+        ("u1", 1, 100), ("u1", 2, 200), ("u1", 3, 150),  # late 50s
+        ("u1", 4, 300), ("u1", 5, 299),                  # late 1s
+        ("u2", 1, 10), ("u2", 2, 20),                    # in order
+    ]
+    df = spark.createDataFrame(rows, "k string, arr int, sec long") \
+        .select("k", "arr",
+                F.timestamp_seconds(F.col("sec")).alias("ts"))
+    r = event_order_report(df, "k", "ts", "arr").collect()[0]
+    assert (r.n_events, r.n_late) == (7, 2)
+    assert r.max_lateness_us == 50_000_000
+    # lateness ms values {1000, 50000}: p50 -> 1000, p99 -> 50000
+    assert r.p50_lateness_ms == 1_000
+    assert r.p99_lateness_ms == 50_000
+    assert r.suggested_watermark_ms == 50_000
+    assert r.late_ratio == round(2 / 7, 6)
+
+
+def test_event_order_in_order_feed(spark):
+    from data_validation_spark.operators.health import event_order_report
+    rows = [("u", i, i * 10) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string, arr int, sec long") \
+        .select("k", "arr",
+                F.timestamp_seconds(F.col("sec")).alias("ts"))
+    r = event_order_report(df, "k", "ts", "arr").collect()[0]
+    assert (r.n_late, r.suggested_watermark_ms) == (0, 0)
+    assert r.p99_lateness_ms is None
+    assert r.max_lateness_us == 0
+
+
+def test_event_order_ceiling_bucket_covers_micros(spark):
+    from data_validation_spark.operators.health import event_order_report
+    # 1500us late -> bucket ceil(1500/1000)=2 -> p99 = 2ms (covers it)
+    rows = [("u", 1, 10_000_000), ("u", 2, 9_998_500)]
+    df = spark.createDataFrame(rows, "k string, arr int, us long") \
+        .select("k", "arr",
+                F.timestamp_micros(F.col("us")).alias("ts"))
+    r = event_order_report(df, "k", "ts", "arr").collect()[0]
+    assert r.max_lateness_us == 1500
+    assert r.p99_lateness_ms == 2
