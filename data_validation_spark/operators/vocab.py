@@ -252,6 +252,8 @@ def tfidf_distinctive_terms(df: DataFrame, group_col: str,
     from pyspark.sql import Window
 
     words = F.split(F.trim(F.col(text_col)), r"\s+")
+    from pyspark import StorageLevel
+
     gt = (df.filter(F.col(text_col).isNotNull()
                     & (F.length(F.trim(F.col(text_col))) > 0))
           .select(F.col(group_col).alias("group"),
@@ -259,6 +261,10 @@ def tfidf_distinctive_terms(df: DataFrame, group_col: str,
           .groupBy("group", "term").agg(F.count(F.lit(1)).alias("tf")))
     if min_tf > 1:
         gt = gt.filter(F.col("tf") >= int(min_tf))
+    # persist the vocab-sized collapse: gdf derives from gt AND joins
+    # back to it — unpersisted, Spark recomputes the corpus explode
+    # for each branch (two full reads at 100 TB; plan-audited to 1)
+    gt = gt.persist(StorageLevel.MEMORY_AND_DISK)
     gdf = (gt.groupBy("term")
            .agg(F.count(F.lit(1)).alias("n_groups_with_term")))
     scored = (gt.join(gdf, "term")
