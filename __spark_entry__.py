@@ -1547,6 +1547,42 @@ def q_skew_report(spark, sf_dir):
                            shuffle_partitions=32)
 
 
+def q_suggest_types(spark, sf_dir):
+    """Raw-ingest type inference (health.suggest_types): orders
+    rendered as an all-VARCHAR landing table with a known mix — pure
+    int, double, boolean, date, timestamp, enum text, and a 90%-int
+    column poisoned with 'N/A' every 10th row (must demote to string,
+    not round up).  Shape-regex counts are integers; both engines
+    match the identical anchored portable patterns against their own
+    string renderings."""
+    from data_validation_spark.operators.health import suggest_types
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("c_int"),
+        F.col("o_totalprice").cast("string").alias("c_double"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("true"))
+        .otherwise(F.lit("false")).alias("c_bool"),
+        F.date_format(F.col("o_orderdate"), "yyyy-MM-dd").alias("c_date"),
+        F.col("o_orderdate").cast("string").alias("c_ts"),
+        F.col("o_orderpriority").alias("c_text"),
+        F.when(F.col("o_orderkey") % 10 != 0,
+               F.col("o_custkey").cast("string")).otherwise(F.lit("N/A"))
+        .alias("c_poisoned"))
+    return suggest_types(o).orderBy("column")
+
+
+def q_k_anonymity(spark, sf_dir):
+    """Re-identification risk audit (redact.k_anonymity_report): the
+    release-side complement of pii_scrub — customer rows keyed by the
+    (nation, market segment) quasi-identifier with account balance as
+    the sensitive attribute; value-collapse first, per-group integer
+    agg, one all-integer summary row.  The oracle replays the same
+    two-phase collapse (NULL counts as a value on both engines)."""
+    from data_validation_spark.operators.redact import k_anonymity_report
+    cust = _t(spark, sf_dir, "customer")
+    return k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"],
+                              k=10, sensitive_col="c_acctbal")
+
+
 def q_event_order(spark, sf_dir):
     """Out-of-order arrival audit (health.event_order_report): per-user
     cumulative event-time high-water mark over event_id arrival order,
@@ -2533,6 +2569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missingness": q_missingness,
         "tfidf_terms": q_tfidf_terms,
         "event_order": q_event_order,
+        "k_anonymity": q_k_anonymity,
+        "suggest_types": q_suggest_types,
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
         "coverage_gaps": q_coverage_gaps,
@@ -4654,6 +4692,85 @@ def oracle_sql() -> dict[str, str]:
             WHERE k.fact_rows IS NOT NULL AND k.dim_rows IS NOT NULL
             ORDER BY out_rows DESC, k.user_id ASC
             LIMIT 10
+        """,
+        "suggest_types": """
+            WITH raw AS (
+              SELECT CAST(o_orderkey AS VARCHAR) AS c_int,
+                     CAST(o_totalprice AS VARCHAR) AS c_double,
+                     CASE WHEN o_orderkey % 2 = 0 THEN 'true'
+                          ELSE 'false' END AS c_bool,
+                     strftime(o_orderdate, '%Y-%m-%d') AS c_date,
+                     CAST(o_orderdate AS VARCHAR) AS c_ts,
+                     o_orderpriority AS c_text,
+                     CASE WHEN o_orderkey % 10 != 0
+                          THEN CAST(o_custkey AS VARCHAR)
+                          ELSE 'N/A' END AS c_poisoned
+              FROM orders),
+            m AS (
+              SELECT col AS "column", v FROM raw
+              UNPIVOT (v FOR col IN (c_int, c_double, c_bool, c_date,
+                                     c_ts, c_text, c_poisoned))),
+            c AS (
+              SELECT "column",
+                     CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_null,
+                     CAST(sum(CASE WHEN regexp_matches(v,
+                        '(?i)^(true|false)$') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_boolean,
+                     CAST(sum(CASE WHEN regexp_matches(v,
+                        '^[+-]?[0-9]+$') THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_bigint,
+                     CAST(sum(CASE WHEN regexp_matches(v,
+                        '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+                     CAST(sum(CASE WHEN regexp_matches(v,
+                        '^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ][0-9]{2}:[0-9]{2}:[0-9]{2}(\.[0-9]+)?$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_timestamp,
+                     CAST(sum(CASE WHEN regexp_matches(v,
+                        '^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)([eE][+-]?[0-9]+)?$')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_double
+              FROM m GROUP BY 1)
+            SELECT "column", n_rows, n_null, n_boolean, n_bigint,
+                   n_date, n_timestamp, n_double,
+                   CASE
+                     WHEN n_rows - n_null > 0
+                          AND n_boolean = n_rows - n_null THEN 'boolean'
+                     WHEN n_rows - n_null > 0
+                          AND n_bigint = n_rows - n_null THEN 'bigint'
+                     WHEN n_rows - n_null > 0
+                          AND n_date = n_rows - n_null THEN 'date'
+                     WHEN n_rows - n_null > 0
+                          AND n_timestamp = n_rows - n_null
+                       THEN 'timestamp'
+                     WHEN n_rows - n_null > 0
+                          AND n_double = n_rows - n_null THEN 'double'
+                     ELSE 'string'
+                   END AS suggested_type
+            FROM c ORDER BY "column"
+        """,
+        "k_anonymity": """
+            WITH pairs AS (
+              SELECT c_nationkey, c_mktsegment, c_acctbal,
+                     count(*) AS c
+              FROM customer GROUP BY 1, 2, 3),
+            g AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(sum(c) AS BIGINT) AS g,
+                     CAST(count(*) AS BIGINT) AS l
+              FROM pairs GROUP BY 1, 2)
+            SELECT CAST(sum(g) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_groups,
+                   CAST(10 AS INT) AS k,
+                   CAST(sum(CASE WHEN g < 10 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_groups_below_k,
+                   CAST(coalesce(sum(CASE WHEN g < 10 THEN g END), 0)
+                        AS BIGINT) AS n_rows_below_k,
+                   CAST(min(g) AS BIGINT) AS min_group_size,
+                   CAST(min(l) AS BIGINT) AS min_l,
+                   CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_groups_l1
+            FROM g
         """,
         "event_order": """
             WITH t AS (

@@ -1008,3 +1008,59 @@ def event_order_report(df: DataFrame, key_col: str, ts_col: str,
         *[f"p{q}_lateness_ms" for q in qs],
         F.coalesce(F.col(f"p{qs[-1]}_lateness_ms"), F.lit(0))
         .alias("suggested_watermark_ms"))
+
+
+#: shape regexes for suggest_types — the portable RE2/Java/Python
+#: subset (same policy as pattern_conformance / pii patterns), so the
+#: driver oracle replays inference byte-for-byte.  Ladder order IS the
+#: suggestion priority: every bigint string also matches the double
+#: shape, so the narrower type must come first.
+TYPE_SHAPES: tuple[tuple[str, str], ...] = (
+    ("boolean", "(?i)^(true|false)$"),
+    ("bigint", "^[+-]?[0-9]+$"),
+    ("date", "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"),
+    ("timestamp", "^[0-9]{4}-[0-9]{2}-[0-9]{2}[T ]"
+                  "[0-9]{2}:[0-9]{2}:[0-9]{2}(\\.[0-9]+)?$"),
+    ("double", "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)"
+               "([eE][+-]?[0-9]+)?$"),
+)
+
+
+def suggest_types(df: DataFrame, cols: list[str] | None = None
+                  ) -> DataFrame:
+    """Column-type inference for raw string ingest (CSV/JSON landed as
+    all-VARCHAR): per column, how many non-null values match each type
+    SHAPE, and the narrowest type whose shape matches EVERY non-null
+    value.  Shape-based (portable anchored regexes), NOT try_cast —
+    engines disagree about '1.5'→BIGINT, 't'→BOOLEAN and date formats,
+    a regex subset they share cannot.  A single stray 'N/A' correctly
+    demotes the suggestion to string; the per-shape counts are emitted
+    so the caller can see a 99.9%-numeric column and choose to
+    quarantine the strays instead.
+
+    ONE melt scan for all N columns (entropy_report's shape: the
+    shuffle carries per-column value counts after a conditional-sum
+    collapse, never rows).  All-integer output; ``suggested_type``
+    picks the FIRST fully-matching shape in ladder order (boolean ⊂
+    bigint ⊂ … double last — every int string matches the double
+    shape) and falls back to 'string'."""
+    cols = list(cols) if cols is not None else list(df.columns)
+    kv = []
+    for c in cols:
+        kv += [F.lit(c), F.col(c).cast("string")]
+    pairs = df.select(F.explode(F.create_map(*kv)).alias("column", "v"))
+    aggs = [F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0))
+            .alias("n_null")]
+    for name, rx in TYPE_SHAPES:
+        aggs.append(F.sum(F.when(F.col("v").rlike(rx), 1).otherwise(0))
+                    .alias(f"n_{name}"))
+    out = pairs.groupBy("column").agg(*aggs)
+    nonnull = F.col("n_rows") - F.col("n_null")
+    suggested = F.lit("string")
+    for name, _ in reversed(TYPE_SHAPES):
+        suggested = F.when((nonnull > 0) & (F.col(f"n_{name}") == nonnull),
+                           F.lit(name)).otherwise(suggested)
+    return out.select("column", "n_rows", "n_null",
+                      *[f"n_{name}" for name, _ in TYPE_SHAPES],
+                      suggested.alias("suggested_type"))

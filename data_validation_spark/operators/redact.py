@@ -65,3 +65,62 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                classes: list[str] | None = None) -> DataFrame:
     """``df`` with ``text_col`` scrubbed in place."""
     return df.withColumn(text_col, redacted_col(text_col, classes))
+
+
+def k_anonymity_report(df: DataFrame, quasi_cols: list[str],
+                       k: int, sensitive_col: str | None = None
+                       ) -> DataFrame:
+    """Re-identification risk audit — the release-side complement of
+    the PII scrub: after direct identifiers are redacted, a row is
+    still re-identifiable when its QUASI-identifier combination
+    (zip × age × gender …) is shared by fewer than ``k`` rows.  One
+    summary row:
+
+    ``n_rows, n_groups, k, n_groups_below_k, n_rows_below_k`` (the
+    rows an adversary can pin to < k candidates), ``min_group_size``,
+    and with ``sensitive_col`` the l-diversity tail: ``min_l`` (the
+    smallest number of distinct sensitive values inside any quasi
+    group) and ``n_groups_l1`` (groups where the sensitive value is
+    CONSTANT — k-anonymity holds but the attribute still leaks).
+
+    Scale shape: value-collapse first — ``(quasi…, sensitive)`` groups,
+    map-side combinable, shuffle carries group cardinality — then a
+    per-quasi-group integer agg and one summary agg; no distinct, no
+    window, all-integer output.  NULL quasi/sensitive values count as
+    values (a NULL zip code still buckets people together)."""
+    if sensitive_col is None:
+        groups = (df.groupBy(*quasi_cols)
+                  .agg(F.count(F.lit(1)).alias("g"))
+                  .withColumn("l", F.lit(None).cast("long")))
+    else:
+        pairs = (df.groupBy(*quasi_cols, sensitive_col)
+                 .agg(F.count(F.lit(1)).alias("c")))
+        groups = (pairs.groupBy(*quasi_cols)
+                  .agg(F.sum("c").alias("g"),
+                       F.count(F.lit(1)).alias("l")))
+    kk = F.lit(int(k))
+    agg = [
+        F.sum("g").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        kk.cast("int").alias("k"),
+        F.sum(F.when(F.col("g") < kk, 1).otherwise(0))
+        .alias("n_groups_below_k"),
+        F.coalesce(F.sum(F.when(F.col("g") < kk, F.col("g"))), F.lit(0))
+        .alias("n_rows_below_k"),
+        F.min("g").alias("min_group_size"),
+    ]
+    if sensitive_col is not None:
+        agg += [F.min("l").alias("min_l"),
+                F.sum(F.when(F.col("l") == 1, 1).otherwise(0))
+                .alias("n_groups_l1")]
+    return groups.agg(*agg)
+
+
+def k_anonymity_violating_groups(df: DataFrame, quasi_cols: list[str],
+                                 k: int) -> DataFrame:
+    """The quasi-identifier combinations below ``k`` with their sizes
+    — the rows to generalize/suppress before release.  Same collapse
+    as the report; output is group-scale (only violators)."""
+    return (df.groupBy(*quasi_cols)
+            .agg(F.count(F.lit(1)).alias("group_size"))
+            .filter(F.col("group_size") < int(k)))

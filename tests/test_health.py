@@ -585,3 +585,44 @@ def test_event_order_ceiling_bucket_covers_micros(spark):
     r = event_order_report(df, "k", "ts", "arr").collect()[0]
     assert r.max_lateness_us == 1500
     assert r.p99_lateness_ms == 2
+
+
+# -- suggest_types ------------------------------------------------------------
+
+def test_suggest_types_ladder(spark):
+    from data_validation_spark.operators.health import suggest_types
+    rows = [("1", "1.5", "true", "2024-01-02", "2024-01-02 03:04:05",
+             "abc", "7"),
+            ("-42", "2e3", "FALSE", "2024-02-03", "2024-02-03T04:05:06.7",
+             "8", None)]
+    df = spark.createDataFrame(
+        rows, "i string, d string, b string, dt string, ts string, "
+              "s string, m string")
+    out = {r.column: r for r in suggest_types(df).collect()}
+    assert out["i"].suggested_type == "bigint"
+    assert out["d"].suggested_type == "double"
+    assert out["b"].suggested_type == "boolean"
+    assert out["dt"].suggested_type == "date"
+    assert out["ts"].suggested_type == "timestamp"
+    assert out["s"].suggested_type == "string"      # mixed 'abc'/'8'
+    # nulls don't demote: the single non-null '7' is bigint
+    assert out["m"].suggested_type == "bigint"
+    assert out["m"].n_null == 1
+    # ints also match the double shape — ladder must pick bigint
+    assert out["i"].n_double == 2 and out["i"].n_bigint == 2
+
+
+def test_suggest_types_single_stray_demotes(spark):
+    from data_validation_spark.operators.health import suggest_types
+    vals = [(str(i),) for i in range(99)] + [("N/A",)]
+    df = spark.createDataFrame(vals, "x string")
+    r = suggest_types(df).collect()[0]
+    assert r.suggested_type == "string"
+    assert r.n_bigint == 99 and r.n_rows == 100
+
+
+def test_suggest_types_all_null_is_string(spark):
+    from data_validation_spark.operators.health import suggest_types
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    r = suggest_types(df).collect()[0]
+    assert r.suggested_type == "string" and r.n_null == 2

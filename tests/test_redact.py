@@ -57,3 +57,45 @@ def test_class_filter(docs):
 def test_no_shuffle(docs):
     plan = redact_pii(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# -- k-anonymity --------------------------------------------------------------
+
+def test_k_anonymity_summary(spark):
+    from data_validation_spark.operators.redact import (
+        k_anonymity_report, k_anonymity_violating_groups)
+    rows = (
+        [("10001", 30, "flu")] * 5          # big group, constant sens
+        + [("10002", 40, "flu"), ("10002", 40, "cold")]  # size 2, l=2
+        + [("10003", 50, "hiv")]            # singleton
+    )
+    df = spark.createDataFrame(rows, "zip string, age int, dx string")
+    r = k_anonymity_report(df, ["zip", "age"], k=3,
+                           sensitive_col="dx").collect()[0]
+    assert (r.n_rows, r.n_groups) == (8, 3)
+    assert (r.n_groups_below_k, r.n_rows_below_k) == (2, 3)
+    assert r.min_group_size == 1
+    assert r.min_l == 1
+    # the size-5 group AND the singleton have constant dx
+    assert r.n_groups_l1 == 2
+
+    v = k_anonymity_violating_groups(df, ["zip", "age"], k=3).collect()
+    assert sorted((g.zip, g.group_size) for g in v) \
+        == [("10002", 2), ("10003", 1)]
+
+
+def test_k_anonymity_null_is_a_value(spark):
+    from data_validation_spark.operators.redact import k_anonymity_report
+    rows = [(None, 1), (None, 1), ("z", 1)]
+    df = spark.createDataFrame(rows, "zip string, v int")
+    r = k_anonymity_report(df, ["zip"], k=2).collect()[0]
+    # the two NULL-zip rows form one group of 2 -> only "z" violates
+    assert (r.n_groups, r.n_groups_below_k, r.n_rows_below_k) == (2, 1, 1)
+
+
+def test_k_anonymity_without_sensitive_has_no_l_cols(spark):
+    from data_validation_spark.operators.redact import k_anonymity_report
+    df = spark.createDataFrame([("a",), ("a",)], "q string")
+    out = k_anonymity_report(df, ["q"], k=2)
+    assert "min_l" not in out.columns
+    assert out.collect()[0].n_groups_below_k == 0
