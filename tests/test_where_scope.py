@@ -220,3 +220,32 @@ def test_runner_and_evaluate_agree_on_scoped_suite(spark, wdf):
     rv = sorted((v["partition"], v["constraint"], int(v["n_violations"]),
                  v["passed"]) for v in res.verdicts)
     assert ev == rv
+
+
+def test_conditional_fd_via_where_scope(spark):
+    """fd + where = a conditional functional dependency (CFD): the
+    dependency only has to hold on the scoped slice."""
+    rows = [
+        # inside scope (US): zip -> city holds except 99999
+        ("US", "10001", "NYC"), ("US", "10001", "NYC"),
+        ("US", "99999", "A"), ("US", "99999", "B"),
+        # outside scope: zip 10001 maps elsewhere — must NOT count
+        ("DE", "10001", "Berlin"),
+    ]
+    df = spark.createDataFrame(rows, "country string, zip string, "
+                                     "city string")
+    suite = ValidationSuite(
+        name="cfd-suite", components=[],
+        constraints=[Constraint("zip_city_cfd", "fd",
+                                {"determinant": ["zip"],
+                                 "dependent": "city",
+                                 "where": "country = 'US'"})],
+        partition_cols=[])
+    run = evaluate_constraints(df, suite)
+    viol = run.violations.collect()
+    # only the two in-scope 99999 rows violate; DE's 10001 neither
+    # violates nor poisons US 10001
+    assert sorted((r.zip, r.city) for r in viol) \
+        == [("99999", "A"), ("99999", "B")]
+    res = run_validation(spark, df, suite, concurrent_jobs=1)
+    assert _verdict(res, "zip_city_cfd")["n_violations"] == 2
