@@ -92,6 +92,34 @@ def main(argv: list[str] | None = None) -> int:
                    help="also suggest stat_bounds mean envelopes widened "
                         "by this fraction of each component's range")
 
+    r = sub.add_parser(
+        "report",
+        help="run a table-health / privacy report and print one JSON "
+             "line per result row (all reports are summary-scale: "
+             "top-N keys, column pairs, or a single row — never data)")
+    r.add_argument("--input", required=True, help="parquet path")
+    r.add_argument("--kind", required=True,
+                   choices=["skew", "missingness", "join-explosion",
+                            "event-order", "k-anonymity",
+                            "suggest-types"])
+    r.add_argument("--cols", default="",
+                   help="comma-separated columns (missingness / "
+                        "suggest-types; default: all)")
+    r.add_argument("--keys", default="",
+                   help="comma-separated key columns (skew / "
+                        "join-explosion on / k-anonymity quasi)")
+    r.add_argument("--top-n", type=int, default=10)
+    r.add_argument("--dim-input", help="dimension parquet path "
+                                       "(join-explosion)")
+    r.add_argument("--k", type=int, default=10, help="k (k-anonymity)")
+    r.add_argument("--sensitive", help="sensitive column (k-anonymity "
+                                       "l-diversity tail)")
+    r.add_argument("--ts-col", default="ts", help="event-order")
+    r.add_argument("--arrival-col", help="event-order arrival column "
+                                         "(required for event-order)")
+    r.add_argument("--key-col", help="event-order per-key column "
+                                     "(required for event-order)")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "suggest-suite":
@@ -125,6 +153,49 @@ def main(argv: list[str] | None = None) -> int:
               "pass --driver-memory (e.g. 8g) on the spark-submit line; "
               "in-conf sizing cannot resize an already-started JVM",
               file=sys.stderr)
+
+    if args.cmd == "report":
+        df = spark.read.parquet(args.input)
+        cols = [c for c in args.cols.split(",") if c]
+        keys = [c for c in args.keys.split(",") if c]
+        if args.kind == "skew":
+            from data_validation_spark.operators.health import (
+                key_skew_report)
+            out = key_skew_report(df, keys or df.columns[:1],
+                                  top_n=args.top_n)
+        elif args.kind == "missingness":
+            from data_validation_spark.operators.health import (
+                missingness_report)
+            out = missingness_report(df, cols or list(df.columns))
+        elif args.kind == "join-explosion":
+            from data_validation_spark.operators.health import (
+                join_explosion_report)
+            if not args.dim_input or not keys:
+                ap.error("join-explosion needs --dim-input and --keys")
+            out = join_explosion_report(
+                df, spark.read.parquet(args.dim_input), on=keys,
+                top_n=args.top_n)
+        elif args.kind == "event-order":
+            from data_validation_spark.operators.health import (
+                event_order_report)
+            if not args.key_col or not args.arrival_col:
+                ap.error("event-order needs --key-col and --arrival-col")
+            out = event_order_report(df, args.key_col, args.ts_col,
+                                     args.arrival_col)
+        elif args.kind == "k-anonymity":
+            from data_validation_spark.operators.redact import (
+                k_anonymity_report)
+            if not keys:
+                ap.error("k-anonymity needs --keys (quasi identifiers)")
+            out = k_anonymity_report(df, keys, k=args.k,
+                                     sensitive_col=args.sensitive)
+        else:
+            from data_validation_spark.operators.health import (
+                suggest_types)
+            out = suggest_types(df, cols or None)
+        for row in out.collect():
+            print(json.dumps(row.asDict(), sort_keys=True, default=str))
+        return 0
 
     suite = _build_suite(args.suite)
 

@@ -1,0 +1,58 @@
+"""CLI `report` subcommand: every table-health / privacy report is
+reachable from the spark-submit entry point and prints one JSON line
+per result row."""
+
+import json
+
+from data_validation_spark.cli import main
+
+
+def _lines(capsys):
+    out = capsys.readouterr().out.strip().splitlines()
+    return [json.loads(ln) for ln in out if ln.startswith("{")]
+
+
+def test_report_missingness_and_types(spark, tmp_path, capsys):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("1", None), ("2", None), ("x", "b")],
+        "a string, b string").write.parquet(path)
+
+    assert main(["report", "--input", path, "--kind", "missingness",
+                 "--cols", "a,b"]) == 0
+    rows = _lines(capsys)
+    assert rows[0]["col_a"] == "a" and rows[0]["n_rows"] == 3
+
+    assert main(["report", "--input", path, "--kind",
+                 "suggest-types"]) == 0
+    types = {r["column"]: r["suggested_type"] for r in _lines(capsys)}
+    assert types == {"a": "string", "b": "string"}
+
+
+def test_report_k_anonymity_and_skew(spark, tmp_path, capsys):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("z1", 1), ("z1", 2), ("z2", 3)],
+        "zip string, v int").write.parquet(path)
+
+    assert main(["report", "--input", path, "--kind", "k-anonymity",
+                 "--keys", "zip", "--k", "2", "--sensitive", "v"]) == 0
+    r = _lines(capsys)[0]
+    assert (r["n_groups"], r["n_groups_below_k"]) == (2, 1)
+
+    assert main(["report", "--input", path, "--kind", "skew",
+                 "--keys", "zip", "--top-n", "1"]) == 0
+    assert _lines(capsys)[0]["zip"] == "z1"
+
+
+def test_report_join_explosion_requires_dim(spark, tmp_path, capsys):
+    import pytest
+    path = str(tmp_path / "t")
+    spark.createDataFrame([("a",)], "k string").write.parquet(path)
+    with pytest.raises(SystemExit):
+        main(["report", "--input", path, "--kind", "join-explosion",
+              "--keys", "k"])
+    capsys.readouterr()
+    assert main(["report", "--input", path, "--kind", "join-explosion",
+                 "--keys", "k", "--dim-input", path]) == 0
+    assert _lines(capsys)[0]["out_rows"] == "1"
