@@ -2165,6 +2165,57 @@ def q_scd2_customer_status(spark, sf_dir):
         "is_current")
 
 
+def q_cdc_apply(spark, sf_dir):
+    """SCD1 latest-wins CDC merge (history.cdc_apply): orders as the
+    standing snapshot, a synthesized change batch with updates (%7,
+    +1 day), deletes (%13, +2 days — newer than the %91 overlap's
+    update, so delete wins), and STALE updates (%11, −5 days — the
+    snapshot must win); one window over one key hash, change side
+    beats base on exact ties.  Oracle replays the identical
+    union + row_number + delete filter."""
+    from data_validation_spark.operators.history import cdc_apply
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+    upd = (o.filter(F.col("o_orderkey") % 7 == 0)
+           .withColumn("o_orderstatus", F.lit("X"))
+           .withColumn("o_orderdate",
+                       F.col("o_orderdate") + F.expr("interval 1 day"))
+           .withColumn("op", F.lit("U")))
+    dele = (o.filter(F.col("o_orderkey") % 13 == 0)
+            .withColumn("o_orderdate",
+                        F.col("o_orderdate") + F.expr("interval 2 day"))
+            .withColumn("op", F.lit("D")))
+    stale = (o.filter(F.col("o_orderkey") % 11 == 0)
+             .withColumn("o_orderstatus", F.lit("S"))
+             .withColumn("o_orderdate",
+                         F.col("o_orderdate") - F.expr("interval 5 day"))
+             .withColumn("op", F.lit("U")))
+    changes = upd.unionByName(dele).unionByName(stale)
+    snap = cdc_apply(o, changes, ["o_orderkey"], "o_orderdate",
+                     op_col="op")
+    return snap.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        .alias("ts_us"))
+
+
+def q_merge_intervals(spark, sf_dir):
+    """Interval coalescing (interval.merge_intervals): each event
+    opens a 30-minute activity window per user; overlapping/touching
+    windows merge into busy spans via the single-Exchange sweep
+    (running max of prior ends → new-group flags → running sum).
+    All-integer micros; the oracle replays the identical window
+    arithmetic."""
+    from data_validation_spark.operators.interval import merge_intervals
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"))
+    iv = ev.withColumn("e", F.col("s") + F.lit(1_800_000_000))
+    return (merge_intervals(iv, ["user_id"], "s", "e")
+            .withColumnRenamed("span_start", "span_start_us")
+            .withColumnRenamed("span_end", "span_end_us"))
+
+
 def q_scd2_snapshot(spark, sf_dir):
     """Point-in-time reconstruction over the SCD2 build: every
     customer's version open at 1996-06-15 (valid_from <= at <
@@ -2597,6 +2648,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scd2_customer_status": q_scd2_customer_status,
         "scd2_incremental": q_scd2_incremental,
         "scd2_snapshot": q_scd2_snapshot,
+        "cdc_apply": q_cdc_apply,
+        "merge_intervals": q_merge_intervals,
         "image_headers": q_image_headers,
         "suggested_suite": q_suggested_suite,
         "independence": q_independence,
@@ -3957,6 +4010,63 @@ def oracle_sql() -> dict[str, str]:
         """,
         "scd2_customer_status": SCD2_ORACLE,
         "scd2_incremental": SCD2_ORACLE,
+        "cdc_apply": """
+            WITH o AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate
+              FROM orders),
+            ch AS (
+              SELECT o_orderkey, o_custkey,
+                     'X' AS o_orderstatus,
+                     o_orderdate + INTERVAL 1 DAY AS o_orderdate,
+                     'U' AS op
+              FROM o WHERE o_orderkey % 7 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus,
+                     o_orderdate + INTERVAL 2 DAY, 'D'
+              FROM o WHERE o_orderkey % 13 = 0
+              UNION ALL
+              SELECT o_orderkey, o_custkey, 'S',
+                     o_orderdate - INTERVAL 5 DAY, 'U'
+              FROM o WHERE o_orderkey % 11 = 0),
+            u AS (
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+                     CAST(NULL AS VARCHAR) AS op, 0 AS side FROM o
+              UNION ALL
+              SELECT o_orderkey, o_custkey, o_orderstatus, o_orderdate,
+                     op, 1 FROM ch),
+            r AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_orderkey
+                       ORDER BY o_orderdate DESC, side DESC) AS rn
+              FROM u)
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   epoch_us(o_orderdate) AS ts_us
+            FROM r
+            WHERE rn = 1 AND NOT coalesce(op = 'D', false)
+        """,
+        "merge_intervals": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 1800000000 AS e
+              FROM events),
+            f AS (
+              SELECT user_id, s, e,
+                     max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS pm
+              FROM iv),
+            g AS (
+              SELECT user_id, s, e,
+                     sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0
+                         END) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS gid
+              FROM f)
+            SELECT user_id, min(s) AS span_start_us,
+                   max(e) AS span_end_us,
+                   CAST(count(*) AS BIGINT) AS n_intervals
+            FROM g GROUP BY user_id, gid
+        """,
         "scd2_snapshot": f"""
             WITH scd2 AS ({SCD2_ORACLE})
             SELECT custkey, status, priority, valid_from_us, version

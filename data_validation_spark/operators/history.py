@@ -169,3 +169,42 @@ def scd2_apply_batch(batch_df: DataFrame, current_df: DataFrame,
         F.col("__cur_from").alias("valid_from"))
     return (hist_batch.unionByName(hist_cur),
             open_batch.unionByName(open_cur), late_rows)
+
+
+def cdc_apply(base: DataFrame, changes: DataFrame, key_cols: list[str],
+              ts_col: str, op_col: str | None = None,
+              order_cols: tuple[str, ...] = ()) -> DataFrame:
+    """SCD **type-1** CDC merge — the latest-wins snapshot MERGE INTO
+    every lakehouse maintains beside the SCD2 history: union the
+    standing snapshot with a change batch, keep each key's newest row,
+    drop keys whose newest record is a delete marker.
+
+    ``op_col`` (optional) carries the CDC verb; only the value ``'D'``
+    is special (delete) — anything else, or a missing column on the
+    base side, means upsert.  Ordering is ``(ts_col, *order_cols)``
+    with the CHANGE side winning exact ties against the base (a batch
+    that restates the same instant supersedes the snapshot) — ties
+    within a side break on ``order_cols``, required when a batch can
+    carry same-instant rows for one key.
+
+    ONE window over one hash partitioning by key (row_number over
+    (key) ordered newest-first, keep rank 1, then the delete filter);
+    parallelism = #keys, per-task state = one key's records.  Output
+    schema = ``base`` columns (op column dropped) — the snapshot
+    contract downstream jobs join against."""
+    cols = [c for c in base.columns if c != op_col]
+    opv = (F.lit(None).cast("string") if op_col is None
+           or op_col not in base.columns else F.col(op_col))
+    b = base.select(*cols, opv.alias("__op"), F.lit(0).alias("__side"))
+    copv = (F.lit(None).cast("string") if op_col is None
+            else F.col(op_col))
+    ch = changes.select(*cols, copv.alias("__op"),
+                        F.lit(1).alias("__side"))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).desc(), F.col("__side").desc(),
+        *[F.col(c).desc() for c in order_cols])
+    return (b.unionByName(ch)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter((F.col("__rn") == 1)
+                    & ~F.coalesce(F.col("__op") == "D", F.lit(False)))
+            .select(*cols))

@@ -35,7 +35,7 @@ semantics as a DuckDB inequality join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["interval_join"]
@@ -111,3 +111,37 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     out = [p[c] for c in points.columns]
     out += [i[a] for c, a in iv_renamed if c not in key_cols]
     return joined.select(*out)
+
+
+def merge_intervals(df: DataFrame, key_cols: list[str],
+                    start_col: str, end_col: str) -> DataFrame:
+    """Coalesce overlapping/touching ``[start, end]`` intervals per key
+    — the sweep every attribution/billing/availability pipeline runs
+    before measuring covered time (unmerged spans double-count).
+
+    Classic sweep as pure window arithmetic over ONE hash partitioning
+    by key: rows sort by (start, end), an interval whose start exceeds
+    the running max of all PRIOR ends opens a new group (strictly
+    greater — touching intervals merge), the group id is the running
+    sum of those flags, and a final groupBy((key, group)) emits each
+    merged span with its source-row count.  Both windows and the agg
+    share the same key hash: a single Exchange, no self-join, no
+    driver state; per-task state = one key's intervals.
+
+    Output: ``key_cols…, span_start, span_end, n_intervals`` —
+    ordering ties are total because equal (start, end) rows merge by
+    construction."""
+    w_sort = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w_sort.rowsBetween(Window.unboundedPreceding, -1))
+    flag = F.when(prev_max_end.isNull()
+                  | (F.col(start_col) > prev_max_end), 1).otherwise(0)
+    gid = F.sum(flag).over(
+        w_sort.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (df.select(*key_cols, start_col, end_col)
+            .withColumn("__g", gid)
+            .groupBy(*key_cols, "__g")
+            .agg(F.min(start_col).alias("span_start"),
+                 F.max(end_col).alias("span_end"),
+                 F.count(F.lit(1)).alias("n_intervals"))
+            .drop("__g"))

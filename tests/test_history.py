@@ -2,6 +2,7 @@
 determinism, point-in-time reconstruction, single-Exchange plan."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_validation_spark.operators.history import (
     as_of_snapshot, scd2_intervals)
@@ -219,3 +220,59 @@ def test_streaming_scd2_end_to_end(spark, tmp_path):
     reports = sorted((r.n_batch, r.n_late, r.n_open) for r in
                      sink.read(SCD2_REPORT_TABLE).collect())
     assert reports == [(3, 0, 2), (4, 1, 3)]
+
+
+# -- cdc_apply (SCD1 latest-wins merge) ---------------------------------------
+
+def test_cdc_apply_upsert_delete_insert(spark):
+    from data_validation_spark.operators.history import cdc_apply
+    base = spark.createDataFrame(
+        [("k1", 10, "a"), ("k2", 10, "b"), ("k3", 10, "c")],
+        "key string, ts long, val string")
+    changes = spark.createDataFrame(
+        [("k1", 20, "a2", "U"),      # update
+         ("k2", 20, None, "D"),      # delete
+         ("k4", 20, "d", "I"),       # insert
+         ("k3", 5, "stale", "U")],   # OLDER than base -> base wins
+        "key string, ts long, val string, op string")
+    out = {r.key: r for r in
+           cdc_apply(base, changes, ["key"], "ts", op_col="op")
+           .collect()}
+    assert set(out) == {"k1", "k3", "k4"}
+    assert out["k1"].val == "a2"
+    assert out["k3"].val == "c"        # stale change lost
+    assert "op" not in cdc_apply(base, changes, ["key"], "ts",
+                                 op_col="op").columns
+
+
+def test_cdc_apply_change_wins_exact_tie(spark):
+    from data_validation_spark.operators.history import cdc_apply
+    base = spark.createDataFrame([("k", 10, "old")],
+                                 "key string, ts long, val string")
+    changes = spark.createDataFrame([("k", 10, "new", "U")],
+                                    "key string, ts long, val string, "
+                                    "op string")
+    out = cdc_apply(base, changes, ["key"], "ts", op_col="op").collect()
+    assert out[0].val == "new"
+
+
+def test_cdc_apply_delete_then_reinsert_in_one_batch(spark):
+    from data_validation_spark.operators.history import cdc_apply
+    base = spark.createDataFrame([("k", 10, "old")],
+                                 "key string, ts long, val string")
+    changes = spark.createDataFrame(
+        [("k", 20, None, "D"), ("k", 30, "back", "I")],
+        "key string, ts long, val string, op string")
+    out = cdc_apply(base, changes, ["key"], "ts", op_col="op").collect()
+    assert [r.val for r in out] == ["back"]
+
+
+def test_cdc_apply_single_exchange(spark):
+    from data_validation_spark.operators.history import cdc_apply
+    base = spark.range(100).select(
+        F.col("id").alias("key"), F.lit(1).alias("ts"))
+    ch = spark.range(50).select(
+        F.col("id").alias("key"), F.lit(2).alias("ts"))
+    plan = cdc_apply(base, ch, ["key"], "ts")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1

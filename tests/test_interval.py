@@ -91,3 +91,38 @@ def test_plan_is_equi_join_not_nested_loop(spark, frames):
     plan = (interval_join(points, intervals, ["key"])
             ._jdf.queryExecution().executedPlan().toString())
     assert "NestedLoop" not in plan and "Cartesian" not in plan, plan
+
+
+# -- merge_intervals ----------------------------------------------------------
+
+def test_merge_intervals_overlap_touch_gap(spark):
+    from data_validation_spark.operators.interval import merge_intervals
+    rows = [("u", 0, 10), ("u", 5, 20),    # overlap -> [0,20]
+            ("u", 20, 30),                 # touch  -> [0,30]
+            ("u", 31, 40),                 # gap    -> new span
+            ("v", 100, 200)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted(((r.k, r.span_start, r.span_end, r.n_intervals)
+                  for r in merge_intervals(df, ["k"], "s", "e")
+                  .collect()))
+    assert out == [("u", 0, 30, 3), ("u", 31, 40, 1),
+                   ("v", 100, 200, 1)]
+
+
+def test_merge_intervals_contained_and_duplicate(spark):
+    from data_validation_spark.operators.interval import merge_intervals
+    rows = [("u", 0, 100), ("u", 10, 20), ("u", 10, 20), ("u", 0, 100)]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = merge_intervals(df, ["k"], "s", "e").collect()
+    assert [(r.span_start, r.span_end, r.n_intervals)
+            for r in out] == [(0, 100, 4)]
+
+
+def test_merge_intervals_single_exchange(spark):
+    from data_validation_spark.operators.interval import merge_intervals
+    df = spark.range(100).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("s"),
+        (F.col("id") + 3).alias("e"))
+    plan = merge_intervals(df, ["k"], "s", "e")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
