@@ -284,6 +284,72 @@ class TableProvider:
         return {"n_rows_before": before, "n_deleted": before - after,
                 "n_rows_after": after}
 
+    def upsert(self, name: str, changes: DataFrame, key_cols: list[str],
+               ts_col: str, op_col: str | None = None,
+               order_cols: tuple[str, ...] = ()) -> dict:
+        """SCD1 MERGE INTO maintenance: fold a CDC batch into the
+        standing snapshot with ``operators.history.cdc_apply``
+        (latest-wins per key, ``op='D'`` deletes) and install the
+        result through the same atomic two-rename swap as ``compact``/
+        ``delete_keys`` — readers never observe a half-merged
+        snapshot.  A missing table bootstraps from the batch itself
+        (deletes of never-seen keys are no-ops by construction).
+
+        Folding batches through this method equals one ``cdc_apply``
+        over the concatenated changes PROVIDED the ordering
+        ``(ts_col, *order_cols)`` totally orders each key's records
+        across batches (pass a batch sequence number in
+        ``order_cols`` when change timestamps can tie) — the
+        equivalence a maintenance job should assert in CI; tested in
+        test_history.
+
+        Iceberg backend: the engine-side path is ``MERGE INTO`` over
+        the batch deduped to its newest row per key — jar-gated like
+        the rest of the seam.  Returns ``{n_rows_before, n_changes,
+        n_rows_after}``."""
+        from data_validation_spark.operators.history import cdc_apply
+
+        if self.backend == "iceberg":
+            raise NotImplementedError(
+                "iceberg upsert = MERGE INTO over the batch's newest "
+                "row per key; jar-gated in this environment — use the "
+                "parquet backend or run with the Iceberg runtime jar")
+        if self.backend != "parquet":
+            raise ValueError("upsert requires parquet or iceberg")
+
+        n_changes = changes.count()
+        if self.exists(name):
+            base = self.read(name)
+            before = base.count()
+        else:
+            base = changes.drop(op_col) if op_col else changes
+            base = base.limit(0)
+            before = 0
+        merged = cdc_apply(base, changes, key_cols, ts_col,
+                           op_col=op_col, order_cols=order_cols)
+
+        jvm = self.spark.sparkContext._jvm
+        jsc = self.spark.sparkContext._jsc
+        live = jvm.org.apache.hadoop.fs.Path(self._ident(name))
+        fs = live.getFileSystem(jsc.hadoopConfiguration())
+        tmp = jvm.org.apache.hadoop.fs.Path(self._ident(name)
+                                            + "__upserting")
+        trash = jvm.org.apache.hadoop.fs.Path(self._ident(name) + "__old")
+        fs.delete(tmp, True)
+        fs.delete(trash, True)
+        merged.write.mode("overwrite").parquet(str(tmp))
+        if fs.exists(live):
+            if not fs.rename(live, trash):
+                raise IOError(f"upsert: cannot move live table {live}")
+        if not fs.rename(tmp, live):
+            if fs.exists(trash):
+                fs.rename(trash, live)  # roll back
+            raise IOError(f"upsert: cannot install merged {name}")
+        fs.delete(trash, True)
+        after = self.read(name).count()
+        return {"n_rows_before": before, "n_changes": n_changes,
+                "n_rows_after": after}
+
     def exists(self, name: str) -> bool:
         if self.backend != "iceberg":
             # cheap existence probe via the Hadoop FS API (no listing scan)

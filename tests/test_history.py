@@ -276,3 +276,53 @@ def test_cdc_apply_single_exchange(spark):
     plan = cdc_apply(base, ch, ["key"], "ts")._jdf \
         .queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_provider_upsert_fold_equals_single_shot(spark, tmp_path):
+    """Folding CDC batches through TableProvider.upsert == ONE
+    cdc_apply over the concatenated changes, when (ts, batch_seq)
+    totally orders each key's records — the CI gate for incremental
+    snapshot maintenance."""
+    from data_validation_spark.operators.history import cdc_apply
+    from data_validation_spark.sources.table_provider import TableProvider
+
+    schema = "key long, ts long, val string, op string, batch int"
+    b1 = spark.createDataFrame(
+        [(k, 10, f"v{k}", "U", 1) for k in range(20)], schema)
+    b2 = spark.createDataFrame(
+        [(5, 20, "v5b", "U", 2), (6, 20, None, "D", 2),
+         (99, 20, "new", "I", 2)], schema)
+    b3 = spark.createDataFrame(
+        [(5, 20, "v5c", "U", 3),      # same ts as b2 -> batch wins
+         (6, 30, "back", "I", 3)], schema)
+
+    tp = TableProvider(spark, str(tmp_path))
+    for b in (b1, b2, b3):
+        rep = tp.upsert("snap", b, ["key"], "ts", op_col="op",
+                        order_cols=("batch",))
+    assert rep["n_rows_after"] == 21    # 20 + insert 99; 6 deleted+back
+
+    folded = {r.key: r for r in tp.read("snap").collect()}
+    empty = b1.drop("op").limit(0)
+    single = {r.key: r for r in
+              cdc_apply(empty, b1.unionByName(b2).unionByName(b3),
+                        ["key"], "ts", op_col="op",
+                        order_cols=("batch",)).collect()}
+    assert set(folded) == set(single)
+    for k in folded:
+        assert folded[k].val == single[k].val, k
+    assert folded[5].val == "v5c" and folded[6].val == "back"
+
+
+def test_provider_upsert_bootstrap_and_report(spark, tmp_path):
+    from data_validation_spark.sources.table_provider import TableProvider
+    tp = TableProvider(spark, str(tmp_path))
+    b = spark.createDataFrame(
+        [(1, 10, "a", "U"), (2, 10, None, "D")],
+        "key long, ts long, val string, op string")
+    rep = tp.upsert("t", b, ["key"], "ts", op_col="op")
+    # bootstrap: delete of a never-seen key is a no-op
+    assert rep == {"n_rows_before": 0, "n_changes": 2,
+                   "n_rows_after": 1}
+    assert tp.read("t").collect()[0].val == "a"
+    assert "op" not in tp.read("t").columns
