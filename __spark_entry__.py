@@ -1887,6 +1887,44 @@ def q_metric_constraints(spark, sf_dir):
         .orderBy("partition", "constraint"))
 
 
+def q_ordering_constraint(spark, sf_dir):
+    """The `ordering` metric constraint kind end-to-end through
+    run_validation: per-event_type partitions judged on out-of-order
+    arrival under the LCG-emulated racy ingest (arrival key unique by
+    construction).  Thresholds sit between the per-partition measured
+    values (late_micro 924,785–934,556 vs the 930,000 cap; max
+    lateness 2.575–2.586 Ms vs the 2,580,000 s cap) so both verdicts
+    appear in both states; the oracle replays the window + integer
+    late_micro + threshold CASEs."""
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import (
+        Constraint, ValidationSuite)
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "arr", F.expr("((event_id * 1103515245 + 12345) % 2147483648) "
+                      "* 100000 + event_id"))
+    suite = ValidationSuite(
+        name="ordering", components=[], partition_cols=["event_type"],
+        constraints=[
+            Constraint("late_cap_tight", "ordering",
+                       {"key": "user_id", "arrival": "arr",
+                        "component": "ts", "max_late_ratio": 0.93}),
+            Constraint("late_cap_loose", "ordering",
+                       {"key": "user_id", "arrival": "arr",
+                        "component": "ts", "max_late_ratio": 0.95}),
+            Constraint("lateness_cap", "ordering",
+                       {"key": "user_id", "arrival": "arr",
+                        "component": "ts",
+                        "max_lateness_seconds": 2_580_000}),
+        ])
+    res = run_validation(spark, ev, suite)
+    rows = [(v["partition"], v["constraint"], int(v["n_violations"]),
+             bool(v["passed"])) for v in res.verdicts]
+    return (spark.createDataFrame(
+        rows, "partition string, constraint string, n_violations bigint, "
+              "passed boolean")
+        .orderBy("partition", "constraint"))
+
+
 def q_where_scoped(spark, sf_dir):
     """`where`-scoped constraints (deequ's analyzer scope option)
     end-to-end through run_validation: row-level scopes conjoin inside
@@ -2636,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dq_constraint_kinds": q_dq_constraint_kinds,
         "metric_constraints": q_metric_constraints,
         "where_scoped": q_where_scoped,
+        "ordering_constraint": q_ordering_constraint,
         "entropy": q_entropy,
         "iqr_outliers": q_iqr_outliers,
         "bigram_pmi": q_bigram_pmi,
@@ -4320,6 +4359,38 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN u1 * 1.0 / nn < 1.0 THEN 1 ELSE 0 END
                 FROM g JOIN uq ON g.part = uq.part)
             SELECT part AS "partition", con AS "constraint",
+                   CAST(nv AS BIGINT) AS n_violations,
+                   nv = 0 AS passed
+            FROM v ORDER BY 1, 2
+        """,
+        "ordering_constraint": """
+            WITH t AS (
+              SELECT event_type, epoch_us(ts) AS ts_us,
+                     max(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY
+                         ((event_id * 1103515245 + 12345)
+                          % 2147483648) * 100000 + event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS hwm
+              FROM events),
+            g AS (
+              SELECT event_type,
+                     (sum(CASE WHEN hwm - ts_us > 0 THEN 1 ELSE 0 END)
+                      * 1000000) // count(*) AS lm,
+                     max(hwm - ts_us) AS mx
+              FROM t GROUP BY 1),
+            v AS (
+              SELECT event_type, 'late_cap_tight' AS con,
+                     CASE WHEN lm > 0.93 * 1000000 THEN 1 ELSE 0 END
+                       AS nv FROM g
+              UNION ALL SELECT event_type, 'late_cap_loose',
+                     CASE WHEN lm > 0.95 * 1000000 THEN 1 ELSE 0 END
+                     FROM g
+              UNION ALL SELECT event_type, 'lateness_cap',
+                     CASE WHEN mx > 2580000.0 * 1000000 THEN 1 ELSE 0
+                     END FROM g)
+            SELECT 'event_type=' || event_type AS "partition",
+                   con AS "constraint",
                    CAST(nv AS BIGINT) AS n_violations,
                    nv = 0 AS passed
             FROM v ORDER BY 1, 2

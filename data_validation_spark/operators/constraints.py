@@ -40,7 +40,8 @@ SET_LEVEL_KINDS = ("unique", "referential", "fd", "completeness",
 #: single failed verdict with n_violations=1.  A stat the run could not
 #: produce (empty partition, wrong ctype) fails CLOSED: it cannot prove
 #: the assertion, so passed=false (same stance as `expression` NULLs).
-METRIC_KINDS = ("stat_bounds", "row_count", "freshness", "distinctness")
+METRIC_KINDS = ("stat_bounds", "row_count", "freshness", "distinctness",
+                "ordering")
 SUPPORTED_KINDS = (ROW_LEVEL_KINDS + SET_LEVEL_KINDS + METRIC_KINDS
                    + ("drift",))
 
@@ -393,6 +394,8 @@ def evaluate_constraints(df: DataFrame, suite: ValidationSuite,
         for c in metric_cs:
             if c.kind == "distinctness":
                 vals[c.name] = distinctness_values(df, c, pcols)
+            elif c.kind == "ordering":
+                vals[c.name] = ordering_values(df, c, pcols)
         observed = sorted({p for d in vals.values() for p in d}) \
             or ["<global>"]
         mrows = metric_verdict_rows(vals, metric_cs, observed)
@@ -679,6 +682,43 @@ def distinctness_values(df: DataFrame, c: Constraint,
     return out
 
 
+def ordering_values(df: DataFrame, c: Constraint,
+                    pcols: list[str]) -> dict[str, dict]:
+    """Per-partition out-of-order measurement for one ``ordering``
+    constraint (the declarative form of health.event_order_report):
+    per ``key``, a cumulative event-time max over ``arrival`` order
+    tags each row late or on-time; rows then aggregate into THEIR
+    partition's counters.  Value per partition:
+    ``{n, late_micro (= n_late·10⁶ div n, exact), max_us}``.  One
+    key-hash window pass per constraint — its own scan, like
+    distinctness (a per-key sort cannot fuse into the grouped stats
+    pass).  Honors ``where`` by filtering before the window."""
+    p = c.params
+    df = _scoped_df(df, c)
+    ts_expr = (p["expr"] if "expr" in p else p["component"])
+    ts_us = F.unix_micros(F.expr(ts_expr).cast("timestamp"))
+    w = (Window.partitionBy("__k").orderBy("__a")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    tagged = (df.select(partition_label_col(pcols).alias("__label"),
+                        F.col(p["key"]).alias("__k"),
+                        F.col(p["arrival"]).alias("__a"),
+                        ts_us.alias("__ts"))
+              .withColumn("__lat", F.max("__ts").over(w) - F.col("__ts")))
+    rows = (tagged.groupBy("__label")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("__lat") > 0, 1).otherwise(0))
+                 .alias("n_late"),
+                 F.max("__lat").alias("max_us")).collect())
+    out: dict[str, dict] = {}
+    for r in rows:
+        out[r["__label"]] = {
+            "n": int(r["n"]),
+            "late_micro": (int(r["n_late"]) * 1_000_000) // int(r["n"])
+            if r["n"] else None,
+            "max_us": int(r["max_us"]) if r["max_us"] is not None else 0}
+    return out
+
+
 def stat_value_from_profile(profile, c: Constraint):
     """stat_bounds value source inside run_validation: the fused stats
     pass already computed every component stat, so the assertion is free
@@ -704,6 +744,17 @@ def metric_breach(c: Constraint, value) -> bool:
     p = c.params
     if value is None:
         return True
+    if c.kind == "ordering":
+        # composite value from ordering_values; both thresholds are
+        # "at most" assertions and either breach fails the partition
+        lr, ms = p.get("max_late_ratio"), p.get("max_lateness_seconds")
+        breach = False
+        if lr is not None:
+            lm = value.get("late_micro")
+            breach |= lm is None or lm > float(lr) * 1_000_000
+        if ms is not None:
+            breach |= value.get("max_us", 0) > float(ms) * 1_000_000
+        return breach
     if c.kind == "freshness":
         threshold = as_of_micros(p) - int(float(p["max_age_seconds"])
                                           * 1_000_000)

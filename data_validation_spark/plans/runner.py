@@ -32,6 +32,7 @@ from data_validation_spark.operators.constraints import (
     join_rule_violation_frame,
     metric_fused_values,
     metric_verdict_rows,
+    ordering_values,
     partition_label_col,
     referential_violation_counts,
     referential_violations,
@@ -273,6 +274,9 @@ def run_validation(spark: SparkSession, df: DataFrame, suite: ValidationSuite,
         if c.kind == "distinctness":
             actions[f"__dist__{c.name}"] = (
                 lambda c=c: distinctness_values(df, c, pcols))
+        elif c.kind == "ordering":
+            actions[f"__dist__{c.name}"] = (
+                lambda c=c: ordering_values(df, c, pcols))
 
     # -- set-level constraints -------------------------------------------
     # Without a sink: counts-only, column-pruned scans per constraint

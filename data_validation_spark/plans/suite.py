@@ -187,8 +187,14 @@ class Constraint:
                     recency; as_of explicit for deterministic replays
       distinctness  {columns, metric: distinct_ratio|unique_ratio,
                      min?, max?}                     — deequ distinctness
-    Metric kinds (stat_bounds/row_count/freshness/distinctness) are
-    verdict-only: no violation rows, a breach = one failed verdict.
+      ordering      {key, arrival, component|expr (event time),
+                     max_late_ratio? , max_lateness_seconds?}
+                    — per-partition out-of-order arrival assertion
+                    (the declarative event_order_report: per-key
+                    cumulative event-time max over arrival order)
+    Metric kinds (stat_bounds/row_count/freshness/distinctness/
+    ordering) are verdict-only: no violation rows, a breach = one
+    failed verdict.
 
     Every kind except ``drift`` also accepts ``where`` (deequ's
     analyzer scope option): a boolean SQL expression restricting the
@@ -487,6 +493,21 @@ class ValidationSuite:
                     errs.append(f"{what}: needs 'component' or 'expr'")
                 else:
                     resolve(f"CAST(({expr}) AS TIMESTAMP)", what)
+            elif con.kind == "ordering":
+                for need in ("key", "arrival"):
+                    if p.get(need) not in cols:
+                        errs.append(f"{what}: {need} column "
+                                    f"{p.get(need)!r} missing")
+                expr = (p["expr"] if "expr" in p
+                        else p.get("component"))
+                if expr is None:
+                    errs.append(f"{what}: needs 'component' or 'expr'")
+                else:
+                    resolve(f"CAST(({expr}) AS TIMESTAMP)", what)
+                if p.get("max_late_ratio") is None \
+                        and p.get("max_lateness_seconds") is None:
+                    errs.append(f"{what}: needs 'max_late_ratio' or "
+                                "'max_lateness_seconds'")
             elif con.kind == "distinctness":
                 if not p.get("columns"):
                     errs.append(f"{what}: needs 'columns'")

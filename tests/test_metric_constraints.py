@@ -295,3 +295,74 @@ def test_preflight_rejects_bad_metric_params(spark, mdf):
 
 def test_preflight_accepts_good_metric_suite(spark, mdf):
     assert _full_suite().schema_errors(mdf) == []
+
+
+# -- ordering (out-of-order arrival assertion) --------------------------------
+
+def _odf(spark):
+    rows = [
+        # partition p1: u1 arrives 100,200,150 -> 1 late of 3 (50s max)
+        ("p1", "u1", 1, 100), ("p1", "u1", 2, 200), ("p1", "u1", 3, 150),
+        # partition p2: in order
+        ("p2", "u2", 1, 10), ("p2", "u2", 2, 20),
+    ]
+    df = spark.createDataFrame(rows, "part string, u string, arr int, "
+                                     "sec long")
+    from pyspark.sql import functions as F
+    return df.select("part", "u", "arr",
+                     F.timestamp_seconds(F.col("sec")).alias("ts"))
+
+
+def test_ordering_kind_per_partition_verdicts(spark):
+    df = _odf(spark)
+    suite = ValidationSuite(
+        name="ord", components=[], partition_cols=["part"],
+        constraints=[
+            Constraint("mostly_ordered", "ordering",
+                       {"key": "u", "arrival": "arr", "component": "ts",
+                        "max_late_ratio": 0.25}),
+            Constraint("late_ok", "ordering",
+                       {"key": "u", "arrival": "arr", "component": "ts",
+                        "max_late_ratio": 0.5}),
+            Constraint("lateness_cap", "ordering",
+                       {"key": "u", "arrival": "arr", "component": "ts",
+                        "max_lateness_seconds": 40}),
+        ])
+    res = run_validation(spark, df, suite, concurrent_jobs=1)
+    # p1: late_micro = 333333 (1/3) > 0.25 -> fail; <= 0.5 -> pass;
+    # max 50s > 40s cap -> fail.  p2: everything passes.
+    assert not _verdict(res, "part=p1", "mostly_ordered")["passed"]
+    assert _verdict(res, "part=p1", "late_ok")["passed"]
+    assert not _verdict(res, "part=p1", "lateness_cap")["passed"]
+    for name in ("mostly_ordered", "late_ok", "lateness_cap"):
+        assert _verdict(res, "part=p2", name)["passed"]
+
+    run = evaluate_constraints(df, suite)
+    ev = sorted(((r["partition"], r["constraint"], r["passed"])
+                 for r in run.verdicts.collect()))
+    rv = sorted((v["partition"], v["constraint"], v["passed"])
+                for v in res.verdicts)
+    assert ev == rv
+
+
+def test_ordering_kind_where_scope_and_preflight(spark):
+    df = _odf(spark)
+    # scope away the late row -> passes
+    suite = ValidationSuite(
+        name="ord", components=[], partition_cols=["part"],
+        constraints=[Constraint("scoped", "ordering",
+                                {"key": "u", "arrival": "arr",
+                                 "component": "ts",
+                                 "max_late_ratio": 0.0,
+                                 "where": "arr <= 2"})])
+    res = run_validation(spark, df, suite, concurrent_jobs=1)
+    assert all(v["passed"] for v in res.verdicts)
+
+    bad = ValidationSuite(
+        name="ord", components=[], partition_cols=[],
+        constraints=[Constraint("b", "ordering",
+                                {"key": "nope", "arrival": "arr",
+                                 "component": "ts"})])
+    errs = bad.schema_errors(df)
+    assert any("key column" in e for e in errs)
+    assert any("max_late_ratio" in e for e in errs)
