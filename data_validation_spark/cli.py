@@ -65,6 +65,9 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["catalyst", "kernel"])
     v.add_argument("--reference-profile",
                    help="frozen profile JSON for drift constraints")
+    v.add_argument("--report",
+                   help="write a static markdown report (profile + "
+                        "verdicts + drift) to this path")
 
     b = sub.add_parser("build-profile", help="build + save a profile")
     b.add_argument("--input", required=True)
@@ -228,6 +231,10 @@ def main(argv: list[str] | None = None) -> int:
 
     res = run_validation(spark, df, suite, sink=sink, dims=dims or None,
                          resume=not args.no_resume, method=args.method)
+    if args.report:
+        from data_validation_spark.plans.report import save_report
+        save_report(args.report, res.profile, res.verdicts, res.drift,
+                    title=suite.name)
     print(json.dumps({
         "run_id": res.run_id, "passed": res.passed, "n_rows": res.n_rows,
         "n_violations": res.n_violations,

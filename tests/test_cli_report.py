@@ -56,3 +56,31 @@ def test_report_join_explosion_requires_dim(spark, tmp_path, capsys):
     assert main(["report", "--input", path, "--kind", "join-explosion",
                  "--keys", "k", "--dim-input", path]) == 0
     assert _lines(capsys)[0]["out_rows"] == "1"
+
+
+def test_validate_writes_markdown_report(spark, sequences, tmp_path,
+                                         capsys, monkeypatch):
+    from data_validation_spark.plans.report import render_markdown
+    from data_validation_spark.plans.runner import run_validation
+    from data_validation_spark.plans.suite import (
+        Component, Constraint, ValidationSuite)
+    suite = ValidationSuite(
+        name="rep", components=[Component("n_tok", "numeric"),
+                                Component("source", "categoric")],
+        partition_cols=["source"],
+        constraints=[Constraint("n_pos", "bounds",
+                                {"component": "n_tok", "min": 1}),
+                     Constraint("uniq", "unique", {"keys": ["doc_id"]})])
+    res = run_validation(spark, sequences, suite, concurrent_jobs=1)
+    md = render_markdown(res.profile, res.verdicts, res.drift,
+                         title="rep")
+    assert md.startswith("# rep — validation report")
+    assert "## Components" in md and "| n_tok | numeric |" in md
+    assert "## Verdicts" in md and "uniq" in md
+    # failed checks sort first and are bolded
+    assert "**FAIL**" in md  # seeded dup doc_ids trip `uniq`
+    out = tmp_path / "r.md"
+    from data_validation_spark.plans.report import save_report
+    save_report(str(out), res.profile, res.verdicts, res.drift)
+    assert out.read_text() == render_markdown(res.profile, res.verdicts,
+                                              res.drift)
