@@ -170,7 +170,12 @@ def main() -> None:
     # the headline stays composition-comparable across rounds
     extra_timings: dict[str, float] = {}
     for name in ["asof_join", "interval_attribution", "sessionize",
-                 "retention", "embedding_outliers"]:
+                 "retention", "embedding_outliers",
+                 # r4-session DQ/temporal additions (extras keep the
+                 # headline composition-comparable across rounds)
+                 "join_explosion", "missingness", "event_order",
+                 "tfidf_terms", "merge_intervals", "cdc_apply",
+                 "k_anonymity", "suggest_types"]:
         best, n = None, 0
         for _ in range(RUNS):
             spark.catalog.clearCache()
