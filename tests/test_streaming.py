@@ -354,3 +354,44 @@ def test_streaming_ingest_dedup_accumulates_state(spark, tmp_path):
         ((r.n_batch, r.n_distinct, r.n_seen_in_corpus, r.n_survivors)
          for r in sink.read(INGEST_REPORT_TABLE).collect()))
     assert reports == [(3, 2, 0, 2), (3, 2, 1, 1)]
+
+
+def test_stream_ordering_kind_per_batch(spark, tmp_path):
+    """The `ordering` metric kind rides the same per-batch
+    evaluate_constraints route: a batch whose arrivals run backwards
+    in event time reds the lateness assertion; an in-order batch
+    stays green."""
+    path = str(tmp_path / "in")
+    # file 1: in order; file 2: reversed event time per user
+    ok = [(f"a{i}", "u1", i, "2026-01-01 00:%02d:00" % i)
+          for i in range(1, 8)]
+    bad = [(f"b{i}", "u1", i, "2026-01-01 00:%02d:00" % (10 - i))
+           for i in range(1, 8)]
+    df_ok = spark.createDataFrame(
+        ok, "doc_id string, u string, arr int, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df_bad = spark.createDataFrame(
+        bad, "doc_id string, u string, arr int, ts_s string") \
+        .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+    df_ok.coalesce(1).write.mode("overwrite").parquet(path)
+    df_bad.coalesce(1).write.mode("append").parquet(path)
+    schema = spark.read.parquet(path).schema
+
+    suite = ValidationSuite(
+        name="stream-ordering",
+        constraints=[Constraint("in_order", "ordering",
+                                {"key": "u", "arrival": "arr",
+                                 "component": "ts",
+                                 "max_late_ratio": 0.1})],
+        partition_cols=[])
+    stream_df = (spark.readStream.schema(schema)
+                 .option("maxFilesPerTrigger", "1").parquet(path))
+    sink = TableProvider(spark, str(tmp_path / "sink"))
+    q = validate_stream(stream_df, suite, sink,
+                        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    v = sink.read(STREAM_VERDICTS_TABLE).collect()
+    assert len({r["batch_id"] for r in v}) == 2
+    # one batch green, one red — per-batch verdicts, not a global one
+    assert sorted(r["passed"] for r in v) == [False, True]
