@@ -65,6 +65,10 @@ def main(argv: list[str] | None = None) -> int:
                    choices=["catalyst", "kernel"])
     v.add_argument("--reference-profile",
                    help="frozen profile JSON for drift constraints")
+    v.add_argument("--ge-suite",
+                   help="import a Great Expectations expectation-suite "
+                        "JSON as the validation suite (strict mapping; "
+                        "unmapped expectation types fail loud)")
     v.add_argument("--report",
                    help="write a static markdown report (profile + "
                         "verdicts + drift) to this path")
@@ -200,7 +204,13 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps(row.asDict(), sort_keys=True, default=str))
         return 0
 
-    suite = _build_suite(args.suite)
+    if getattr(args, "ge_suite", None):
+        from data_validation_spark.plans.interop import (
+            from_great_expectations)
+        with open(args.ge_suite) as f:
+            suite = from_great_expectations(f.read())
+    else:
+        suite = _build_suite(args.suite)
 
     if args.cmd == "build-profile":
         from data_validation_spark.operators.profile import build_profile
