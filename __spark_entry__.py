@@ -2090,6 +2090,45 @@ def q_ann_index_increment(spark, sf_dir):
     return _r6(out, "cosine")
 
 
+def q_pdf_headers(spark, sf_dir):
+    """Real PDF header/trailer decode, oracle-checked as
+    synthesize∘parse = identity: minimal PDF documents are BUILT
+    IN-ENGINE from each doc_id (version, optional /Linearized first
+    object, N indirect objects, startxref offset, optional %%EOF),
+    then parsed back by multimodal.parse_pdf_headers (pure Catalyst —
+    magic regex, head /Linearized probe, LAST-startxref tail
+    extraction, object-header count).  The oracle emits the expected
+    fields straight from the same doc_id arithmetic."""
+    from data_validation_spark.operators.multimodal import (
+        parse_pdf_headers)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("1."), (F.col("doc_id") % 8).cast("string"))
+        .alias("ver"),
+        (F.col("doc_id") % 3 == 0).alias("lin"),
+        (F.col("doc_id") % 5).cast("int").alias("n_obj"),
+        (F.col("doc_id") * 7 + 3).cast("long").alias("off"),
+        (F.col("doc_id") % 11 != 0).alias("eof"))
+    objs = F.when(F.col("n_obj") > 0, F.expr(
+        "concat_ws('', transform(sequence(1, n_obj), "
+        "i -> concat(i + 1, ' 0 obj\\n<< >>\\nendobj\\n')))")) \
+        .otherwise(F.lit(""))
+    body = F.concat(
+        F.lit("%PDF-"), F.col("ver"), F.lit("\n"),
+        F.when(F.col("lin"),
+               F.lit("1 0 obj\n<< /Linearized 1 >>\nendobj\n"))
+        .otherwise(F.lit("")),
+        objs,
+        F.lit("xref\n0 1\ntrailer\n<< >>\nstartxref\n"),
+        F.col("off").cast("string"), F.lit("\n"),
+        F.when(F.col("eof"), F.lit("%%EOF\n")).otherwise(F.lit("")))
+    parsed = parse_pdf_headers(
+        d.select("doc_id", body.cast("binary").alias("payload")))
+    return parsed.select(
+        "doc_id", "valid", "version", "linearized",
+        "startxref_offset", "has_eof", "n_objects")
+
+
 def q_wav_headers(spark, sf_dir):
     """Real audio-container decode, oracle-checked as synthesize∘parse
     = identity: canonical RIFF/WAVE headers are BUILT IN-ENGINE from
@@ -2683,6 +2722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_index_query": q_ann_index_query,
         "ann_index_increment": q_ann_index_increment,
         "wav_headers": q_wav_headers,
+        "pdf_headers": q_pdf_headers,
         "mp4_headers": q_mp4_headers,
         "scd2_customer_status": q_scd2_customer_status,
         "scd2_incremental": q_scd2_incremental,
@@ -4019,6 +4059,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey_a, c_custkey_b, pos_a, pos_b,
                    CAST(levenshtein(na, nb) AS INT) AS dist
             FROM p WHERE levenshtein(na, nb) <= 1
+        """,
+        "pdf_headers": """
+            SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+                   true AS valid,
+                   '1.' || CAST(doc_id % 8 AS VARCHAR) AS version,
+                   doc_id % 3 = 0 AS linearized,
+                   CAST(doc_id * 7 + 3 AS BIGINT) AS startxref_offset,
+                   doc_id % 11 != 0 AS has_eof,
+                   CAST(doc_id % 5
+                        + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_objects
+            FROM documents
         """,
         "wav_headers": """
             SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS valid,

@@ -1064,3 +1064,53 @@ def suggest_types(df: DataFrame, cols: list[str] | None = None
     return out.select("column", "n_rows", "n_null",
                       *[f"n_{name}" for name, _ in TYPE_SHAPES],
                       suggested.alias("suggested_type"))
+
+
+def cast_landing(df: DataFrame,
+                 types: dict[str, str] | None = None,
+                 cols: list[str] | None = None
+                 ) -> tuple[DataFrame, DataFrame]:
+    """Apply ``suggest_types``-style decisions to an all-VARCHAR
+    landing: returns ``(typed, quarantined)`` — the ingestion sibling
+    of ``split_valid_invalid``.  ``types`` maps column → target type
+    (any ``suggest_types`` ladder name); omitted columns stay string.
+    When ``types`` is None the suggestions are computed first (one
+    extra melt scan — pass the dict explicitly in production so the
+    decision is REVIEWED and pinned, not re-inferred per run).
+
+    Casting is ``try_cast`` (never throws); a row where any raw value
+    was non-null but its cast came back NULL is quarantined with an
+    ``errors`` array naming the offending columns — typed rows never
+    silently lose a value the landing had.  Every target is a plain
+    ``try_cast``, which accepts a SUPERSET of each suggester shape
+    (boolean also takes t/f/1/0, timestamps take more formats) —
+    wider, never narrower, so a suggested type can always cast its
+    own evidence.  ONE tagged projection, two filters —
+    cache the tagged frame if both sides are consumed."""
+    if types is None:
+        sugg = suggest_types(df, cols)
+        types = {r["column"]: r["suggested_type"]
+                 for r in sugg.collect()
+                 if r["suggested_type"] != "string"}
+    bad_flags = []
+    out_cols = []
+    for c in df.columns:
+        t = types.get(c)
+        if not t or t == "string":
+            out_cols.append(F.col(c))
+            continue
+        raw = F.col(c)
+        casted = raw.try_cast(t)
+        out_cols.append(casted.alias(c))
+        bad_flags.append(F.when(raw.isNotNull() & casted.isNull(),
+                                F.lit(c)))
+    if not bad_flags:
+        return df, df.limit(0).withColumn(
+            "errors", F.array().cast("array<string>"))
+    errs = F.array_compact(F.array(*bad_flags))
+    tagged = df.withColumn("__errs", errs)
+    typed = (tagged.filter(F.array_size("__errs") == 0)
+             .select(*out_cols))
+    quarantined = (tagged.filter(F.array_size("__errs") > 0)
+                   .withColumnRenamed("__errs", "errors"))
+    return typed, quarantined

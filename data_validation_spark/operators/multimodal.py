@@ -561,3 +561,51 @@ def parse_mp4_headers(df: DataFrame, id_col: str = "doc_id",
         F.when(valid, ntr).cast("int").alias("n_tracks"),
         F.when(valid, F.round(dur.cast("double") / ts.cast("double"), 6))
         .alias("duration_s"))
+
+
+def parse_pdf_headers(df: DataFrame, id_col: str = "doc_id",
+                      payload_col: str = "payload") -> DataFrame:
+    """REAL document-container decode without a PDF library: the
+    header/trailer grammar a crawler needs is pure text at known
+    anchors, so the whole parse is one Catalyst projection — decode
+    the binary as ISO-8859-1 (byte-transparent) and read:
+
+    * ``%PDF-M.m`` magic → ``version`` (NULL + ``valid=false`` when
+      the magic is absent — the corrupt-payload screen);
+    * ``/Linearized`` inside the first 256 bytes → ``linearized``
+      (the fast-web-view hint lives in the first object by spec);
+    * the TAIL (last 64 bytes) → ``startxref_offset`` (the byte
+      offset of the final cross-reference section; incremental
+      updates append new trailers, and the LAST ``startxref`` is the
+      live one — anchoring the read to the tail selects it without
+      scanning the body) and ``has_eof`` (``%%EOF`` terminator);
+    * ``n_objects`` = count of indirect-object headers
+      (``N 0 obj``-shaped, one regexp_count pass).
+
+    All string ops are JVM-side whole-stage codegen; no Python, no
+    UDF.  Trailer-less or truncated payloads fail closed
+    (``valid=false`` / NULL offset), never a guess."""
+    body = F.decode(F.col(payload_col).cast("binary"), "ISO-8859-1")
+    head = F.substring(body, 1, 256)
+    tail = F.substring(body, F.greatest(F.lit(1), F.length(body) - 63),
+                       F.lit(64))
+    version = F.regexp_extract(head, r"^%PDF-([0-9]+\.[0-9]+)", 1)
+    # the LAST startxref in the tail is the live trailer — two can fit
+    # in one 64-byte window when incremental updates are tiny, so take
+    # the final match, not the first (try_element_at: empty → NULL)
+    xref = F.try_element_at(
+        F.regexp_extract_all(tail, F.lit(r"startxref\s+([0-9]+)"),
+                             F.lit(1)), F.lit(-1))
+    return df.select(
+        F.col(id_col),
+        (version != "").alias("valid"),
+        F.when(version != "", version).alias("version"),
+        F.when(version != "",
+               head.contains("/Linearized")).alias("linearized"),
+        F.when((version != "") & xref.isNotNull(), xref.cast("long"))
+        .alias("startxref_offset"),
+        F.when(version != "",
+               tail.contains("%%EOF")).alias("has_eof"),
+        F.when(version != "",
+               F.regexp_count(body, F.lit(r"[0-9]+ [0-9]+ obj")))
+        .cast("long").alias("n_objects"))

@@ -372,3 +372,69 @@ def test_parse_mp4_headers_is_pure_catalyst(spark):
         .executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+# -- parse_pdf_headers --------------------------------------------------------
+
+def test_pdf_headers_synthesize_parse_identity(spark):
+    from data_validation_spark.operators.multimodal import (
+        parse_pdf_headers)
+    from pyspark.sql import functions as F
+
+    def pdf(version, linear, n_obj, off, eof=True):
+        s = f"%PDF-{version}\n"
+        if linear:
+            s += "1 0 obj\n<< /Linearized 1 >>\nendobj\n"
+        for i in range(2, 2 + n_obj):
+            s += f"{i} 0 obj\n<< >>\nendobj\n"
+        s += f"xref\n0 1\ntrailer\n<< >>\nstartxref\n{off}\n"
+        if eof:
+            s += "%%EOF\n"
+        return s
+
+    rows = [
+        ("d1", pdf("1.7", True, 3, 12345)),
+        ("d2", pdf("2.0", False, 0, 7)),
+        ("d3", pdf("1.4", False, 5, 999, eof=False)),
+        ("d4", "not a pdf at all"),
+        ("d5", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, s string") \
+        .select("doc_id", F.col("s").cast("binary").alias("payload"))
+    out = {r.doc_id: r for r in parse_pdf_headers(df).collect()}
+
+    assert out["d1"].valid and out["d1"].version == "1.7"
+    assert out["d1"].linearized and out["d1"].has_eof
+    assert out["d1"].startxref_offset == 12345
+    assert out["d1"].n_objects == 4          # linearized obj + 3
+    assert out["d2"].version == "2.0" and not out["d2"].linearized
+    assert out["d2"].n_objects == 0 and out["d2"].startxref_offset == 7
+    assert not out["d3"].has_eof and out["d3"].startxref_offset == 999
+    assert not out["d4"].valid and out["d4"].version is None
+    assert out["d4"].startxref_offset is None
+    assert not out["d5"].valid
+
+
+def test_pdf_headers_incremental_update_reads_last_trailer(spark):
+    from data_validation_spark.operators.multimodal import (
+        parse_pdf_headers)
+    from pyspark.sql import functions as F
+    # two trailers (incremental update) -> the LAST startxref wins
+    s = ("%PDF-1.5\n1 0 obj\nendobj\n"
+         "startxref\n100\n%%EOF\n"
+         "2 0 obj\nendobj\nstartxref\n2000\n%%EOF\n")
+    df = spark.createDataFrame([("d", s)], "doc_id string, s string") \
+        .select("doc_id", F.col("s").cast("binary").alias("payload"))
+    r = parse_pdf_headers(df).collect()[0]
+    assert r.startxref_offset == 2000 and r.has_eof
+
+
+def test_pdf_headers_no_python_in_plan(spark):
+    from data_validation_spark.operators.multimodal import (
+        parse_pdf_headers)
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([("d", "x")], "doc_id string, s string") \
+        .select("doc_id", F.col("s").cast("binary").alias("payload"))
+    plan = parse_pdf_headers(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan

@@ -626,3 +626,33 @@ def test_suggest_types_all_null_is_string(spark):
     df = spark.createDataFrame([(None,), (None,)], "x string")
     r = suggest_types(df).collect()[0]
     assert r.suggested_type == "string" and r.n_null == 2
+
+
+# -- cast_landing -------------------------------------------------------------
+
+def test_cast_landing_types_and_quarantine(spark):
+    from data_validation_spark.operators.health import cast_landing
+    rows = [("1", "1.5", "2024-01-02", "ok"),
+            ("2", "oops", "2024-02-03", "ok"),      # double fails
+            ("x", "2.5", "bad-date", "ok"),         # two failures
+            (None, None, None, "ok")]               # nulls pass through
+    df = spark.createDataFrame(rows, "i string, d string, dt string, "
+                                     "s string")
+    typed, quar = cast_landing(df, {"i": "bigint", "d": "double",
+                                    "dt": "date"})
+    t = typed.collect()
+    assert [str(f.dataType) for f in typed.schema.fields] \
+        == ["LongType()", "DoubleType()", "DateType()", "StringType()"]
+    assert len(t) == 2                 # clean row + all-null row
+    q = {tuple(r["errors"]): r for r in quar.collect()}
+    assert ("d",) in q and ("i", "dt") in q
+    # quarantined rows keep the RAW landing values
+    assert q[("d",)].d == "oops"
+
+
+def test_cast_landing_infers_when_unpinned(spark):
+    from data_validation_spark.operators.health import cast_landing
+    df = spark.createDataFrame([("1",), ("2",), ("3",)], "x string")
+    typed, quar = cast_landing(df)
+    assert str(typed.schema["x"].dataType) == "LongType()"
+    assert quar.count() == 0
