@@ -84,3 +84,22 @@ def test_validate_writes_markdown_report(spark, sequences, tmp_path,
     save_report(str(out), res.profile, res.verdicts, res.drift)
     assert out.read_text() == render_markdown(res.profile, res.verdicts,
                                               res.drift)
+
+
+def test_validate_ge_suite_cli_path(spark, tmp_path, capsys):
+    import json as _json
+    data = str(tmp_path / "data")
+    spark.createDataFrame(
+        [("a1", 5), ("a2", 50)], "doc_id string, val int") \
+        .write.parquet(data)
+    ge = tmp_path / "ge.json"
+    ge.write_text(_json.dumps({
+        "expectation_suite_name": "cli_ge",
+        "expectations": [
+            {"expectation_type": "expect_column_values_to_be_between",
+             "kwargs": {"column": "val", "max_value": 10}}]}))
+    rc = main(["validate", "--input", data, "--ge-suite", str(ge),
+               "--no-resume"])
+    out = _lines(capsys)[-1]
+    assert rc == 2 and out["passed"] is False   # the 50 breaches
+    assert out["n_violations"] == 1
