@@ -1570,6 +1570,32 @@ def q_suggest_types(spark, sf_dir):
     return suggest_types(o).orderBy("column")
 
 
+def q_pseudonymize(spark, sf_dir):
+    """Keyed pseudonymization (redact.pseudonymize): customer names
+    become salted sha2-256 tokens truncated to 16 hex chars — equal
+    names map to equal tokens (join-preserving), NULL stays NULL.
+    Both engines compute the identical digest of the identical
+    concatenation, so the oracle is byte-for-byte."""
+    from data_validation_spark.operators.redact import pseudonymize
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    return pseudonymize(cust, ["c_name"], salt="r4-fixed-salt")
+
+
+def q_weighted_quantiles(spark, sf_dir):
+    """Exact weighted quantiles (stats.weighted_quantiles): lineitem
+    quantity weighted by line number — (value, Σweight) collapse,
+    cumulative weight, quantile = smallest value whose cum·100 ≥ W·q
+    in pure integers (no interpolation, no sketch); oracle replays
+    the identical order statistic."""
+    from data_validation_spark.functions.stats import weighted_quantiles
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_linenumber").cast("bigint").alias("w"))
+    return weighted_quantiles(li, "q", "w",
+                              quantiles=(25, 50, 75, 90, 99))
+
+
 def q_k_anonymity(spark, sf_dir):
     """Re-identification risk audit (redact.k_anonymity_report): the
     release-side complement of pii_scrub — customer rows keyed by the
@@ -2698,6 +2724,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "event_order": q_event_order,
         "k_anonymity": q_k_anonymity,
+        "pseudonymize": q_pseudonymize,
+        "weighted_quantiles": q_weighted_quantiles,
         "suggest_types": q_suggest_types,
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
@@ -4981,6 +5009,41 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'string'
                    END AS suggested_type
             FROM c ORDER BY "column"
+        """,
+        "pseudonymize": """
+            SELECT c_custkey,
+                   CASE WHEN c_name IS NOT NULL THEN
+                     substr(sha256('r4-fixed-salt' || c_name), 1, 16)
+                   END AS c_name,
+                   c_mktsegment
+            FROM customer
+        """,
+        "weighted_quantiles": """
+            WITH c AS (
+              SELECT CAST(l_quantity AS BIGINT) AS v,
+                     CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+                       AS wt
+              FROM lineitem GROUP BY 1),
+            t AS (
+              SELECT CAST(sum(wt) AS BIGINT) AS W,
+                     CAST(count(*) AS BIGINT) AS n_values FROM c),
+            cum AS (
+              SELECT v, sum(wt) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM c)
+            SELECT t.W AS total_weight, t.n_values,
+                   min(CASE WHEN cum * 100 >= t.W * 25 THEN v END)
+                     AS p25,
+                   min(CASE WHEN cum * 100 >= t.W * 50 THEN v END)
+                     AS p50,
+                   min(CASE WHEN cum * 100 >= t.W * 75 THEN v END)
+                     AS p75,
+                   min(CASE WHEN cum * 100 >= t.W * 90 THEN v END)
+                     AS p90,
+                   min(CASE WHEN cum * 100 >= t.W * 99 THEN v END)
+                     AS p99
+            FROM cum, t GROUP BY t.W, t.n_values
         """,
         "k_anonymity": """
             WITH pairs AS (

@@ -281,3 +281,44 @@ def pearson_corr_matrix(df, cols: list[str]):
             rows.append((a, b, corr))
     return df.sparkSession.createDataFrame(
         rows, "col_a string, col_b string, corr double")
+
+
+def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
+                       quantiles: tuple[int, ...] = (25, 50, 75, 90,
+                                                     99)) -> DataFrame:
+    """EXACT weighted quantiles over an integral value column — the
+    importance-weighted corpus question ("the median token count of
+    my mixture, where each doc carries its sampling weight") that the
+    unweighted GK sketch cannot answer.  Same machinery as the IQR /
+    watermark order statistics: collapse to (value, Σweight) —
+    map-side combinable, the shuffle carries value cardinality, never
+    rows — cumsum over the ordered collapse, and quantile q = the
+    smallest value whose cumulative weight reaches ``ceil(q·W/100)``
+    (``cum·100 >= W·q`` in pure integers; no interpolation, so no
+    engine can disagree at a float boundary).  Zero/negative weights
+    are rejected loudly (a negative weight makes the CDF
+    non-monotone; silently clamping would fabricate a distribution).
+
+    One output row: ``total_weight, n_values, p<q>...``."""
+    from pyspark.sql import Window
+
+    w = F.col(weight_col).cast("long")
+    bad = df.filter(w <= 0).limit(1).count()
+    if bad:
+        raise ValueError(
+            f"weighted_quantiles: non-positive weights in "
+            f"{weight_col!r} (CDF would be non-monotone)")
+    collapsed = (df.groupBy(F.col(value_col).alias("v"))
+                 .agg(F.sum(w).alias("wt")))
+    tot = collapsed.agg(F.sum("wt").alias("W"),
+                        F.count(F.lit(1)).alias("n_values"))
+    wcum = (Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (collapsed.withColumn("cum", F.sum("wt").over(wcum))
+           .crossJoin(F.broadcast(tot)))
+    qs = sorted(set(int(q) for q in quantiles))
+    aggs = [F.min(F.when(F.col("cum") * 100 >= F.col("W") * q,
+                         F.col("v"))).alias(f"p{q}") for q in qs]
+    return (cum.groupBy("W", "n_values").agg(*aggs)
+            .select(F.col("W").alias("total_weight"), "n_values",
+                    *[f"p{q}" for q in qs]))

@@ -124,3 +124,28 @@ def k_anonymity_violating_groups(df: DataFrame, quasi_cols: list[str],
     return (df.groupBy(*quasi_cols)
             .agg(F.count(F.lit(1)).alias("group_size"))
             .filter(F.col("group_size") < int(k)))
+
+
+def pseudonymize(df: DataFrame, cols: list[str], salt: str,
+                 length: int = 16) -> DataFrame:
+    """Deterministic keyed pseudonymization — the middle ground
+    between redaction (destroys joins) and plaintext (leaks): each
+    listed column becomes ``sha2(salt || value, 256)`` truncated to
+    ``length`` hex chars, so equal values map to equal tokens (joins,
+    group-bys and frequency analysis still work downstream) while the
+    original is unrecoverable without the salt.  NULL stays NULL (a
+    missing value must not gain a token that joins with other
+    missing values).  Pure projection — fuses into any surrounding
+    scan, no shuffle, no UDF.
+
+    The salt is the SECRET: rotate it per release, store it beside
+    the key material, never beside the data.  Truncation trades
+    collision resistance for storage — 16 hex chars = 64 bits keeps
+    birthday collisions negligible below ~10⁹ distinct values; pass
+    ``length=64`` for the full digest at 10¹²-key scale."""
+    out = df
+    for c in cols:
+        tok = F.sha2(F.concat(F.lit(salt), F.col(c).cast("string")),
+                     256).substr(1, int(length))
+        out = out.withColumn(c, F.when(F.col(c).isNotNull(), tok))
+    return out

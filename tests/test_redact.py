@@ -99,3 +99,23 @@ def test_k_anonymity_without_sensitive_has_no_l_cols(spark):
     out = k_anonymity_report(df, ["q"], k=2)
     assert "min_l" not in out.columns
     assert out.collect()[0].n_groups_below_k == 0
+
+
+def test_pseudonymize_deterministic_join_preserving(spark):
+    from data_validation_spark.operators.redact import pseudonymize
+    df = spark.createDataFrame(
+        [("alice", 1), ("bob", 2), ("alice", 3), (None, 4)],
+        "name string, v int")
+    out = pseudonymize(df, ["name"], salt="s3cret").collect()
+    toks = {}
+    for r in out:
+        toks.setdefault(r.name, []).append(r.v)
+    # equal values -> equal tokens (join-preserving); NULL stays NULL
+    tok_alice = [k for k, vs in toks.items() if sorted(vs) == [1, 3]]
+    assert len(tok_alice) == 1 and tok_alice[0] is not None
+    assert len(tok_alice[0]) == 16
+    assert None in toks and toks[None] == [4]
+    # different salt -> different tokens (rotation breaks linkage)
+    out2 = pseudonymize(df, ["name"], salt="other").collect()
+    assert {r.name for r in out2 if r.v in (1, 3)} \
+        != {tok_alice[0]}

@@ -147,3 +147,32 @@ def test_corr_matrix_partition_invariant(spark):
     ra = pearson_corr_matrix(a, ["x", "y"]).collect()[0].corr
     rb = pearson_corr_matrix(b, ["x", "y"]).collect()[0].corr
     assert ra == rb
+
+
+def test_weighted_quantiles_exact(spark):
+    from data_validation_spark.functions.stats import weighted_quantiles
+    # value 1 w=1, value 2 w=1, value 10 w=8 -> W=10:
+    # p25 -> ceil(2.5)=3rd unit -> 10; p50 -> 10; p10 -> 1
+    df = spark.createDataFrame([(1, 1), (2, 1), (10, 8)],
+                               "v int, w int")
+    r = weighted_quantiles(df, "v", "w", quantiles=(10, 20, 25, 50)) \
+        .collect()[0]
+    assert (r.total_weight, r.n_values) == (10, 3)
+    assert (r.p10, r.p20, r.p25, r.p50) == (1, 2, 10, 10)
+
+
+def test_weighted_quantiles_uniform_weight_matches_unweighted(spark):
+    from data_validation_spark.functions.stats import weighted_quantiles
+    vals = list(range(1, 101))
+    df = spark.createDataFrame([(v, 1) for v in vals], "v int, w int")
+    r = weighted_quantiles(df, "v", "w").collect()[0]
+    # discrete lower-quantile convention: p50 of 1..100 = 50
+    assert (r.p25, r.p50, r.p75, r.p99) == (25, 50, 75, 99)
+
+
+def test_weighted_quantiles_rejects_nonpositive(spark):
+    import pytest
+    from data_validation_spark.functions.stats import weighted_quantiles
+    df = spark.createDataFrame([(1, 0)], "v int, w int")
+    with pytest.raises(ValueError, match="non-positive"):
+        weighted_quantiles(df, "v", "w")
