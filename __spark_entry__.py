@@ -1570,6 +1570,33 @@ def q_suggest_types(spark, sf_dir):
     return suggest_types(o).orderBy("column")
 
 
+def q_centroid_drift(spark, sf_dir):
+    """Embedding-space drift (outliers.embedding_centroid_drift): two
+    comparisons over a NEAR-ZERO-MEAN corpus, where the centroid is
+    noise-dominated — exactly the regime where exactness matters,
+    because a float-summed centroid would flip the low-magnitude
+    cosine run to run.  Even/odd halves read norm_ratio ≈ 1 (same
+    population) with small cosine (noise direction); label-0 vs
+    label-1 reads a different small cosine.  Dot and both norms are
+    exact DECIMAL(38,0) over quantized per-dim sums (the n's cancel
+    in cosine), one sqrt/divide/round-6 tail identical on both
+    engines — observed 6-dp-stable at 0.104928 / −0.116425."""
+    from data_validation_spark.operators.outliers import (
+        embedding_centroid_drift)
+    emb = _t(spark, sf_dir, "embeddings")
+    halves = embedding_centroid_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1)) \
+        .withColumn("comparison", F.lit("split_halves"))
+    labels = embedding_centroid_drift(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1)) \
+        .withColumn("comparison", F.lit("label_0_vs_1"))
+    return halves.unionByName(labels).select(
+        "comparison", "n_cur", "n_ref", "dims", "centroid_cosine",
+        "norm_ratio")
+
+
 def q_pseudonymize(spark, sf_dir):
     """Keyed pseudonymization (redact.pseudonymize): customer names
     become salted sha2-256 tokens truncated to 16 hex chars — equal
@@ -2725,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order": q_event_order,
         "k_anonymity": q_k_anonymity,
         "pseudonymize": q_pseudonymize,
+        "centroid_drift": q_centroid_drift,
         "weighted_quantiles": q_weighted_quantiles,
         "suggest_types": q_suggest_types,
         "embedding_outliers": q_embedding_outliers,
@@ -5009,6 +5037,56 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 'string'
                    END AS suggested_type
             FROM c ORDER BY "column"
+        """,
+        "centroid_drift": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     list_transform(embedding,
+                         x -> CAST(round(CAST(x AS DOUBLE) * 1000000.0)
+                                   AS BIGINT)) AS qv
+              FROM embeddings WHERE embedding IS NOT NULL),
+            ex AS (
+              SELECT vec_id, label, p.pos, qv[p.pos] AS v
+              FROM q, (SELECT unnest(range(1, 65)) AS pos) p),
+            pair AS (
+              SELECT 'split_halves' AS comparison,
+                     CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END
+                       AS side, pos, v
+              FROM ex
+              UNION ALL
+              SELECT 'label_0_vs_1',
+                     CASE WHEN label = 0 THEN 'a' ELSE 'b' END,
+                     pos, v
+              FROM ex WHERE label IN (0, 1)),
+            m AS (
+              SELECT comparison, pos,
+                     CAST(sum(CASE WHEN side = 'a' THEN v END)
+                          AS HUGEINT) AS sa,
+                     CAST(sum(CASE WHEN side = 'b' THEN v END)
+                          AS HUGEINT) AS sb,
+                     sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS na,
+                     sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS nb
+              FROM pair GROUP BY 1, 2),
+            g AS (
+              SELECT comparison,
+                     CAST(max(na) AS BIGINT) AS n_cur,
+                     CAST(max(nb) AS BIGINT) AS n_ref,
+                     CAST(count(*) AS BIGINT) AS dims,
+                     sum(sa * sb) AS dot,
+                     sum(sa * sa) AS a2,
+                     sum(sb * sb) AS b2
+              FROM m GROUP BY 1)
+            SELECT comparison, n_cur, n_ref, dims,
+                   CASE WHEN a2 > 0 AND b2 > 0 THEN
+                     round(CAST(dot AS DOUBLE)
+                           / (sqrt(CAST(a2 AS DOUBLE))
+                              * sqrt(CAST(b2 AS DOUBLE))), 6)
+                   END AS centroid_cosine,
+                   CASE WHEN a2 > 0 AND b2 > 0 THEN
+                     round(sqrt(CAST(a2 AS DOUBLE)) * n_ref
+                           / (sqrt(CAST(b2 AS DOUBLE)) * n_cur), 6)
+                   END AS norm_ratio
+            FROM g
         """,
         "pseudonymize": """
             SELECT c_custkey,

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["embedding_outliers"]
+__all__ = ["embedding_outliers", "embedding_centroid_drift"]
 
 _DEC = "decimal(38,0)"
 
@@ -90,3 +90,54 @@ def embedding_outliers(df: DataFrame, group_col: str = "label",
                     F.round(F.sqrt(F.col("dist2").cast("double"))
                             / (F.col("n").cast("double") * F.lit(s)), 6)
                     .alias("dist")))
+
+
+def embedding_centroid_drift(cur: DataFrame, ref: DataFrame,
+                             vec_col: str = "embedding",
+                             quant_scale: float = 1e6) -> DataFrame:
+    """Embedding-SPACE drift between two corpora — the lens the
+    value-column drift family (chi²/KS/PSI/EMD) cannot provide: did
+    the semantic center of the corpus move?  One row:
+    ``n_cur, n_ref, dims, centroid_cosine, norm_ratio`` — cosine of
+    the two mean vectors (1.0 = same direction; a topic/domain shift
+    reads as a drop) and the ratio of their magnitudes (embedding
+    "energy" change, e.g. a new encoder version).
+
+    Exact by the module's playbook: elements quantize once
+    (``round(x·scale)`` — identical on every engine), per-dimension
+    sums are DECIMAL(38,0), and the n's CANCEL in cosine
+    (``cos(Σa/nₐ, Σb/n_b) = cos(Σa, Σb)``) so the dot product and
+    both squared norms are exact integers; only the final
+    sqrt/divide/round-6 leaves integer land, a single IEEE sequence.
+    Cost: one 64×-exploded map-side-combined shuffle PER SIDE down to
+    |dims| rows, one |dims|-row join, one agg — corpus size only
+    touches the first collapse.  A zero centroid on either side
+    yields NULL (cosine undefined, never a guess)."""
+    scale = F.lit(float(quant_scale))
+
+    def moments(df: DataFrame, tag: str) -> DataFrame:
+        e = (df.filter(F.col(vec_col).isNotNull())
+             .select(F.posexplode(vec_col).alias("pos", "x")))
+        q = F.round(F.col("x").cast("double") * scale).cast("long")
+        return (e.select("pos", q.alias("q"))
+                .groupBy("pos")
+                .agg(F.sum(F.col("q").cast(_DEC)).alias(f"s_{tag}"),
+                     F.count(F.lit(1)).alias(f"n_{tag}")))
+
+    j = moments(cur, "a").join(moments(ref, "b"), "pos")
+    agg = j.agg(
+        F.max("n_a").alias("n_cur"), F.max("n_b").alias("n_ref"),
+        F.count(F.lit(1)).alias("dims"),
+        F.sum((F.col("s_a") * F.col("s_b")).cast(_DEC)).alias("dot"),
+        F.sum((F.col("s_a") * F.col("s_a")).cast(_DEC)).alias("a2"),
+        F.sum((F.col("s_b") * F.col("s_b")).cast(_DEC)).alias("b2"))
+    ok = (F.col("a2") > 0) & (F.col("b2") > 0)
+    cos = (F.col("dot").cast("double")
+           / (F.sqrt(F.col("a2").cast("double"))
+              * F.sqrt(F.col("b2").cast("double"))))
+    ratio = (F.sqrt(F.col("a2").cast("double")) * F.col("n_ref")
+             / (F.sqrt(F.col("b2").cast("double")) * F.col("n_cur")))
+    return agg.select(
+        "n_cur", "n_ref", "dims",
+        F.when(ok, F.round(cos, 6)).alias("centroid_cosine"),
+        F.when(ok, F.round(ratio, 6)).alias("norm_ratio"))

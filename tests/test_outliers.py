@@ -65,3 +65,58 @@ def test_moment_shuffle_is_the_only_wide_one(spark, vecs):
     plan = (embedding_outliers(vecs, top_k=2)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan  # centroid joins broadcast
+
+
+# -- embedding_centroid_drift -------------------------------------------------
+
+def test_centroid_drift_identical_and_opposite(spark):
+    from data_validation_spark.operators.outliers import (
+        embedding_centroid_drift)
+    a = spark.createDataFrame([(i, [1.0, 0.0]) for i in range(5)],
+                              "vec_id long, embedding array<float>")
+    b = spark.createDataFrame([(i, [2.0, 0.0]) for i in range(10)],
+                              "vec_id long, embedding array<float>")
+    r = embedding_centroid_drift(a, b).collect()[0]
+    # same direction, ref magnitude 2x -> cosine 1, ratio 0.5
+    assert (r.n_cur, r.n_ref, r.dims) == (5, 10, 2)
+    assert r.centroid_cosine == 1.0 and r.norm_ratio == 0.5
+
+    c = spark.createDataFrame([(0, [-1.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    r2 = embedding_centroid_drift(a, c).collect()[0]
+    assert r2.centroid_cosine == -1.0
+
+
+def test_centroid_drift_orthogonal_and_zero(spark):
+    from data_validation_spark.operators.outliers import (
+        embedding_centroid_drift)
+    a = spark.createDataFrame([(0, [1.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    b = spark.createDataFrame([(0, [0.0, 1.0])],
+                              "vec_id long, embedding array<float>")
+    assert embedding_centroid_drift(a, b).collect()[0] \
+        .centroid_cosine == 0.0
+    z = spark.createDataFrame([(0, [0.0, 0.0])],
+                              "vec_id long, embedding array<float>")
+    r = embedding_centroid_drift(a, z).collect()[0]
+    assert r.centroid_cosine is None and r.norm_ratio is None
+
+
+def test_centroid_drift_matches_numpy(spark):
+    import numpy as np
+    from data_validation_spark.operators.outliers import (
+        embedding_centroid_drift)
+    rng = np.random.RandomState(3)
+    va = rng.randn(40, 8).astype("float32")
+    vb = (rng.randn(30, 8) + 0.5).astype("float32")
+    a = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(va)],
+        "vec_id long, embedding array<float>")
+    b = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vb)],
+        "vec_id long, embedding array<float>")
+    r = embedding_centroid_drift(a, b).collect()[0]
+    qa = np.round(va.astype("float64") * 1e6).sum(axis=0)
+    qb = np.round(vb.astype("float64") * 1e6).sum(axis=0)
+    exp = float(qa @ qb / (np.linalg.norm(qa) * np.linalg.norm(qb)))
+    assert abs(r.centroid_cosine - round(exp, 6)) <= 1e-6
