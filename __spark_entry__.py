@@ -1623,6 +1623,20 @@ def q_weighted_quantiles(spark, sf_dir):
                               quantiles=(25, 50, 75, 90, 99))
 
 
+def q_weighted_quantiles_grouped(spark, sf_dir):
+    """Per-group exact weighted quantiles: same order-statistic
+    machinery, cumsum window partitioned by l_returnflag (each
+    reducer holds ONE group's distinct values), totals joined back on
+    the group key."""
+    from data_validation_spark.functions.stats import weighted_quantiles
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_linenumber").cast("bigint").alias("w"))
+    return weighted_quantiles(li, "q", "w", quantiles=(50, 90),
+                              group_cols=["l_returnflag"])
+
+
 def q_k_anonymity(spark, sf_dir):
     """Re-identification risk audit (redact.k_anonymity_report): the
     release-side complement of pii_scrub — customer rows keyed by the
@@ -2754,6 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pseudonymize": q_pseudonymize,
         "centroid_drift": q_centroid_drift,
         "weighted_quantiles": q_weighted_quantiles,
+        "weighted_quantiles_grouped": q_weighted_quantiles_grouped,
         "suggest_types": q_suggest_types,
         "embedding_outliers": q_embedding_outliers,
         "session_window_native": q_session_window_native,
@@ -5122,6 +5137,30 @@ def oracle_sql() -> dict[str, str]:
                    min(CASE WHEN cum * 100 >= t.W * 99 THEN v END)
                      AS p99
             FROM cum, t GROUP BY t.W, t.n_values
+        """,
+        "weighted_quantiles_grouped": """
+            WITH c AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+                     CAST(sum(CAST(l_linenumber AS BIGINT)) AS BIGINT)
+                       AS wt
+              FROM lineitem GROUP BY 1, 2),
+            t AS (
+              SELECT l_returnflag, CAST(sum(wt) AS BIGINT) AS W,
+                     CAST(count(*) AS BIGINT) AS n_values
+              FROM c GROUP BY 1),
+            cum AS (
+              SELECT l_returnflag, v,
+                     sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS cum
+              FROM c)
+            SELECT cum.l_returnflag, t.W AS total_weight, t.n_values,
+                   min(CASE WHEN cum * 100 >= t.W * 50 THEN v END)
+                     AS p50,
+                   min(CASE WHEN cum * 100 >= t.W * 90 THEN v END)
+                     AS p90
+            FROM cum JOIN t USING (l_returnflag)
+            GROUP BY 1, 2, 3
         """,
         "k_anonymity": """
             WITH pairs AS (

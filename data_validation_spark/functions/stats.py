@@ -285,7 +285,9 @@ def pearson_corr_matrix(df, cols: list[str]):
 
 def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
                        quantiles: tuple[int, ...] = (25, 50, 75, 90,
-                                                     99)) -> DataFrame:
+                                                     99),
+                       group_cols: list[str] | None = None
+                       ) -> DataFrame:
     """EXACT weighted quantiles over an integral value column — the
     importance-weighted corpus question ("the median token count of
     my mixture, where each doc carries its sampling weight") that the
@@ -299,26 +301,41 @@ def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
     are rejected loudly (a negative weight makes the CDF
     non-monotone; silently clamping would fabricate a distribution).
 
-    One output row: ``total_weight, n_values, p<q>...``."""
+    With ``group_cols`` the whole machinery runs per group (the
+    cumsum window partitions by group — each reducer holds one
+    group's distinct values, totals join back on the group key): one
+    output row per group, else one global row ``total_weight,
+    n_values, p<q>...``."""
     from pyspark.sql import Window
 
+    g = list(group_cols or [])
     w = F.col(weight_col).cast("long")
     bad = df.filter(w <= 0).limit(1).count()
     if bad:
         raise ValueError(
             f"weighted_quantiles: non-positive weights in "
             f"{weight_col!r} (CDF would be non-monotone)")
-    collapsed = (df.groupBy(F.col(value_col).alias("v"))
+    collapsed = (df.groupBy(*g, F.col(value_col).alias("v"))
                  .agg(F.sum(w).alias("wt")))
-    tot = collapsed.agg(F.sum("wt").alias("W"),
-                        F.count(F.lit(1)).alias("n_values"))
-    wcum = (Window.orderBy("v")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (collapsed.withColumn("cum", F.sum("wt").over(wcum))
-           .crossJoin(F.broadcast(tot)))
+    if g:
+        tot = collapsed.groupBy(*g).agg(
+            F.sum("wt").alias("W"), F.count(F.lit(1)).alias("n_values"))
+        wcum = (Window.partitionBy(*g).orderBy("v")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        cum = (collapsed.withColumn("cum", F.sum("wt").over(wcum))
+               .join(F.broadcast(tot), g))
+    else:
+        tot = collapsed.agg(F.sum("wt").alias("W"),
+                            F.count(F.lit(1)).alias("n_values"))
+        wcum = (Window.orderBy("v")
+                .rowsBetween(Window.unboundedPreceding,
+                             Window.currentRow))
+        cum = (collapsed.withColumn("cum", F.sum("wt").over(wcum))
+               .crossJoin(F.broadcast(tot)))
     qs = sorted(set(int(q) for q in quantiles))
     aggs = [F.min(F.when(F.col("cum") * 100 >= F.col("W") * q,
                          F.col("v"))).alias(f"p{q}") for q in qs]
-    return (cum.groupBy("W", "n_values").agg(*aggs)
-            .select(F.col("W").alias("total_weight"), "n_values",
+    return (cum.groupBy(*g, "W", "n_values").agg(*aggs)
+            .select(*g, F.col("W").alias("total_weight"), "n_values",
                     *[f"p{q}" for q in qs]))

@@ -176,3 +176,17 @@ def test_weighted_quantiles_rejects_nonpositive(spark):
     df = spark.createDataFrame([(1, 0)], "v int, w int")
     with pytest.raises(ValueError, match="non-positive"):
         weighted_quantiles(df, "v", "w")
+
+
+def test_weighted_quantiles_per_group(spark):
+    from data_validation_spark.functions.stats import weighted_quantiles
+    rows = [("a", v, 1) for v in range(1, 11)] \
+        + [("b", 5, 9), ("b", 100, 1)]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    out = {r.g: r for r in
+           weighted_quantiles(df, "v", "w", quantiles=(50, 99),
+                              group_cols=["g"]).collect()}
+    assert out["a"].p50 == 5 and out["a"].total_weight == 10
+    # group b: weight 9 on value 5 -> p50=5; p99 crosses into 100
+    assert out["b"].p50 == 5 and out["b"].p99 == 100
+    assert out["b"].n_values == 2
