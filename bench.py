@@ -175,7 +175,13 @@ def main() -> None:
                  # headline composition-comparable across rounds)
                  "join_explosion", "missingness", "event_order",
                  "tfidf_terms", "merge_intervals", "cdc_apply",
-                 "k_anonymity", "suggest_types"]:
+                 "k_anonymity", "suggest_types",
+                 # r5: header decoders — their cost is a per-query
+                 # Catalyst-compile constant, which only a tracked bench
+                 # catches (wav's unrolled walk hid a 43-55 s compile
+                 # stall for a full round precisely because these were
+                 # absent here)
+                 "wav_headers", "mp4_headers", "pdf_headers"]:
         best, n = None, 0
         for _ in range(RUNS):
             spark.catalog.clearCache()

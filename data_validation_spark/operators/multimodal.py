@@ -327,11 +327,26 @@ def parse_wav_headers(df: DataFrame, id_col: str = "doc_id",
     division, engine-identical).  Anything truncated, non-canonical
     past the hop budget, or with zero block_align/sample_rate returns
     ``valid=false`` — the corrupt-payload screen, never a guess.
+
+    The chunk walk is an ``F.aggregate`` loop over ``sequence(1, N)``
+    with a struct accumulator — the mp4 sibling's form, NOT an unrolled
+    ``when``-chain.  The r4 unrolled version re-embedded the previous
+    hop's full ``pos`` expression ~5× per hop (``le32`` is four
+    ``byte_at``s, each cloning ``pos``), so the expression tree grew
+    geometrically with the hop budget and Catalyst analysis alone cost
+    a measured 43–55 s of pure driver time per query at ANY data size;
+    the aggregate form keeps the tree constant-size per hop.
     """
     p = F.col(payload_col)
+    _IMAX = F.lit(2147483647)
+
+    def ipos(pos):      # ANSI-safe long→int offset: a garbage 4 GiB
+        # chunk size must fail closed (NULL substring), never
+        # overflow-throw on the implicit long→int cast
+        return F.when(pos <= _IMAX, pos).cast("int")
 
     def byte_at(pos):  # 1-based Column offset → 0..255 (NULL past end)
-        return F.conv(F.hex(F.substring(p, pos, F.lit(1))), 16, 10) \
+        return F.conv(F.hex(F.substring(p, ipos(pos), F.lit(1))), 16, 10) \
             .cast("long")
 
     def le16(pos):
@@ -343,38 +358,57 @@ def parse_wav_headers(df: DataFrame, id_col: str = "doc_id",
                 + byte_at(pos))
 
     def tag(pos, n=4):  # hex of n bytes at a dynamic offset
-        return F.hex(F.substring(p, pos, F.lit(n)))
+        return F.hex(F.substring(p, ipos(pos), F.lit(n)))
 
     riff_ok = (F.hex(F.substring(p, 1, 8)).startswith("52494646")
                & (F.hex(F.substring(p, 9, 4)) == "57415645"))
     fmt_ok = F.hex(F.substring(p, 13, 4)) == "666D7420"  # "fmt "
-    fmt_size = le32(F.lit(17))
-    audio_format = le16(F.lit(21))
-    channels = le16(F.lit(23))
-    sample_rate = le32(F.lit(25))
-    block_align = le16(F.lit(33))
-    bits = le16(F.lit(35))
+    fmt_size = le32(F.lit(17).cast("long"))
+    audio_format = le16(F.lit(21).cast("long"))
+    channels = le16(F.lit(23).cast("long"))
+    sample_rate = le32(F.lit(25).cast("long"))
+    block_align = le16(F.lit(33).cast("long"))
+    bits = le16(F.lit(35).cast("long"))
 
     # bounded chunk walk: start after fmt, hop non-`data` chunks
-    # (id @ pos, size @ pos+4, next = pos + 8 + size + pad-to-even)
-    pos = F.lit(21).cast("long") + fmt_size
-    data_size = F.lit(None).cast("long")
-    found = F.lit(False)
-    for _ in range(_WAV_MAX_HOPS):
-        is_data = tag(pos) == "64617461"  # "data"
+    # (id @ pos, size @ pos+4, next = pos + 8 + size + pad-to-even);
+    # a truncated payload NULLs size_here → pos goes NULL → every later
+    # tag() is NULL → found stays false → valid=false downstream
+    def hop(acc, _):
+        pos = acc["pos"]
+        is_data = F.coalesce(tag(pos) == "64617461", F.lit(False))  # "data"
         size_here = le32(pos + 4)
-        data_size = F.when(~found & is_data, size_here).otherwise(data_size)
-        found = found | is_data
-        pos = F.when(found, pos).otherwise(
-            pos + 8 + size_here + F.pmod(size_here, F.lit(2)))
+        return F.when(acc["found"], acc).otherwise(F.struct(
+            F.when(is_data, pos)
+            .otherwise(pos + 8 + size_here + F.pmod(size_here, F.lit(2)))
+            .alias("pos"),
+            is_data.alias("found"),
+            F.when(is_data, size_here).otherwise(acc["data_size"])
+            .alias("data_size")))
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_WAV_MAX_HOPS)),
+        F.struct((F.lit(21).cast("long") + fmt_size).alias("pos"),
+                 F.lit(False).alias("found"),
+                 F.lit(None).cast("long").alias("data_size")),
+        hop)
+
+    # Same staging discipline as the mp4 sibling: the walk lands in its
+    # own projection stage and the final select reads its struct
+    # ATTRIBUTES, never re-inlining the aggregate expression per output
+    # column (the stages still fuse into one codegen stage physically).
+    s1 = df.select(F.col(id_col).cast("string").alias("doc_id"),
+                   F.col(payload_col), walk.alias("_w"))
+    w = F.col("_w")
+    found, data_size = w["found"], w["data_size"]
 
     valid = (riff_ok & fmt_ok & found
              & (block_align > 0) & (sample_rate > 0)
              & data_size.isNotNull() & channels.isNotNull()
              & bits.isNotNull())
     n_frames = F.floor(data_size / block_align)
-    return df.select(
-        F.col(id_col).cast("string").alias("doc_id"),
+    return s1.select(
+        F.col("doc_id"),
         F.coalesce(valid, F.lit(False)).alias("valid"),
         F.when(valid, audio_format).cast("int").alias("audio_format"),
         F.when(valid, channels).cast("int").alias("channels"),

@@ -289,6 +289,13 @@ def test_parse_wav_headers_is_pure_catalyst(spark):
         .executedPlan().toString()
     for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
         assert marker not in plan
+    # The chunk walk must stay the F.aggregate loop form: the r4
+    # unrolled when-chain re-embedded the prior hop's pos ~5x per hop,
+    # the expression tree grew geometrically with the hop budget, and
+    # Catalyst analysis alone cost 43-55 s of driver time per query at
+    # ANY data size.  The aggregate form measures ~12 KB; anything near
+    # the unrolled regime is megabytes.
+    assert len(plan) < 200_000, len(plan)
 
 
 def _mp4_bytes(brand=b"isom", minor=512, version=0, timescale=1000,
