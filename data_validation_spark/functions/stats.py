@@ -286,7 +286,8 @@ def pearson_corr_matrix(df, cols: list[str]):
 def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
                        quantiles: tuple[int, ...] = (25, 50, 75, 90,
                                                      99),
-                       group_cols: list[str] | None = None
+                       group_cols: list[str] | None = None,
+                       max_distinct: int | None = 1_000_000
                        ) -> DataFrame:
     """EXACT weighted quantiles over an integral value column — the
     importance-weighted corpus question ("the median token count of
@@ -300,23 +301,62 @@ def weighted_quantiles(df: DataFrame, value_col: str, weight_col: str,
     engine can disagree at a float boundary).  Zero/negative weights
     are rejected loudly (a negative weight makes the CDF
     non-monotone; silently clamping would fabricate a distribution).
+    Weights must be NULL-free and integral-valued: a NULL weight would
+    silently vanish from ``sum`` (row dropped from the CDF with no
+    error) and a fractional weight would silently floor under the
+    exactness cast (1.7 contributing 1 distorts the distribution while
+    still claiming "exact") — both are rejected loudly; pre-scale
+    fractional importance weights to integers (e.g. micro-units
+    ``cast(w * 1e6 as long)``) at the call site, where the caller
+    knows the intended precision.
 
     With ``group_cols`` the whole machinery runs per group (the
     cumsum window partitions by group — each reducer holds one
     group's distinct values, totals join back on the group key): one
     output row per group, else one global row ``total_weight,
-    n_values, p<q>...``."""
+    n_values, p<q>...``.
+
+    ``max_distinct`` is the same fail-loud cardinality cap as
+    ``global_quantile_buckets``: the cumsum window's reducer holds one
+    (group's) distinct-value set, so a continuous double value column
+    would silently become a single-task sort over ~n rows; past the
+    cap the plan is poisoned with ``raise_error`` instead (quantize
+    the metric or use the sketch profile path)."""
     from pyspark.sql import Window
 
     g = list(group_cols or [])
     w = F.col(weight_col).cast("long")
-    bad = df.filter(w <= 0).limit(1).count()
+    bad = (df.filter(F.col(weight_col).isNull()
+                     | (F.col(weight_col) != w) | (w <= 0))
+           .select(weight_col).limit(1).collect())
     if bad:
         raise ValueError(
-            f"weighted_quantiles: non-positive weights in "
-            f"{weight_col!r} (CDF would be non-monotone)")
+            f"weighted_quantiles: weight {bad[0][0]!r} in "
+            f"{weight_col!r} is NULL, non-integral, or non-positive "
+            "(NULL rows would silently vanish from the CDF, fractional "
+            "weights would silently floor, negative weights make the "
+            "CDF non-monotone) — pre-scale fractional weights to "
+            "integers, e.g. cast(w * 1e6 as long)")
     collapsed = (df.groupBy(*g, F.col(value_col).alias("v"))
                  .agg(F.sum(w).alias("wt")))
+    if max_distinct is not None:
+        # fail loud, not a silent one-task sort (bucketize.py pattern):
+        # piggyback on the collapsed frame itself — any distinct value
+        # past the cap within its group poisons the plan
+        w_card = (Window.partitionBy(*g) if g else Window
+                  ).orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                             Window.currentRow)
+        collapsed = collapsed.withColumn(
+            "__rn", F.count(F.lit(1)).over(w_card)).withColumn(
+            "v", F.when(
+                F.col("__rn") > F.lit(int(max_distinct)),
+                F.raise_error(F.lit(
+                    f"weighted_quantiles: >{max_distinct} distinct "
+                    f"values in '{value_col}'"
+                    + (" within a group" if g else "")
+                    + " — quantize the metric or use the sketch "
+                    "profile path"))).otherwise(F.col("v"))
+        ).drop("__rn")
     if g:
         tot = collapsed.groupBy(*g).agg(
             F.sum("wt").alias("W"), F.count(F.lit(1)).alias("n_values"))

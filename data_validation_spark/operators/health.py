@@ -776,7 +776,13 @@ def join_explosion_report(fact: DataFrame, dim: DataFrame,
            .withColumn("out_rows", prod)
            .orderBy(F.col("out_rows").desc(), *[F.asc(c) for c in on])
            .limit(int(top_n)))
-    return top.crossJoin(F.broadcast(summary)).select(
+    # LEFT join FROM the always-one-row summary, not a crossJoin from
+    # top: with fully disjoint key sets there are zero matched keys, and
+    # a crossJoin would drop the summary row (orphan counts,
+    # est_out_rows=0) in exactly the worst join-health case — the one
+    # the audit exists to flag.  The no-match row carries NULL keys +
+    # the full summary.  `top` is ≤ top_n rows, safely broadcast.
+    return summary.join(F.broadcast(top), F.lit(True), "left").select(
         *on, "fact_rows", "dim_rows", "out_rows",
         "n_fact_rows", "n_dim_rows", "n_matched_keys",
         "n_fact_only_keys", "n_dim_only_keys",
@@ -957,15 +963,17 @@ def event_order_report(df: DataFrame, key_col: str, ts_col: str,
     STATISTICS over that collapse (iqr_outlier_report's convention:
     smallest bucket whose cumulative count reaches ⌈q·n/100⌉), never
     a global sort, never a sketch.  On-time rows keep a NULL bucket
-    in the SAME collapse, so totals need no second pass.
+    in the SAME collapse, and the totals ride the SAME ordered-window
+    pass as the cumulative sum (frame-to-end windows on an identical
+    ordering share one Exchange + Sort), so the collapse is consumed
+    exactly once — no persist, no second scan of the raw table (the
+    r4 two-branch form persisted the collapse and never released it).
 
     One summary row, all-integer except the single rounded ratio:
     ``n_events, n_late, late_ratio, max_lateness_us,
     p<q>_lateness_ms.., suggested_watermark_ms`` (= the largest
     requested quantile's bucket; 0 when nothing is late — an in-order
     feed needs no watermark slack).  NULL quantiles when n_late = 0."""
-    from pyspark import StorageLevel
-
     res = int(resolution_us)
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     w = (Window.partitionBy(key_col).orderBy(arrival_col)
@@ -981,27 +989,35 @@ def event_order_report(df: DataFrame, key_col: str, ts_col: str,
               .agg(F.count(F.lit(1)).alias("c"),
                    F.max(F.when(F.col("b").isNotNull(), F.col("__lat")))
                    .alias("mx")))
-    counts.persist(StorageLevel.MEMORY_AND_DISK)
-
-    tot = counts.agg(
-        F.sum("c").alias("n_events"),
-        F.coalesce(F.sum(F.when(F.col("b").isNotNull(), F.col("c"))),
-                   F.lit(0)).alias("n_late"),
-        F.max("mx").alias("max_lateness_us"))
-    late = counts.where(F.col("b").isNotNull())
-    wcum = (Window.orderBy("b")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (late.withColumn("cum", F.sum("c").over(wcum))
-           .crossJoin(F.broadcast(tot.select("n_late"))))
+    # one ordered-window pass over the bucket-cardinality collapse
+    # computes totals AND the late-only cumulative together (the NULL
+    # on-time bucket sorts first and is excluded from the cumulative
+    # by the when(), so its position is harmless)
+    w_all = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    wcum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    late_c = F.when(F.col("b").isNotNull(), F.col("c"))
+    stats = (counts
+             .withColumn("n_events", F.sum("c").over(w_all))
+             .withColumn("n_late",
+                         F.coalesce(F.sum(late_c).over(w_all), F.lit(0)))
+             .withColumn("max_lateness_us", F.max("mx").over(w_all))
+             .withColumn("cum", F.sum(late_c).over(wcum)))
     qs = sorted(set(int(q) for q in quantiles))
-    qcols = [F.min(F.when(F.col("cum") * 100 >= F.col("n_late") * q,
+    qcols = [F.min(F.when(F.col("b").isNotNull()
+                          & (F.col("cum") * 100 >= F.col("n_late") * q),
                           F.expr(f"(b * {res}) div 1000")))
              .alias(f"p{q}_lateness_ms") for q in qs]
-    quant = cum.agg(*qcols)
-    out = tot.crossJoin(F.broadcast(quant))
+    out = stats.agg(
+        F.first("n_events").alias("n_events"),
+        F.first("n_late").alias("n_late"),
+        F.max("max_lateness_us").alias("max_lateness_us"),
+        *qcols)
     return out.select(
-        "n_events", "n_late",
-        F.round(F.col("n_late").cast("double")
+        "n_events",
+        F.coalesce("n_late", F.lit(0)).alias("n_late"),
+        F.round(F.coalesce(F.col("n_late"), F.lit(0)).cast("double")
                 / F.col("n_events").cast("double"), 6)
         .alias("late_ratio"),
         F.coalesce("max_lateness_us", F.lit(0)).alias("max_lateness_us"),

@@ -243,16 +243,21 @@ def tfidf_distinctive_terms(df: DataFrame, group_col: str,
 
     Scale shape: ONE explode → (group, term) collapse (map-side
     combined; the shuffle carries per-group vocab, never tokens),
-    a vocab-sized agg for group-df, a vocab-scale equi-join back, and
-    the per-group top-k as a rank window over the collapsed frame —
-    each reducer holds ONE group's vocab (10⁶–10⁷ narrow rows at
-    100 TB), and ``min_tf`` > 1 drops the Zipf low-tf tail BEFORE both
-    the group-df agg and the window (rarity then counts only groups
-    clearing the floor — the cheap bound when the window matters)."""
+    group-df as ``count() OVER (PARTITION BY term)`` on that collapse
+    (each reducer holds ONE term's group list — ≤ n_groups rows), and
+    the per-group top-k as a rank window — each reducer holds ONE
+    group's vocab (10⁶–10⁷ narrow rows at 100 TB).  ``min_tf`` > 1
+    drops the Zipf low-tf tail BEFORE both windows (rarity then
+    counts only groups clearing the floor — the cheap bound when the
+    window matters).  The window form consumes the collapse exactly
+    once, so nothing needs persisting: the r4 agg + join-back form
+    needed a persist to stop Spark re-running the corpus explode per
+    branch, and that persist was never released (cached partitions
+    accumulated across calls in a long-lived session until eviction
+    pressure)."""
     from pyspark.sql import Window
 
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    from pyspark import StorageLevel
 
     gt = (df.filter(F.col(text_col).isNotNull()
                     & (F.length(F.trim(F.col(text_col))) > 0))
@@ -261,16 +266,14 @@ def tfidf_distinctive_terms(df: DataFrame, group_col: str,
           .groupBy("group", "term").agg(F.count(F.lit(1)).alias("tf")))
     if min_tf > 1:
         gt = gt.filter(F.col("tf") >= int(min_tf))
-    # persist the vocab-sized collapse: gdf derives from gt AND joins
-    # back to it — unpersisted, Spark recomputes the corpus explode
-    # for each branch (two full reads at 100 TB; plan-audited to 1)
-    gt = gt.persist(StorageLevel.MEMORY_AND_DISK)
-    gdf = (gt.groupBy("term")
-           .agg(F.count(F.lit(1)).alias("n_groups_with_term")))
-    scored = (gt.join(gdf, "term")
-              .withColumn("score_micro",
-                          F.expr("tf * CAST(1000000 AS BIGINT) "
-                                 "div n_groups_with_term")))
+    # (group, term) rows are unique post-collapse, so a plain count
+    # over the term partition IS the group-document-frequency
+    scored = (gt.withColumn(
+        "n_groups_with_term",
+        F.count(F.lit(1)).over(Window.partitionBy("term")))
+        .withColumn("score_micro",
+                    F.expr("tf * CAST(1000000 AS BIGINT) "
+                           "div n_groups_with_term")))
     w = Window.partitionBy("group").orderBy(
         F.col("score_micro").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -34,7 +34,18 @@ Mapped types (kwargs → params):
 
 GE ``row_condition`` (``condition_parser: "spark"``/"great_
 expectations__experimental__") maps to this engine's ``where`` scope
-verbatim when the parser is spark-SQL flavored.
+verbatim when the parser is spark-SQL flavored — on EVERY mapped kind,
+including pair expressions, so a NULL-evaluating scope always means
+"row out of scope, never judged" (the engine-wide where semantics).
+
+Kwargs are whitelisted per expectation type and unknown/unsupported
+ones raise (the strict contract cuts both ways: a ``strict_min``
+silently imported as inclusive is a check whose meaning changed
+without a sound).  ``strict_min``/``strict_max`` on value-between map
+faithfully to an exclusive-comparison expression (NULL-passing, like
+GE); on stat/proportion types they raise (those compare inclusively —
+widen by an explicit epsilon instead).  Pair expectations honor GE's
+``ignore_row_if`` NULL policy exactly.
 """
 
 from __future__ import annotations
@@ -52,6 +63,49 @@ _ROW_LEVEL = {"expect_column_values_to_not_be_null",
               "expect_column_values_to_be_between",
               "expect_column_values_to_be_in_set",
               "expect_column_values_to_match_regex"}
+
+# Per-type semantic-kwarg whitelist.  The strict contract cuts both
+# ways: unmapped TYPES raise, and so must unmapped KWARGS — a
+# ``strict_min`` silently imported as inclusive, or a ``mostly`` on a
+# type that can't honor it, is a check whose meaning changed without a
+# sound (the exact failure mode the fail-loud stance exists to stop).
+_COMMON_KW = {"column", "row_condition", "condition_parser", "mostly",
+              # presentation-only GE kwargs: no effect on what is
+              # checked, safe to accept anywhere
+              "result_format", "catch_exceptions", "meta"}
+_ALLOWED_KW: dict[str, set[str]] = {
+    "expect_column_values_to_not_be_null": set(),
+    "expect_column_values_to_be_between":
+        {"min_value", "max_value", "strict_min", "strict_max"},
+    "expect_column_values_to_be_in_set": {"value_set"},
+    "expect_column_values_to_match_regex": {"regex"},
+    "expect_column_values_to_be_unique": set(),
+    "expect_compound_columns_to_be_unique": {"column_list"},
+    "expect_table_row_count_to_be_between": {"min_value", "max_value"},
+    "expect_column_mean_to_be_between": {"min_value", "max_value",
+                                         "strict_min", "strict_max"},
+    "expect_column_min_to_be_between": {"min_value", "max_value",
+                                        "strict_min", "strict_max"},
+    "expect_column_max_to_be_between": {"min_value", "max_value",
+                                        "strict_min", "strict_max"},
+    "expect_column_stdev_to_be_between": {"min_value", "max_value",
+                                          "strict_min", "strict_max"},
+    "expect_column_proportion_of_unique_values_to_be_between":
+        {"min_value", "max_value", "strict_min", "strict_max"},
+    "expect_column_pair_values_A_to_be_greater_than_B":
+        {"column_A", "column_B", "or_equal", "ignore_row_if"},
+}
+
+
+def _sql_lit(v: Any) -> str:
+    """Render a GE bound value as a Spark SQL literal (numbers as-is,
+    strings quoted — dates arrive as ISO strings and compare correctly
+    against date/timestamp columns via Spark's implicit cast)."""
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def _where(kw: dict) -> dict:
@@ -86,6 +140,32 @@ def from_great_expectations(suite_json: str | dict,
         cname = f"{et}_{col or i}"
         mostly = kw.get("mostly")
 
+        if et in _ALLOWED_KW:
+            unknown = set(kw) - _COMMON_KW - _ALLOWED_KW[et]
+            if unknown:
+                raise ValueError(
+                    f"{et}: unsupported kwargs {sorted(unknown)} — a "
+                    "silently dropped kwarg changes what the check "
+                    "means; remove it or express it explicitly")
+        if (mostly is not None and mostly < 1.0
+                and et not in _ROW_LEVEL):
+            raise ValueError(
+                f"{et} with mostly={mostly}: tolerated-failure budgets "
+                "only apply to row-level kinds; this type is "
+                "set/table-level, where GE itself treats mostly as "
+                "meaningless — remove it")
+        if (kw.get("strict_min") or kw.get("strict_max")) and et in (
+                "expect_column_mean_to_be_between",
+                "expect_column_min_to_be_between",
+                "expect_column_max_to_be_between",
+                "expect_column_stdev_to_be_between",
+                "expect_column_proportion_of_unique_values_to_be_between"):
+            raise ValueError(
+                f"{et} with strict_min/strict_max: stat_bounds/"
+                "distinctness compare inclusively; widen the bound by "
+                "an explicit epsilon instead of importing an exclusive "
+                "bound as inclusive")
+
         if et in _ROW_LEVEL and mostly is not None and mostly < 1.0:
             if et == "expect_column_values_to_not_be_null":
                 constraints.append(Constraint(
@@ -102,12 +182,33 @@ def from_great_expectations(suite_json: str | dict,
             constraints.append(Constraint(
                 cname, "not_null", {"component": col, **_where(kw)}))
         elif et == "expect_column_values_to_be_between":
-            p: dict[str, Any] = {"component": col, **_where(kw)}
-            if kw.get("min_value") is not None:
-                p["min"] = kw["min_value"]
-            if kw.get("max_value") is not None:
-                p["max"] = kw["max_value"]
-            constraints.append(Constraint(cname, "bounds", p))
+            if kw.get("strict_min") or kw.get("strict_max"):
+                # GE's exclusive bounds have no inclusive-`bounds`
+                # equivalent — map faithfully as an expression that
+                # keeps BOTH GE semantics: the exclusive comparison AND
+                # NULL-passes (GE between never counts NULL unexpected;
+                # the bare expression kind is fail-closed on NULL, so
+                # the IS NULL arm restores bounds-kind NULL behavior)
+                parts = []
+                if kw.get("min_value") is not None:
+                    op = ">" if kw.get("strict_min") else ">="
+                    parts.append(f"(`{col}`) {op} "
+                                 f"{_sql_lit(kw['min_value'])}")
+                if kw.get("max_value") is not None:
+                    op = "<" if kw.get("strict_max") else "<="
+                    parts.append(f"(`{col}`) {op} "
+                                 f"{_sql_lit(kw['max_value'])}")
+                sql = (f"((`{col}`) IS NULL) OR ("
+                       + " AND ".join(parts or ["TRUE"]) + ")")
+                constraints.append(Constraint(
+                    cname, "expression", {"sql": sql, **_where(kw)}))
+            else:
+                p: dict[str, Any] = {"component": col, **_where(kw)}
+                if kw.get("min_value") is not None:
+                    p["min"] = kw["min_value"]
+                if kw.get("max_value") is not None:
+                    p["max"] = kw["max_value"]
+                constraints.append(Constraint(cname, "bounds", p))
         elif et == "expect_column_values_to_be_in_set":
             constraints.append(Constraint(
                 cname, "in_domain",
@@ -158,11 +259,24 @@ def from_great_expectations(suite_json: str | dict,
             op = ">=" if kw.get("or_equal") else ">"
             a, b = kw["column_A"], kw["column_B"]
             sql = f"({a}) {op} ({b})"
-            w = _where(kw)
-            if "where" in w:
-                sql = f"NOT ({w['where']}) OR ({sql})"
+            # GE's ignore_row_if NULL policy, mapped exactly: the bare
+            # expression kind is fail-closed (NULL comparison =
+            # violation), which IS GE's "neither"; the other two
+            # policies whitelist their NULL shapes explicitly
+            ign = kw.get("ignore_row_if", "both_values_are_missing")
+            if ign == "both_values_are_missing":
+                sql = f"(({a}) IS NULL AND ({b}) IS NULL) OR ({sql})"
+            elif ign == "either_value_is_missing":
+                sql = f"(({a}) IS NULL OR ({b}) IS NULL) OR ({sql})"
+            elif ign != "neither":
+                raise ValueError(
+                    f"{et}: unknown ignore_row_if {ign!r}")
+            # scope rides params["where"], NOT a baked "NOT (w) OR ..."
+            # — a NULL-evaluating scope must mean "row out of scope,
+            # never judged" (the engine-wide where semantics), not
+            # "judged and fail-closed"
             constraints.append(Constraint(cname, "expression",
-                                          {"sql": sql}))
+                                          {"sql": sql, **_where(kw)}))
         else:
             unmapped.append(et)
 

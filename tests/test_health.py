@@ -487,6 +487,24 @@ def test_join_explosion_dim_key_rename_and_topn(spark):
     assert int(rows[0].amplification_micro) == 1_000_000
 
 
+def test_join_explosion_disjoint_keys_keeps_summary(spark):
+    """Fully disjoint key sets = the WORST join-health case: zero
+    matched keys must still emit the summary row (NULL key, orphan
+    counts, est_out_rows=0), not an empty report."""
+    from data_validation_spark.operators.health import join_explosion_report
+    fact = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+    dim = spark.createDataFrame([("x", 1), ("y", 2)], "k string, v int")
+    rows = join_explosion_report(fact, dim, on=["k"]).collect()
+    assert len(rows) == 1
+    s = rows[0]
+    assert s.k is None and s.fact_rows is None and s.out_rows is None
+    assert (s.n_fact_rows, s.n_dim_rows) == (3, 2)
+    assert (s.n_matched_keys, s.n_fact_only_keys, s.n_dim_only_keys) \
+        == (0, 2, 2)
+    assert (s.fact_rows_orphaned, s.dim_rows_orphaned) == (3, 2)
+    assert int(s.est_out_rows) == 0 and int(s.amplification_micro) == 0
+
+
 def test_join_explosion_est_matches_real_join(spark):
     """est_out_rows is the EXACT inner-join row count, not a guess."""
     from data_validation_spark.operators.health import join_explosion_report

@@ -178,6 +178,53 @@ def test_weighted_quantiles_rejects_nonpositive(spark):
         weighted_quantiles(df, "v", "w")
 
 
+def test_weighted_quantiles_rejects_null_and_fractional_weights(spark):
+    """A NULL weight would silently vanish from sum() (NULL<=0 is NULL,
+    so the old guard missed it) and a fractional weight would silently
+    floor under cast('long') — 1.7 contributing 1 while the docstring
+    claims 'exact'.  Both must fail loud with the pre-scale hint."""
+    import pytest
+    from data_validation_spark.functions.stats import weighted_quantiles
+    null_w = spark.createDataFrame([(1, 2), (2, None)],
+                                   "v int, w int")
+    with pytest.raises(ValueError, match="NULL"):
+        weighted_quantiles(null_w, "v", "w")
+    frac_w = spark.createDataFrame([(1, 1.7)], "v int, w double")
+    with pytest.raises(ValueError, match="cast\\(w \\* 1e6"):
+        weighted_quantiles(frac_w, "v", "w")
+    # 0.5 floors to 0: must be reported as bad input, not crash later
+    half_w = spark.createDataFrame([(1, 0.5)], "v int, w double")
+    with pytest.raises(ValueError, match="non-integral"):
+        weighted_quantiles(half_w, "v", "w")
+    # integral-VALUED doubles are fine (2.0 == 2 exactly)
+    ok = spark.createDataFrame([(1, 1.0), (10, 9.0)], "v int, w double")
+    r = weighted_quantiles(ok, "v", "w", quantiles=(50,)).collect()[0]
+    assert (r.total_weight, r.p50) == (10, 10)
+
+
+def test_weighted_quantiles_cardinality_guard(spark):
+    """The cumsum window's reducer holds one (group's) distinct-value
+    set; a continuous double column must raise loudly (bucketize.py
+    house pattern), never silently become a one-task sort."""
+    import pytest
+    from data_validation_spark.functions.stats import weighted_quantiles
+    df = spark.createDataFrame([(i / 7.0, 1) for i in range(100)],
+                               "v double, w int")
+    with pytest.raises(Exception, match="quantize the metric"):
+        weighted_quantiles(df, "v", "w", max_distinct=10).collect()
+    # grouped path guards PER-GROUP distinct cardinality: 2 groups x
+    # 50 distinct values each passes a cap of 50 (global would be 100)
+    rows = [("a", i, 1) for i in range(50)] + [("b", i, 1)
+                                              for i in range(50)]
+    gdf = spark.createDataFrame(rows, "g string, v int, w int")
+    out = weighted_quantiles(gdf, "v", "w", quantiles=(50,),
+                             group_cols=["g"], max_distinct=50).collect()
+    assert len(out) == 2
+    with pytest.raises(Exception, match="within a group"):
+        weighted_quantiles(gdf, "v", "w", group_cols=["g"],
+                           max_distinct=49).collect()
+
+
 def test_weighted_quantiles_per_group(spark):
     from data_validation_spark.functions.stats import weighted_quantiles
     rows = [("a", v, 1) for v in range(1, 11)] \
