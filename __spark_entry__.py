@@ -2740,12 +2740,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # uncast HUGEINT session_seq, fixed this round -- keep it first to
     # prove the fix); positions 2-31 = the 30 oracles that have NEVER
     # earned a driver CORRECTNESS row in r1-r4 (VERDICT r4 missing #1);
-    # then wav_headers (chunk walk ported to the F.aggregate form this
-    # round) and the two weighted_quantiles (guards added this round);
-    # the tail of the window is least-recently-checked r1/r2 anchors,
-    # swapped out for new r5 queries as they land.  Everything below
-    # position 50 is driver-green from an earlier round or rows-only
-    # by design.
+    # then the six operators whose implementations changed this round
+    # (wav_headers F.aggregate chunk walk; weighted_quantiles guards
+    # x2; tfidf_terms window-form group-df; event_order single-pass
+    # totals; join_explosion disjoint-key summary row); the tail of
+    # the window is least-recently-checked r1/r2 anchors.  Everything
+    # below position 50 is driver-green from an earlier round or
+    # rows-only by design.
     return {
         "sessionize": q_sessionize,
         "semantic_multiprobe": q_semantic_multiprobe,
@@ -2781,9 +2782,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_headers": q_wav_headers,
         "weighted_quantiles": q_weighted_quantiles,
         "weighted_quantiles_grouped": q_weighted_quantiles_grouped,
-        "profile_quantiles": q_profile_quantiles,
-        "freq_source": q_freq_source,
-        "topk_lang": q_topk_lang,
+        "tfidf_terms": q_tfidf_terms,
+        "event_order": q_event_order,
+        "join_explosion": q_join_explosion,
         "referential_orders": q_referential_orders,
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -2814,10 +2815,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_attribution": q_interval_attribution,
         "partition_anomalies": q_partition_anomalies,
         "skew_report": q_skew_report,
-        "join_explosion": q_join_explosion,
+        "profile_quantiles": q_profile_quantiles,
         "missingness": q_missingness,
-        "tfidf_terms": q_tfidf_terms,
-        "event_order": q_event_order,
+        "freq_source": q_freq_source,
+        "topk_lang": q_topk_lang,
         "k_anonymity": q_k_anonymity,
         "pseudonymize": q_pseudonymize,
         "centroid_drift": q_centroid_drift,
