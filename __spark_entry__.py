@@ -2523,6 +2523,21 @@ def q_suggested_suite(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_violations")))
 
 
+def q_fd_discovery(spark, sf_dir):
+    """Functional-dependency discovery over customer candidate columns
+    — all C(3,2) pair collapses ride ONE grouping-sets scan, both FD
+    directions explode from each collapse row (single consumption, no
+    persist), every downstream step pair-cardinality
+    (health.fd_discovery_report).  Known structure: c_custkey is
+    unique so it determines everything and nothing determines it;
+    nationkey<->mktsegment violate both ways."""
+    from data_validation_spark.operators.health import fd_discovery_report
+    out = fd_discovery_report(
+        _t(spark, sf_dir, "customer"),
+        ["c_custkey", "c_nationkey", "c_mktsegment"])
+    return out.orderBy("determinant", "dependent")
+
+
 def q_independence(spark, sf_dir):
     """Chi-squared independence cells for documents lang x source —
     zero cells included with their (0-E)^2/E contribution (a naive
@@ -2785,7 +2800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "event_order": q_event_order,
         "join_explosion": q_join_explosion,
-        "referential_orders": q_referential_orders,
+        "fd_discovery": q_fd_discovery,
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "pricing_summary": q_pricing_summary,
@@ -2799,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_topk": q_vocab_topk,
         "corpus_shuffle": q_corpus_shuffle,
         # -- below the driver 50-query window ------------------------
+        "referential_orders": q_referential_orders,
         "vocab_drift": q_vocab_drift,
         "vocab_movers": q_vocab_movers,
         "profile_numeric": q_profile_numeric,
@@ -4653,6 +4669,67 @@ def oracle_sql() -> dict[str, str]:
               FROM bad WHERE lang IS NULL)
             SELECT c AS "constraint", n AS n_violations
             FROM f WHERE n > 0
+        """,
+        "fd_discovery": """
+            WITH per AS (
+                SELECT 'c_custkey' AS determinant,
+                       'c_nationkey' AS dependent,
+                       (COUNT(DISTINCT c_nationkey)
+                        + MAX(CASE WHEN c_nationkey IS NULL
+                              THEN 1 ELSE 0 END))::BIGINT AS n_dep,
+                       COUNT(*)::BIGINT AS n_rows
+                FROM customer GROUP BY c_custkey
+                UNION ALL
+                SELECT 'c_custkey', 'c_mktsegment',
+                       (COUNT(DISTINCT c_mktsegment)
+                        + MAX(CASE WHEN c_mktsegment IS NULL
+                              THEN 1 ELSE 0 END))::BIGINT,
+                       COUNT(*)::BIGINT
+                FROM customer GROUP BY c_custkey
+                UNION ALL
+                SELECT 'c_nationkey', 'c_custkey',
+                       (COUNT(DISTINCT c_custkey)
+                        + MAX(CASE WHEN c_custkey IS NULL
+                              THEN 1 ELSE 0 END))::BIGINT,
+                       COUNT(*)::BIGINT
+                FROM customer GROUP BY c_nationkey
+                UNION ALL
+                SELECT 'c_nationkey', 'c_mktsegment',
+                       (COUNT(DISTINCT c_mktsegment)
+                        + MAX(CASE WHEN c_mktsegment IS NULL
+                              THEN 1 ELSE 0 END))::BIGINT,
+                       COUNT(*)::BIGINT
+                FROM customer GROUP BY c_nationkey
+                UNION ALL
+                SELECT 'c_mktsegment', 'c_custkey',
+                       (COUNT(DISTINCT c_custkey)
+                        + MAX(CASE WHEN c_custkey IS NULL
+                              THEN 1 ELSE 0 END))::BIGINT,
+                       COUNT(*)::BIGINT
+                FROM customer GROUP BY c_mktsegment
+                UNION ALL
+                SELECT 'c_mktsegment', 'c_nationkey',
+                       (COUNT(DISTINCT c_nationkey)
+                        + MAX(CASE WHEN c_nationkey IS NULL
+                              THEN 1 ELSE 0 END))::BIGINT,
+                       COUNT(*)::BIGINT
+                FROM customer GROUP BY c_mktsegment
+            )
+            SELECT determinant, dependent,
+                   COUNT(*)::BIGINT AS n_det_keys,
+                   COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0
+                                END), 0)::BIGINT AS n_violating_keys,
+                   COALESCE(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0
+                                END), 0)::BIGINT AS n_violating_rows,
+                   ((COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0
+                                  END), 0) * 1000000)
+                    // COUNT(*))::BIGINT AS violation_micro,
+                   (((COALESCE(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0
+                                   END), 0) * 1000000)
+                     // COUNT(*)) <= 0) AS holds
+            FROM per
+            GROUP BY determinant, dependent
+            ORDER BY determinant, dependent
         """,
         "independence": """
             WITH c AS (

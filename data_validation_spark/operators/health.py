@@ -1130,3 +1130,119 @@ def cast_landing(df: DataFrame,
     quarantined = (tagged.filter(F.array_size("__errs") > 0)
                    .withColumnRenamed("__errs", "errors"))
     return typed, quarantined
+
+
+def fd_discovery_report(df: DataFrame, cols: list[str],
+                        max_violation_micro: int = 0) -> DataFrame:
+    """Functional-dependency DISCOVERY over a candidate column list —
+    the profiling complement to the declarative ``fd`` constraint kind
+    (constraints.py checks an FD you already believe; this finds the
+    ones worth believing: key→attribute dependencies to normalize on,
+    and near-FDs whose violating keys are data-quality findings).
+
+    For every ORDERED pair (determinant → dependent) over ``cols``:
+    ``n_det_keys``, ``n_violating_keys`` (determinant values mapping
+    to >1 dependent value), ``n_violating_rows`` (underlying rows
+    under those keys), ``violation_micro`` = exact
+    ``n_violating_keys·10⁶ div n_det_keys``, and ``holds`` =
+    violation_micro ≤ ``max_violation_micro`` (0 = exact FD; a
+    positive tolerance discovers near-FDs).
+
+    NULL is a VALUE on both sides: a determinant key mapping to
+    {x, NULL} IS inconsistent (two observed states), and NULL
+    determinant keys are keys — the data-quality stance, where SQL's
+    ``COUNT(DISTINCT)`` null-dropping would hide exactly the rows a
+    cleaner needs to see.
+
+    Scale shape — ONE scan, everything after it pair-cardinality:
+    all C(k,2) unordered pair collapses ride a single
+    ``GROUPING SETS`` aggregation (map-side combined — the shuffle
+    carries distinct value-pair cardinality per set, never rows;
+    ``grouping_id`` disambiguates set membership from data NULLs);
+    BOTH FD directions then explode from each collapse row in one
+    projection, so the collapse is consumed exactly once (no persist,
+    no re-scan — the tfidf/event-order single-consumption playbook);
+    per-determinant distinct-dependent counts are a count of collapse
+    rows (each row IS one distinct dependent value — dependent
+    distinctness is established on RAW values by the collapse, so the
+    exploded rows carry no dependent value at all), and the final
+    per-pair agg is C(k,2)·2 rows.  Determinant keys regroup via
+    per-column CAST AS STRING (injective for the atomic types
+    admitted below) plus a separate is-null flag so NULL never
+    collides with the string 'null'.
+
+    Guards: needs ≥2 columns; complex/binary columns are rejected
+    loudly (string serialization would not be injective); k is capped
+    at 12 — the grouping-sets shuffle replicates each row per set, so
+    C(k,2) grows the one shuffle quadratically: pre-select candidate
+    columns instead of pointing the discoverer at a wide table.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("fd_discovery_report: need >= 2 columns")
+    if k > 12:
+        raise ValueError(
+            f"fd_discovery_report: {k} columns = {k*(k-1)//2} grouping "
+            "sets (the one shuffle replicates rows per set) — "
+            "pre-select candidate columns")
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in schema]
+    if missing:
+        raise ValueError(f"fd_discovery_report: missing columns "
+                         f"{missing}")
+    bad = [c for c in cols
+           if schema[c].typeName() in ("array", "map", "struct",
+                                       "binary", "variant")]
+    if bad:
+        raise ValueError(
+            f"fd_discovery_report: non-atomic columns {bad} — string "
+            "serialization is not injective for them; project a "
+            "derived atomic column instead")
+
+    sets = [(i, j) for i in range(k) for j in range(i + 1, k)]
+    collapsed = (df.groupingSets([[cols[i], cols[j]] for i, j in sets],
+                                 *cols)
+                 .agg(F.count(F.lit(1)).alias("cnt"),
+                      F.grouping_id().alias("gid")))
+
+    def leg(det_i: int, dep_i: int):
+        d, p = cols[det_i], cols[dep_i]
+        return F.struct(
+            F.lit(d).alias("determinant"), F.lit(p).alias("dependent"),
+            F.col(d).cast("string").alias("det_s"),
+            F.col(d).isNull().alias("det_null"))
+
+    arr = None
+    for i, j in sets:
+        gid = sum(1 << (k - 1 - x) for x in range(k) if x not in (i, j))
+        both = F.array(leg(i, j), leg(j, i))
+        arr = both if arr is None else \
+            F.when(F.col("gid") == gid, both).otherwise(arr)
+        # (last set doubles as the when-chain fallback — every collapse
+        # row belongs to exactly one set, so the fallback never
+        # misfires)
+    long = (collapsed.select(F.explode(arr).alias("e"), "cnt")
+            .select("e.*", "cnt"))
+    per_det = (long.groupBy("determinant", "dependent", "det_s",
+                            "det_null")
+               .agg(F.count(F.lit(1)).alias("n_dep"),
+                    F.sum("cnt").alias("n_rows")))
+    viol = F.col("n_dep") > 1
+    out = (per_det.groupBy("determinant", "dependent")
+           .agg(F.count(F.lit(1)).alias("n_det_keys"),
+                F.sum(F.when(viol, 1).otherwise(0))
+                .alias("n_violating_keys"),
+                F.coalesce(F.sum(F.when(viol, F.col("n_rows"))),
+                           F.lit(0)).alias("n_violating_rows")))
+    return out.select(
+        "determinant", "dependent",
+        F.col("n_det_keys").cast("long").alias("n_det_keys"),
+        F.col("n_violating_keys").cast("long")
+        .alias("n_violating_keys"),
+        F.col("n_violating_rows").cast("long")
+        .alias("n_violating_rows"),
+        F.expr("n_violating_keys * CAST(1000000 AS BIGINT) "
+               "div n_det_keys").alias("violation_micro"),
+        (F.expr("n_violating_keys * CAST(1000000 AS BIGINT) "
+                "div n_det_keys")
+         <= F.lit(int(max_violation_micro))).alias("holds"))

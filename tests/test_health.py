@@ -674,3 +674,88 @@ def test_cast_landing_infers_when_unpinned(spark):
     typed, quar = cast_landing(df)
     assert str(typed.schema["x"].dataType) == "LongType()"
     assert quar.count() == 0
+
+
+# -- fd_discovery_report -----------------------------------------------------
+
+def test_fd_discovery_known_dependencies(spark):
+    from data_validation_spark.operators.health import fd_discovery_report
+    # zip -> city holds; city -> zip violated (one city, two zips);
+    # id unique -> id determines everything, nothing determines id
+    rows = [(1, "10001", "nyc"), (2, "10002", "nyc"),
+            (3, "10001", "nyc"), (4, "94110", "sf")]
+    df = spark.createDataFrame(rows, "id int, zip string, city string")
+    out = {(r.determinant, r.dependent): r for r in
+           fd_discovery_report(df, ["id", "zip", "city"]).collect()}
+    assert len(out) == 6
+    assert out[("zip", "city")].holds
+    assert out[("zip", "city")].n_det_keys == 3
+    assert not out[("city", "zip")].holds
+    assert out[("city", "zip")].n_violating_keys == 1       # nyc
+    assert out[("city", "zip")].n_violating_rows == 3       # 3 nyc rows
+    # 1 violating key of 2 -> exactly 500000 micro
+    assert out[("city", "zip")].violation_micro == 500_000
+    assert out[("id", "zip")].holds and out[("id", "city")].holds
+    assert not out[("zip", "id")].holds and not out[("city", "id")].holds
+
+
+def test_fd_discovery_null_is_a_value(spark):
+    from data_validation_spark.operators.health import fd_discovery_report
+    # det key 'a' maps to {x, NULL} -> inconsistent (2 observed
+    # states); NULL det key maps consistently to 'z' -> holds; and the
+    # string 'null' must not collide with real NULL
+    rows = [("a", "x"), ("a", None), (None, "z"), (None, "z"),
+            ("null", "y")]
+    df = spark.createDataFrame(rows, "k string, v string")
+    out = {(r.determinant, r.dependent): r for r in
+           fd_discovery_report(df, ["k", "v"]).collect()}
+    r = out[("k", "v")]
+    assert r.n_det_keys == 3                  # 'a', NULL, 'null'
+    assert r.n_violating_keys == 1 and r.n_violating_rows == 2
+    assert not r.holds
+
+
+def test_fd_discovery_near_fd_tolerance(spark):
+    from data_validation_spark.operators.health import fd_discovery_report
+    # 1 violating key of 100 -> 10000 micro: near-FD at 1% tolerance
+    rows = [(i, i % 100, i % 100) for i in range(1000)] + [(9999, 0, 1)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    strict = {(r.determinant, r.dependent): r for r in
+              fd_discovery_report(df, ["a", "b"]).collect()}
+    assert not strict[("a", "b")].holds
+    loose = {(r.determinant, r.dependent): r for r in
+             fd_discovery_report(df, ["a", "b"],
+                                 max_violation_micro=10_000).collect()}
+    assert loose[("a", "b")].holds
+    assert loose[("a", "b")].violation_micro == 10_000
+
+
+def test_fd_discovery_guards(spark):
+    import pytest
+    from data_validation_spark.operators.health import fd_discovery_report
+    df = spark.createDataFrame([(1, [1])], "a int, b array<int>")
+    with pytest.raises(ValueError, match="non-atomic"):
+        fd_discovery_report(df, ["a", "b"])
+    with pytest.raises(ValueError, match=">= 2"):
+        fd_discovery_report(df, ["a"])
+    with pytest.raises(ValueError, match="missing"):
+        fd_discovery_report(df, ["a", "nope"])
+    wide = spark.range(1).select(
+        *[F.col("id").alias(f"c{i}") for i in range(13)])
+    with pytest.raises(ValueError, match="pre-select"):
+        fd_discovery_report(wide, [f"c{i}" for i in range(13)])
+
+
+def test_fd_discovery_single_scan_no_cache(spark, tmp_path):
+    """All pair collapses ride ONE grouping-sets scan; both FD
+    directions explode from it — no persist, no second scan."""
+    from data_validation_spark.operators.health import fd_discovery_report
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b"),
+        (F.col("id") % 5).alias("c")).write.parquet(p)
+    df = spark.read.parquet(p)
+    plan = fd_discovery_report(df, ["a", "b", "c"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "InMemoryTableScan" not in plan and "Join" not in plan
