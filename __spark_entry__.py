@@ -2538,6 +2538,19 @@ def q_fd_discovery(spark, sf_dir):
     return out.orderBy("determinant", "dependent")
 
 
+def q_candidate_keys(spark, sf_dir):
+    """Candidate-key discovery over orders — singles + pairs in ONE
+    grouping-sets scan; each set's own sum(cnt) IS the row count so
+    there is no count join (health.candidate_key_report).  Known
+    structure: o_orderkey (and every pair containing it) is a key;
+    o_custkey / o_orderstatus and their pair are not."""
+    from data_validation_spark.operators.health import candidate_key_report
+    out = candidate_key_report(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_orderstatus"])
+    return out.orderBy("key_cols")
+
+
 def q_independence(spark, sf_dir):
     """Chi-squared independence cells for documents lang x source —
     zero cells included with their (0-E)^2/E contribution (a naive
@@ -2801,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_order": q_event_order,
         "join_explosion": q_join_explosion,
         "fd_discovery": q_fd_discovery,
+        "candidate_keys": q_candidate_keys,
         "dedup_exact_groups": q_dedup_exact_groups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "pricing_summary": q_pricing_summary,
@@ -4669,6 +4683,67 @@ def oracle_sql() -> dict[str, str]:
               FROM bad WHERE lang IS NULL)
             SELECT c AS "constraint", n AS n_violations
             FROM f WHERE n > 0
+        """,
+        "candidate_keys": """
+            WITH s AS (
+                SELECT 'o_orderkey' AS key_cols, 1 AS size,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT o_orderkey FROM orders))
+                       AS n_distinct,
+                       (SELECT COUNT(*) FROM orders) AS n_rows,
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_orderkey IS NULL) AS n_null
+                UNION ALL
+                SELECT 'o_custkey', 1,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT o_custkey FROM orders)),
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_custkey IS NULL)
+                UNION ALL
+                SELECT 'o_orderstatus', 1,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT o_orderstatus FROM orders)),
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_orderstatus IS NULL)
+                UNION ALL
+                SELECT 'o_orderkey,o_custkey', 2,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT o_orderkey, o_custkey
+                         FROM orders)),
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_orderkey IS NULL
+                           OR o_custkey IS NULL)
+                UNION ALL
+                SELECT 'o_orderkey,o_orderstatus', 2,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT o_orderkey, o_orderstatus
+                         FROM orders)),
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_orderkey IS NULL
+                           OR o_orderstatus IS NULL)
+                UNION ALL
+                SELECT 'o_custkey,o_orderstatus', 2,
+                       (SELECT COUNT(*) FROM
+                        (SELECT DISTINCT o_custkey, o_orderstatus
+                         FROM orders)),
+                       (SELECT COUNT(*) FROM orders),
+                       (SELECT COUNT(*) FROM orders
+                        WHERE o_custkey IS NULL
+                           OR o_orderstatus IS NULL)
+            )
+            SELECT key_cols, size::INT AS size,
+                   n_distinct::BIGINT AS n_distinct,
+                   n_rows::BIGINT AS n_rows,
+                   n_null::BIGINT AS n_null_key_rows,
+                   ((n_distinct * 1000000) // n_rows)::BIGINT
+                       AS uniqueness_micro,
+                   (n_distinct = n_rows) AS is_unique,
+                   (n_distinct = n_rows AND n_null = 0) AS is_key
+            FROM s ORDER BY key_cols
         """,
         "fd_discovery": """
             WITH per AS (

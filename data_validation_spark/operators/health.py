@@ -1246,3 +1246,89 @@ def fd_discovery_report(df: DataFrame, cols: list[str],
         (F.expr("n_violating_keys * CAST(1000000 AS BIGINT) "
                 "div n_det_keys")
          <= F.lit(int(max_violation_micro))).alias("holds"))
+
+
+def candidate_key_report(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Candidate-key discovery over singles AND pairs of ``cols`` —
+    the other half of the grouping-sets profiling pass
+    (``fd_discovery_report`` finds what a key DETERMINES; this finds
+    the keys): per column set, exact ``n_distinct``, ``n_rows``,
+    ``uniqueness_micro`` = ``n_distinct·10⁶ div n_rows``,
+    ``n_null_key_rows`` (rows where any member is NULL), ``is_unique``
+    (every row a distinct combination) and ``is_key`` (unique AND
+    NULL-free — SQL key semantics: a UNIQUE constraint tolerates
+    NULLs, a KEY does not, and a suggester that conflates them
+    suggests keys that fail on declaration).
+
+    Scale shape: ONE scan — all k + C(k,2) set collapses ride a single
+    ``GROUPING SETS`` aggregation (map-side combined; the shuffle
+    carries per-set distinct-combination cardinality, never rows), and
+    because every set partitions ALL rows, each set's own
+    ``sum(cnt)`` IS the table row count — no second scan, no count
+    join, no persist.  Everything after the collapse is a set-count
+    projection + a set-cardinality aggregation.  Same guards as the
+    FD discoverer: ≥1 atomic column, k ≤ 12.
+    """
+    k = len(cols)
+    if k < 1:
+        raise ValueError("candidate_key_report: need >= 1 column")
+    if k > 12:
+        raise ValueError(
+            f"candidate_key_report: {k} columns = "
+            f"{k + k*(k-1)//2} grouping sets (the one shuffle "
+            "replicates rows per set) — pre-select candidate columns")
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    missing = [c for c in cols if c not in schema]
+    if missing:
+        raise ValueError(f"candidate_key_report: missing columns "
+                         f"{missing}")
+    bad = [c for c in cols
+           if schema[c].typeName() in ("array", "map", "struct",
+                                       "binary", "variant")]
+    if bad:
+        raise ValueError(
+            f"candidate_key_report: non-atomic columns {bad} — "
+            "project a derived atomic column instead")
+
+    sets = [[i] for i in range(k)] + \
+        [[i, j] for i in range(k) for j in range(i + 1, k)]
+    collapsed = (df.groupingSets([[cols[i] for i in s] for s in sets],
+                                 *cols)
+                 .agg(F.count(F.lit(1)).alias("cnt"),
+                      F.grouping_id().alias("gid")))
+
+    key_cols = size = has_null = None
+    for s in sets:
+        gid = sum(1 << (k - 1 - x) for x in range(k) if x not in s)
+        label = F.lit(",".join(cols[i] for i in s))
+        sz = F.lit(len(s))
+        nul = F.lit(False)
+        for i in s:
+            nul = nul | F.col(cols[i]).isNull()
+        if key_cols is None:       # last chain link = plain fallback
+            key_cols, size, has_null = label, sz, nul
+        else:
+            m = F.col("gid") == gid
+            key_cols = F.when(m, label).otherwise(key_cols)
+            size = F.when(m, sz).otherwise(size)
+            has_null = F.when(m, nul).otherwise(has_null)
+    per_set = (collapsed.select(key_cols.alias("key_cols"),
+                                size.alias("size"),
+                                has_null.alias("__nul"), "cnt")
+               .groupBy("key_cols", "size")
+               .agg(F.count(F.lit(1)).alias("n_distinct"),
+                    F.sum("cnt").alias("n_rows"),
+                    F.coalesce(F.sum(F.when(F.col("__nul"),
+                                            F.col("cnt"))),
+                               F.lit(0)).alias("n_null_key_rows")))
+    uniq = F.col("n_distinct") == F.col("n_rows")
+    return per_set.select(
+        "key_cols",
+        F.col("size").cast("int").alias("size"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null_key_rows").cast("long").alias("n_null_key_rows"),
+        F.expr("n_distinct * CAST(1000000 AS BIGINT) div n_rows")
+        .alias("uniqueness_micro"),
+        uniq.alias("is_unique"),
+        (uniq & (F.col("n_null_key_rows") == 0)).alias("is_key"))

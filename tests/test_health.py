@@ -759,3 +759,52 @@ def test_fd_discovery_single_scan_no_cache(spark, tmp_path):
         .queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1
     assert "InMemoryTableScan" not in plan and "Join" not in plan
+
+
+# -- candidate_key_report ----------------------------------------------------
+
+def test_candidate_key_known_structure(spark):
+    from data_validation_spark.operators.health import candidate_key_report
+    # id unique+null-free = key; (a,b) unique; a,b alone not; a has a
+    # NULL so even a unique a would be is_unique but never is_key
+    rows = [(1, "x", 10), (2, "x", 20), (3, "y", 10), (4, None, 30)]
+    df = spark.createDataFrame(rows, "id int, a string, b int")
+    out = {r.key_cols: r for r in
+           candidate_key_report(df, ["id", "a", "b"]).collect()}
+    assert len(out) == 6                     # 3 singles + 3 pairs
+    assert out["id"].is_key and out["id"].is_unique
+    assert out["id"].n_distinct == 4 and out["id"].n_rows == 4
+    assert not out["a"].is_unique            # 'x' twice
+    assert out["a"].n_distinct == 3          # 'x','y',NULL — a value
+    assert out["a"].n_null_key_rows == 1
+    assert not out["b"].is_unique            # 10 twice
+    assert out["a,b"].is_unique              # all combos distinct
+    assert not out["a,b"].is_key             # NULL member row
+    # (id,a) is unique but its NULL-member row disqualifies it as a
+    # declarable key; (id,b) is NULL-free and unique -> key
+    assert out["id,a"].is_unique and not out["id,a"].is_key
+    assert out["id,b"].is_key
+    assert out["b"].uniqueness_micro == 750_000    # 3 of 4
+
+
+def test_candidate_key_single_scan_no_cache(spark, tmp_path):
+    from data_validation_spark.operators.health import candidate_key_report
+    p = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id").alias("a"), (F.col("id") % 10).alias("b")).write \
+        .parquet(p)
+    df = spark.read.parquet(p)
+    plan = candidate_key_report(df, ["a", "b"])._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "InMemoryTableScan" not in plan and "Join" not in plan
+
+
+def test_candidate_key_guards(spark):
+    import pytest
+    from data_validation_spark.operators.health import candidate_key_report
+    df = spark.createDataFrame([(1, [1])], "a int, b array<int>")
+    with pytest.raises(ValueError, match="non-atomic"):
+        candidate_key_report(df, ["a", "b"])
+    with pytest.raises(ValueError, match=">= 1"):
+        candidate_key_report(df, [])
