@@ -181,7 +181,9 @@ def main() -> None:
                  # catches (wav's unrolled walk hid a 43-55 s compile
                  # stall for a full round precisely because these were
                  # absent here)
-                 "wav_headers", "mp4_headers", "pdf_headers"]:
+                 "wav_headers", "mp4_headers", "pdf_headers",
+                 # r5: grouping-sets key/FD profiling
+                 "fd_discovery", "candidate_keys"]:
         best, n = None, 0
         for _ in range(RUNS):
             spark.catalog.clearCache()
